@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode defaults are tuned for the test harness (local[32],
+  * 32 shuffle partitions) but every setting here is what we would
+  * ship to a real cluster: AQE on (runtime partition coalescing +
+  * skew-join splitting), broadcast threshold left at default so
+  * dimension tables broadcast automatically, UTC session time zone
+  * for oracle parity.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${defaultCpus}]",
+              shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,35 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalytics
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is deterministic: explicit total-order ORDER BY and
+  * floating aggregates rounded, so the DuckDB-oracle hash compare is
+  * stable across engines.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.queries ++
+    operators.TextPipeline.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    (operators.Relational.oracles ++
+     operators.TextPipeline.oracles ++
+     operators.Dedup.oracles ++
+     operators.Similarity.oracles)
+      .map { case (k, v) =>
+        k -> graft.functions.CrossEngine.expandProundSql(v)
+      }
 }

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.{pround, portableHash, tokens}
+
+/** Deduplication operators over `documents` — the core of a
+  * pretraining-data pipeline at 100 TB.
+  *
+  * All variants follow the same scale shape: compute a compact per-doc
+  * signature in one narrow pass (map-side, codegen'd), then join only
+  * on signature buckets — never an unpruned all-pairs comparison.
+  *  - exact:    group on md5(text) (fixed 16-byte shuffle key instead
+  *              of shuffling whole documents).
+  *  - MinHash:  k=16 affine-permutation mins over word-3-gram
+  *              shingles, banded 4x4 → LSH candidate pairs via a
+  *              bucket join (shingle→minhash→band→bucket-join).
+  *  - SimHash:  32-bit tf-weighted fingerprint; near-dups = small
+  *              Hamming distance. Pairs pruned by band-of-bits
+  *              blocking at scale; exact pairwise here (test SF).
+  *  - n-gram Jaccard: exact pairwise Jaccard over pairs sharing ≥1
+  *              shingle (inverted-index join prunes the quadratic
+  *              space).
+  *
+  * The cross-engine hash H(x) = int(md5(x)[:8 hex]) keeps every
+  * signature bit-identical between Spark and the DuckDB oracle.
+  */
+object Dedup {
+
+  private val MinhashK = 16
+  private val BandRows = 4
+  private val MersennePrime = 2147483647L // 2^31-1
+  private val JaccardThreshold = 0.1
+  private val SimhashBits = 32
+  private val HammingMax = 6
+
+  /** Exact dedup: one group per distinct text, keeper = min doc_id. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("text_md5"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct word-3-gram shingles per document: (doc_id, g). */
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
+    val tk = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+                           element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>")).as("ngrams"))
+      .select(col("doc_id"), explode(array_distinct(col("ngrams"))).as("g"))
+  }
+
+  /** Per-(doc, slot) minhash: min over shingles of the i-th affine
+    * permutation of H(g). Shuffles only (doc_id, i, partial-min).
+    */
+  private def minhashSlots(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), portableHash(col("g")).as("h"),
+              explode(sequence(lit(0), lit(MinhashK - 1))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("h") * (col("i") * 2 + 1) + (col("i") * col("i") + 7))
+               % MersennePrime).as("mh"))
+
+  /** Full 16-slot minhash signature per doc, rendered as a string. */
+  def minhashSignature(s: SparkSession, d: String): DataFrame =
+    minhashSlots(s, d)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct(col("i"), col("mh")))),
+             x => x.getField("mh").cast("string")), ",").as("minhash_sig"))
+      .orderBy(col("doc_id"))
+
+  /** LSH band table: (doc_id, band, band-signature string). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashSlots(s, d)
+      .withColumn("band", floor(col("i") / BandRows).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct(col("i"), col("mh")))),
+             x => x.getField("mh").cast("string")), ",").as("sig"))
+
+  /** Candidate near-dup pairs: same signature in any band — the join
+    * key is (band, sig), so only colliding buckets ever meet.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val b = minhashBands(s, d)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(c, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit tf-weighted SimHash per document. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashTable(s, d).orderBy(col("doc_id"))
+
+  private def simhashTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tf"), portableHash(col("word")).as("h"),
+              explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
+               .otherwise(-col("tf"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+                    expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+               .otherwise(lit(0L))).as("simhash"))
+
+  /** Near-dup pairs by Hamming distance over the SimHash fingerprint. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val t = simhashTable(s, d)
+    val a = t.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share a shingle. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val ng = shingles(s, d)
+    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = ng.select(col("doc_id").as("doc_a"), col("g"))
+    val b = ng.select(col("doc_id").as("doc_b"), col("g"))
+    val common = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> exact _,
+    "dedup_minhash_sig"   -> minhashSignature _,
+    "dedup_minhash_pairs" -> minhashPairs _,
+    "dedup_simhash"       -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+  )
+
+  private val tokSql =
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
+  private val hSql = "CAST(('0x' || substr(md5(%s), 1, 8)) AS BIGINT)"
+
+  /** Shared CTE: distinct word-3-gram shingles per doc.
+    * (generate_series instead of range: DuckDB's range() table
+    * function rejects lateral column arguments.)
+    */
+  private val ngCte =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
+       |ng AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |       FROM idx)""".stripMargin
+
+  private val mhCte =
+    s"""$ngCte,
+       |mh AS (SELECT doc_id, i,
+       |         min((${hSql.format("g")} * (i * 2 + 1) + (i * i + 7)) % $MersennePrime) AS mh
+       |       FROM ng, range(0, $MinhashK) r2(i)
+       |       GROUP BY doc_id, i)""".stripMargin
+
+  private val simhashCte =
+    s"""tf AS (SELECT doc_id, word, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+       |             FROM documents) u
+       |       WHERE word <> '' GROUP BY doc_id, word),
+       |hb AS (SELECT doc_id, b,
+       |         sum(CASE WHEN (${hSql.format("word")} >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+       |       FROM tf, range(0, $SimhashBits) r(b)
+       |       GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |       FROM hb GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $mhCte
+         |SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY i) AS minhash_sig
+         |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ngCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM ng a JOIN ng b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  pround(c / (na.n + nb.n - c), 4) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE pround(c / (na.n + nb.n - c), 4) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,379 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.pround
+
+/** Relational query surface over the driver test tables.
+  *
+  * The reference has no joins/windows/set-ops (SURVEY.md §2.6) — this
+  * layer is the north-star relational extension, expressed purely with
+  * Catalyst built-ins so pushdown/pruning/AQE apply untouched.
+  *
+  * Determinism contract (driver hash-compare): every query ends in an
+  * explicit total-order sort and rounds floating aggregates, with
+  * column aliases mirrored exactly in the DuckDB oracle SQL.
+  *
+  * Scale notes are inline per query; the common ones:
+  *  - dimension joins (`nation`, `region`) are `broadcast()` — no
+  *    shuffle of the fact table;
+  *  - fact-fact joins shuffle on the join key once and reuse it;
+  *  - windows partition by a key (never a global window) except the
+  *    gap scan, whose global order is its semantic — see repl_gaps.
+  */
+object Relational {
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  /** TPC-H Q1-style pricing summary: partial/final hash aggregation,
+    * filter pushed to the parquet scan. A1-A4 analogue in SURVEY §2.4.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        pround(sum(col("l_quantity")), 2).as("sum_qty"),
+        pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        pround(avg(col("l_quantity")), 2).as("avg_qty"),
+        pround(avg(col("l_extendedprice")), 2).as("avg_price"),
+        pround(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star join: fact tables shuffle on their keys; `nation`/`region`
+    * are broadcast (25 / 5 rows — and still tiny at any SF).
+    */
+  def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-k by aggregate: groupBy + orderBy + limit — Catalyst plans
+    * TakeOrderedAndProject, so only k rows cross the final exchange.
+    */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val rev = l.groupBy(col("l_orderkey"))
+      .agg(pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS): only the key column of lineitem is
+    * scanned (column pruning) and the semi join short-circuits.
+    */
+  def q4PrioritySemi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join (NOT EXISTS) — the reference's gap-detection shape
+    * (SURVEY §2.7 W3) applied relationally: customers who never placed
+    * a large (>400k) order.
+    */
+  def q5CustomersNoOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** TPC-H Q6-style: all three predicates push down to the parquet
+    * scan (verify via PushedFilters in explain) — at 100 TB this is
+    * the difference between scanning 3 columns of a slice vs the table.
+    */
+  def q6RevenueForecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+              col("l_quantity") < 24)
+      .agg(pround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** Ranking window, partitioned by customer — state stays per-key. */
+  def q7TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+              pround(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-total window with explicit ROWS frame (unique order key
+    * ⇒ ROWS ≡ RANGE, stated explicitly for oracle parity).
+    */
+  def q8RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              pround(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** ROLLUP over the region/nation hierarchy; subtotal rows keyed
+    * 'ALL' so the sort is null-free and engine-agnostic.
+    */
+  def q9RollupAcctbal(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           pround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** INTERSECT / EXCEPT set ops, tagged and unioned. */
+  def q10SetOps(s: SparkSession, d: String): DataFrame = {
+    val auto = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey"))
+    val buyers = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    auto.intersect(buyers).withColumn("tag", lit("auto_buyer"))
+      .unionByName(auto.except(buyers).withColumn("tag", lit("auto_only")))
+      .select(col("tag"), col("custkey"))
+      .orderBy(col("tag"), col("custkey"))
+  }
+
+  /** Tumbling-hour aggregation over the event stream table — the
+    * batch shape of the streaming windowed agg (SURVEY §2.7).
+    */
+  def q11EventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           pround(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization (gaps-and-islands): 30-min inactivity gap starts a
+    * new session. Window partitioned by user — distributes cleanly.
+    */
+  def q12UserSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("new_session")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact distinct per group (shuffle-dedup then count). */
+  def q13DistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Calendar-month revenue rollup on orders. */
+  def q14MonthlyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           pround(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("month"))
+
+  /** Gap detection over an ID sequence — the reference's CheckAndDump
+    * missing-range scan (replication.go:339-460) as gaps-and-islands.
+    * Observed = event_ids seen on non-error events; emit [start,end]
+    * of every missing run. The global-order window is the operator's
+    * semantics; at scale this runs as repartitionByRange + per-range
+    * lag with boundary exchange (the sort itself is distributed; only
+    * the lag frame crosses partitions by one row).
+    */
+  def replGaps(s: SparkSession, d: String): DataFrame = {
+    val observed = Tables.events(s, d)
+      .filter(col("event_type") =!= "error")
+      .select(col("event_id").as("id")).distinct()
+    val w = Window.orderBy(col("id"))
+    observed
+      .withColumn("prev", lag(col("id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+      .orderBy(col("gap_start"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> q1PricingSummary _,
+    "q2_revenue_by_nation" -> q2RevenueByNation _,
+    "q3_top_orders"        -> q3TopOrders _,
+    "q4_priority_semi"     -> q4PrioritySemi _,
+    "q5_customers_no_orders" -> q5CustomersNoOrders _,
+    "q6_revenue_forecast"  -> q6RevenueForecast _,
+    "q7_top_orders_per_customer" -> q7TopOrdersPerCustomer _,
+    "q8_running_total"     -> q8RunningTotal _,
+    "q9_rollup_acctbal"    -> q9RollupAcctbal _,
+    "q10_set_ops"          -> q10SetOps _,
+    "q11_events_hourly"    -> q11EventsHourly _,
+    "q12_user_sessions"    -> q12UserSessions _,
+    "q13_distinct_users"   -> q13DistinctUsers _,
+    "q14_monthly_revenue"  -> q14MonthlyRevenue _,
+    "repl_gaps"            -> replGaps _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  pround(sum(l_quantity), 2) AS sum_qty,
+        |  pround(sum(l_extendedprice), 2) AS sum_base_price,
+        |  pround(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  pround(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  pround(avg(l_quantity), 2) AS avg_qty,
+        |  pround(avg(l_extendedprice), 2) AS avg_price,
+        |  pround(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, revenue
+        |FROM (SELECT l_orderkey,
+        |        pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) rev
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_customers_no_orders" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT pround(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, pround(o_totalprice, 2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q8_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  pround(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q9_rollup_acctbal" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers,
+        |  pround(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q10_set_ops" ->
+      """WITH auto AS (SELECT c_custkey AS custkey FROM customer
+        |              WHERE c_mktsegment = 'AUTOMOBILE'),
+        |  buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |             WHERE o_totalprice > 100000)
+        |SELECT 'auto_buyer' AS tag, custkey
+        |FROM (SELECT custkey FROM auto INTERSECT SELECT custkey FROM buyers) t1
+        |UNION ALL
+        |SELECT 'auto_only' AS tag, custkey
+        |FROM (SELECT custkey FROM auto EXCEPT SELECT custkey FROM buyers) t2
+        |ORDER BY tag, custkey""".stripMargin,
+    "q11_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n_events, pround(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "q12_user_sessions" ->
+      """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+        |FROM (SELECT user_id,
+        |        CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT user_id,
+        |              epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS gap_us
+        |            FROM events) g) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q13_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q14_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, pround(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "repl_gaps" ->
+      """SELECT prev + 1 AS gap_start, id - 1 AS gap_end
+        |FROM (SELECT id, lag(id, 1) OVER (ORDER BY id) AS prev
+        |      FROM (SELECT DISTINCT event_id AS id FROM events
+        |            WHERE event_type <> 'error') o) t
+        |WHERE prev IS NOT NULL AND id - prev > 1
+        |ORDER BY gap_start""".stripMargin,
+  )
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.pround
+
+/** Similarity search over the `embeddings` table (array<float>, 64-d).
+  *
+  * Two paths, mirroring a production ANN pipeline:
+  *  - brute force: exact cosine top-k for a bounded probe set — the
+  *    correctness baseline. Probes are broadcast; candidates stream —
+  *    never a quadratic shuffle.
+  *  - LSH: sign-random-projection buckets (4 deterministic ±1
+  *    hyperplanes derived from md5, identical literals in the DuckDB
+  *    oracle); search touches only the probe's bucket — this is the
+  *    100 TB path (bucket count scales with corpus size).
+  *
+  * Cosine is computed with `zip_with`+`aggregate` (codegen'd fold —
+  * no UDF); ranking uses pround(cos, 6) with vec_id tie-break so the
+  * ordering is engine-stable.
+  */
+object Similarity {
+
+  private val NumPlanes = 4
+  private val Dims = 64
+  private val ProbeCount = 10
+  private val TopK = 5
+  private val LshTopK = 3
+
+  /** Deterministic ±1 hyperplane entries: parity of md5("hp_<p>_<d>"). */
+  private[operators] val planeSigns: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dims).map { dd =>
+        val h = md.digest(s"hp_${p}_$dd".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  private def signArray(p: Int): Column =
+    array(planeSigns(p).map(v => lit(v.toDouble)): _*)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+
+  /** Exact cosine top-k for probe vectors (vec_id < 10). */
+  def annBrute(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-vector LSH bucket id (the index build of the ANN pipeline). */
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .withColumn("bucket",
+        (0 until NumPlanes).map(p =>
+          when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
+          .reduce(_ + _))
+      .select(col("vec_id"), col("label"), col("bucket"))
+      .orderBy(col("vec_id"))
+
+  /** ANN via bucket-restricted search: probe joins only its bucket. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val b = vectors(s, d)
+      .withColumn("bucket",
+        (0 until NumPlanes).map(p =>
+          when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
+          .reduce(_ + _))
+    val q = b.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup scan: nearest neighbor for a deterministic
+    * probe slice, flagged when cosine exceeds the dup threshold.
+    */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"),
+              (pround(col("cos"), 4) >= 0.95).as("is_dup"))
+      .orderBy(col("query_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute"     -> annBrute _,
+    "ann_lsh_buckets" -> lshBuckets _,
+    "ann_lsh"       -> annLsh _,
+    "sim_near_dup"  -> embedNearDup _,
+  )
+
+  private def signSql(p: Int): String =
+    planeSigns(p).map(v => s"$v.0").mkString("[", ", ", "]")
+
+  private val bucketSql: String =
+    (0 until NumPlanes).map(p =>
+      s"(CASE WHEN list_dot_product(v, ${signSql(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val vecCte =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute" ->
+      s"""WITH $vecCte
+         |SELECT query_id, rank, neighbor_id, cos_sim, label
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         |        pround(list_cosine_similarity(q.v, c.v), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+         |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < $ProbeCount) t
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_buckets" ->
+      s"""WITH $vecCte
+         |SELECT vec_id, label, $bucketSql AS bucket
+         |FROM e
+         |ORDER BY vec_id""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $vecCte,
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM e)
+         |SELECT query_id, bucket, rank, neighbor_id, cos_sim
+         |FROM (SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+         |        pround(list_cosine_similarity(q.v, c.v), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+         |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < $ProbeCount) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_near_dup" ->
+      s"""WITH $vecCte
+         |SELECT query_id, neighbor_id, cos_sim, cos_sim >= 0.95 AS is_dup
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        pround(list_cosine_similarity(q.v, c.v), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+         |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 20 = 0) t
+         |WHERE rank = 1
+         |ORDER BY query_id""".stripMargin,
+  )
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.{pround, portableHash, tokens}
+
+/** Text-analysis operators over the `documents` table — the
+  * reference's tokenize+count surface (wc/wc.go:26-47) generalized to
+  * the LLM-pipeline feature set: token stats, quality scoring,
+  * language ID, fingerprinting.
+  *
+  * Everything is built-ins (split/explode/aggregate/regexp) — no UDFs,
+  * the whole pipeline stays in whole-stage codegen. Each query has an
+  * exact DuckDB mirror; the portable cross-engine hash is
+  * H(x) = first-8-hex-digits(md5(x)) as int, identical in both.
+  */
+object TextPipeline {
+
+  /** Separator regex shared with TextAnalytics (wc.go:28 semantics). */
+  private val Sep = TextAnalytics.SeparatorRegex
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val StopSql = stopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** Reference word count applied to the documents table, top 50. */
+  def wcTopWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+
+  /** Per-document token statistics (count / distinct / mean length). */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("word")).as("n_types"),
+           pround(avg(length(col("word"))), 2).as("avg_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, stopword ratio, non-text-character ratio
+    * — the standard cheap filters of a pretraining data pipeline.
+    */
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              explode(tokens(col("text"))).as("word"),
+              (length(col("text")) -
+                length(regexp_replace(col("text"), "[\\p{L} ]", ""))).as("n_nonalpha"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           min(col("n_chars")).as("n_chars"),
+           pround(sum(when(lower(col("word")).isin(stopwords: _*), 1).otherwise(0))
+                   / count(lit(1)), 4).as("stop_ratio"),
+           pround(min(col("n_nonalpha")) / min(col("n_chars")), 4).as("nonalpha_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans"))
+
+  /** Language ID: stopword-profile hits per language + CJK-script char
+    * count; deterministic arg-max with fixed tie order (en,es,de,fr).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), explode(tokens(col("text"))).as("word"))
+    val hits = markers.map { case (lang, ws) =>
+      sum(when(lower(col("word")).isin(ws: _*), 1).otherwise(0)).as(s"${lang}_hits")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(hits.head, hits.tail :+
+        (min(length(col("text"))) -
+         min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))).as("zh_chars"): _*)
+      .withColumn("lang_guess",
+        when(col("zh_chars") > 0, "zh")
+          .when(col("en_hits") === 0 && col("es_hits") === 0 &&
+                col("de_hits") === 0 && col("fr_hits") === 0, "und")
+          .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+                col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: md5 of the token-normalized text plus a
+    * 31-polynomial rolling hash over portable token hashes — the
+    * rolling-hash fingerprint of a near-dup pipeline, exactly
+    * reproducible in any engine with md5.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val norm = array_join(toks, " ")
+    val hashes = transform(toks, t => portableHash(t))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              md5(norm.cast("binary")).as("fp_md5"),
+              aggregate(hashes, lit(0L),
+                (acc, h) => (acc * 31 + h) % 1000000007L).as("fp_roll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_top_words"    -> wcTopWords _,
+    "txt_token_stats" -> tokenStats _,
+    "txt_quality"     -> quality _,
+    "txt_langid"      -> langId _,
+    "txt_fingerprint" -> fingerprint _,
+  )
+
+  private val tokSql =
+    s"list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "wc_top_words" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt DESC, word
+        |LIMIT 50""".stripMargin,
+    "txt_token_stats" ->
+      """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_types,
+        |  pround(avg(length(word)), 2) AS avg_len
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      s"""SELECT doc_id, count(*) AS n_tokens, min(n_chars) AS n_chars,
+        |  pround(sum(CASE WHEN lower(word) IN $StopSql THEN 1 ELSE 0 END)
+        |        / count(*), 4) AS stop_ratio,
+        |  pround(min(n_nonalpha) / min(n_chars), 4) AS nonalpha_ratio
+        |FROM (SELECT doc_id, n_chars,
+        |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word,
+        |        length(text) - length(regexp_replace(text, '[\\p{L} ]', '', 'g')) AS n_nonalpha
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "txt_langid" -> {
+      def hitsSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ", ", ")")
+      s"""SELECT doc_id,
+        |  ${markers.map { case (l, ws) =>
+             s"sum(CASE WHEN lower(word) IN ${hitsSql(ws)} THEN 1 ELSE 0 END) AS ${l}_hits"
+           }.mkString(",\n  ")},
+        |  min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS zh_chars,
+        |  CASE
+        |    WHEN min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) > 0 THEN 'zh'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) = 0 THEN 'und'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'en'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'es'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'de'
+        |    ELSE 'fr' END AS lang_guess
+        |FROM (SELECT doc_id, text,
+        |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+        |  md5(array_to_string($tokSql, ' ')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform($tokSql,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_roll
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
