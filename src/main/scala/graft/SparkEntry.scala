@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.TextPipeline.queries ++
     operators.Dedup.queries ++
-    operators.Similarity.queries
+    operators.Similarity.queries ++
+    operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,7 +29,8 @@ object SparkEntry {
     (operators.Relational.oracles ++
      operators.TextPipeline.oracles ++
      operators.Dedup.oracles ++
-     operators.Similarity.oracles)
+     operators.Similarity.oracles ++
+     operators.Multimodal.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
       }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.{portableHash, portableHashSql}
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the decode / feature-extract / frame-
+  * sample plumbing of a multimodal training pipeline.
+  *
+  * The container has no image/audio codecs, so the DECODE step is
+  * stubbed ([[MediaDecoder.Real]] is a clearly-marked `???`); the
+  * Spark-side plumbing — binary schema, per-partition batched decode,
+  * deterministic frame sampling, metadata struct — is real and
+  * tested with [[MediaDecoder.Deterministic]].
+  *
+  * Scale shape: payloads never shuffle — features are computed in the
+  * scan stage (map-side), and only the small feature rows move.
+  * `mapPartitions` batches decoder calls per partition, the Scala
+  * analogue of a Pandas-UDF `mapInPandas` batch.
+  */
+object Multimodal {
+
+  /** Synthetic media table over `documents`: payload = UTF-8 bytes of
+    * the text, kind assigned round-robin — a stand-in with real
+    * binary-column mechanics.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+                 (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** Decoded-media features; what a real image/audio decode yields. */
+  case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
+                           width: Int, height: Int, digest: String)
+
+  /** The decode seam. Real decoders plug in here. */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures
+  }
+
+  object MediaDecoder {
+    /** STUB — the real codec path (javax.imageio / ffmpeg / soundfile)
+      * is not available in this container. Wire a real implementation
+      * here when codecs exist; everything downstream is agnostic.
+      */
+    object Real extends MediaDecoder {
+      def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures =
+        ??? // real codec unavailable in this environment — see Scaladoc
+    }
+
+    /** Deterministic fake: dimensions derived from the payload hash —
+      * same idea as the SQL-expressible queries below, usable in tests.
+      */
+    object Deterministic extends MediaDecoder {
+      def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        MediaFeatures(mediaId, kind, payload.length,
+          (64 + h % 1217).toInt, (64 + h % 657).toInt, hex)
+      }
+    }
+  }
+
+  /** Batched decode over partitions — the mapInPandas-shaped seam:
+    * one decoder instance per partition, payload bytes never leave
+    * the scan stage.
+    */
+  def featurize(media: DataFrame, decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          decoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+        }
+      }
+  }
+
+  /** SQL-expressible feature extraction (the Deterministic decoder as
+    * pure built-ins, oracle-checkable).
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val m = mediaTable(s, d)
+    val h = portableHash(col("payload"))
+    m.select(col("media_id"), col("kind"),
+             col("meta.n_bytes").as("n_bytes"),
+             (lit(64) + h % 1217).cast("int").as("width"),
+             (lit(64) + h % 657).cast("int").as("height"),
+             md5(col("payload")).as("digest"))
+      .orderBy(col("media_id"))
+  }
+
+  private val FrameLen = 50
+  private val NumFrames = 4
+
+  /** Frame sampling: fixed-offset slices of the payload (the shape of
+    * video frame extraction; slicing is the stubbed decode).
+    */
+  def frames(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text"),
+              explode(sequence(lit(0), lit(NumFrames - 1))).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(text, frame_idx * $FrameLen + 1, $FrameLen)"))
+      .filter(length(col("frame")) > 0)
+      .select(col("media_id"), col("frame_idx"),
+              md5(col("frame").cast("binary")).as("frame_md5"),
+              length(col("frame")).as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> features _,
+    "mm_frames"   -> frames _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      s"""SELECT doc_id AS media_id,
+         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  CAST(64 + ${portableHashSql("text")} % 1217 AS INT) AS width,
+         |  CAST(64 + ${portableHashSql("text")} % 657 AS INT) AS height,
+         |  md5(text) AS digest
+         |FROM documents
+         |ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      s"""SELECT doc_id AS media_id, frame_idx,
+         |  md5(substr(text, frame_idx * $FrameLen + 1, $FrameLen)) AS frame_md5,
+         |  length(substr(text, frame_idx * $FrameLen + 1, $FrameLen)) AS frame_len
+         |FROM documents, range(0, $NumFrames) r(frame_idx)
+         |WHERE length(substr(text, frame_idx * $FrameLen + 1, $FrameLen)) > 0
+         |ORDER BY media_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's replication subsystem (replication/replication.go)
+  * as Structured Streaming — SURVEY.md §2.7, operators W1-W7.
+  *
+  * Reference semantics re-expressed, mechanism replaced:
+  *  - W1 rate-limited replay: leader emits one ID'd line per 2 s tick
+  *    (replication.go:156-213) → a streaming read with a processing-
+  *    time trigger; the ID is carried in the data.
+  *  - W2 stale-drop: messages older than 2 s discarded
+  *    (replication.go:56-58 et al.) → `withWatermark("ts", "2 seconds")`.
+  *  - W6 upsert-by-id: duplicate IDs replace (insertDataItemSorted,
+  *    replication.go:553-575) → `dropDuplicates("id")` under the
+  *    watermark.
+  *  - W5/W7 buffered checkpoint + resume-from-offset → the streaming
+  *    checkpoint; exactly-once replaces the hand-rolled JSON dump.
+  *  - W3/W4 gap detection + repair: the 10 s CheckAndDump scan
+  *    (replication.go:339-460) building [start,end] missing ranges →
+  *    checkpoint replay makes repair unnecessary; the detection
+  *    semantics are kept as [[gapRanges]], the reconciliation query
+  *    you run to PROVE the guarantee holds.
+  */
+object ReplicatedLog {
+
+  /** One replicated record: dense id, payload line, arrival time. */
+  case class LogRecord(id: Long, value: String, ts: java.sql.Timestamp)
+
+  /** W2+W6: drop stale rows, keep one row per id. */
+  def dedupe(stream: DataFrame, watermark: String = "2 seconds"): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicates("id")
+
+  /** Full pipeline: stream in → stale-drop → dedupe → checkpointed
+    * parquet sink. Restart with the same checkpoint dir resumes from
+    * the recorded offsets (W7) with no loss and no dupes.
+    */
+  def start(stream: DataFrame, checkpointDir: String, outDir: String,
+            watermark: String = "2 seconds",
+            trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    dedupe(stream, watermark).writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** W3: missing-range scan. Returns [gap_start, gap_end] for every
+    * hole in the observed id sequence, starting from `startId`
+    * (replication.go:345-406 scans memory + file for exactly these
+    * ranges). The global-order window is the semantics; the observed
+    * set is first shrunk to distinct ids, so the windowed row count is
+    * the number of LIVE ids, not input rows — at scale, run after
+    * range-partitioning on id (sort is distributed; only the one-row
+    * lag frame crosses boundaries).
+    */
+  def gapRanges(observed: DataFrame, idCol: String = "id",
+                startId: Long = 1L): DataFrame = {
+    val w = Window.orderBy(col("id"))
+    observed.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("prev", coalesce(lag(col("id"), 1).over(w), lit(startId - 1)))
+      .filter(col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+      .orderBy(col("gap_start"))
+  }
+
+  /** W3 as an anti-join (the form SURVEY §2.7 documents): expected ids
+    * `startId..maxId` minus observed. Equivalent to [[gapRanges]]
+    * exploded; useful when the expected set is small or already a
+    * table. Returns individual missing ids.
+    */
+  def missingIds(spark: SparkSession, observed: DataFrame, maxId: Long,
+                 idCol: String = "id", startId: Long = 1L): DataFrame = {
+    val expected = spark.range(startId, maxId + 1).toDF("id")
+    expected.join(observed.select(col(idCol).cast("long").as("id")).distinct(),
+                  Seq("id"), "left_anti")
+      .orderBy(col("id"))
+  }
+
+  /** Replay a completed result table as a rate-limited stream (W1):
+    * the leader's 2 s broadcast of `mr-out-final` lines, one file per
+    * trigger. `linesDir` must contain the text lines; ids are assigned
+    * by line order within the single sorted input.
+    */
+  def replaySource(spark: SparkSession, linesDir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(linesDir)
+      .withColumn("ts", current_timestamp())
+}
