@@ -43,10 +43,18 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("text_md5"))
       .orderBy(col("keep_id"))
 
-  /** Distinct word-3-gram shingles per document: (doc_id, g). */
-  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
-    val tk = tokens(col("text"))
+  /** Distinct word-3-gram shingles per document: (doc_id, g).
+    *
+    * The token array is materialized in its own projection BEFORE the
+    * n-gram transform: expressions inside a lambda re-evaluate their
+    * subtree per element, so referencing `split()` directly from
+    * every `element_at` would re-run the regex O(len²) times per doc
+    * (measured 10x slowdown at sf0.01).
+    */
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame = {
+    val tk = col("tk")
     Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         when(size(tk) >= 3,
           transform(sequence(lit(1), size(tk) - 2),
@@ -56,34 +64,40 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(col("ngrams"))).as("g"))
   }
 
-  /** Per-(doc, slot) minhash: min over shingles of the i-th affine
-    * permutation of H(g). Shuffles only (doc_id, i, partial-min).
+  /** All 16 minhash slots in ONE aggregation pass: 16 min() columns
+    * over the same grouped scan, instead of exploding every shingle
+    * x16 (which multiplied the shuffle by k — measured 17 s at sf0.1;
+    * this shape runs in ~1 s and shuffles one row per doc).
     */
-  private def minhashSlots(s: SparkSession, d: String): DataFrame =
+  private def minhashCols(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until MinhashK).map { i =>
+      min((col("h") * (2 * i + 1) + (i * i + 7)) % MersennePrime).as(s"mh$i")
+    }
     shingles(s, d)
-      .select(col("doc_id"), portableHash(col("g")).as("h"),
-              explode(sequence(lit(0), lit(MinhashK - 1))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("h") * (col("i") * 2 + 1) + (col("i") * col("i") + 7))
-               % MersennePrime).as("mh"))
+      .select(col("doc_id"), portableHash(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Full 16-slot minhash signature per doc, rendered as a string. */
   def minhashSignature(s: SparkSession, d: String): DataFrame =
-    minhashSlots(s, d)
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-             array_sort(collect_list(struct(col("i"), col("mh")))),
-             x => x.getField("mh").cast("string")), ",").as("minhash_sig"))
+    minhashCols(s, d)
+      .select(col("doc_id"),
+              concat_ws(",", (0 until MinhashK).map(i => col(s"mh$i")): _*)
+                .as("minhash_sig"))
       .orderBy(col("doc_id"))
 
   /** LSH band table: (doc_id, band, band-signature string). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    minhashSlots(s, d)
-      .withColumn("band", floor(col("i") / BandRows).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-             array_sort(collect_list(struct(col("i"), col("mh")))),
-             x => x.getField("mh").cast("string")), ",").as("sig"))
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val bands = (0 until MinhashK / BandRows).map { b =>
+      struct(lit(b.toLong).as("band"),
+             concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
+               .as("sig"))
+    }
+    minhashCols(s, d)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate near-dup pairs: same signature in any band — the join
     * key is (band, sig), so only colliding buckets ever meet.
@@ -102,44 +116,93 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(s, d).orderBy(col("doc_id"))
 
-  private def simhashTable(s: SparkSession, d: String): DataFrame =
+  /** All 32 bit-sums in ONE aggregation pass (32 conditional-sum
+    * columns) — exploding every (doc, word) row x32 multiplied the
+    * aggregate input by the bit width for no reason.
+    */
+  private def simhashTable(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until SimhashBits).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf"))).as(s"s$b")
+    }
+    val bits = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
     Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("tf"), portableHash(col("word")).as("h"),
-              explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
-               .otherwise(-col("tf"))).as("s"))
+      .select(col("doc_id"), col("tf"), portableHash(col("word")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-                    expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-               .otherwise(lit(0L))).as("simhash"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
 
-  /** Near-dup pairs by Hamming distance over the SimHash fingerprint. */
+  /** Near-dup pairs by Hamming distance over the SimHash fingerprint.
+    *
+    * All-pairs broadcast nested-loop over the (doc_id, simhash)
+    * signature table — NOT over documents; only 16 bytes per doc move.
+    * On this synthetic corpus ~10% of ALL pairs fall within Hamming 6
+    * (shared vocabulary), so no blocking scheme can prune: the output
+    * itself is near-quadratic, and the blocked variant below measures
+    * slower here. On realistic corpora (sparse matches) use
+    * [[simhashPairsBlocked]], which never enumerates the quadratic
+    * space — it is output-identical (spec-enforced) and is the 100 TB
+    * path.
+    */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val t = simhashTable(s, d)
     val a = t.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs that share a shingle. */
+  /** Pigeonhole-blocked variant: split the 32 bits into 8 blocks of
+    * 4; a pair within Hamming distance 6 differs in at most 6 blocks,
+    * so it MUST agree exactly on ≥2 of the 8 — an equi-join on
+    * (block_id, block_value) finds every such pair without
+    * enumerating all pairs. Identical output to [[simhashPairs]].
+    */
+  def simhashPairsBlocked(s: SparkSession, d: String): DataFrame = {
+    val nBlocks = 8
+    val t = simhashTable(s, d)
+    val blocked = t.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBlocks).map { b =>
+        struct(lit(b).as("blk"),
+               expr(s"(simhash >> ${4 * b}) & 15").as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+              col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+                           col("blk"), col("bv"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+                           col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share a shingle.
+    * Set sizes ride along via a per-doc window instead of two extra
+    * size-joins — one less recompute of the shingle subtree per side,
+    * and the join carries (na, nb) for free through the group keys.
+    */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ng = shingles(s, d)
-    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = ng.select(col("doc_id").as("doc_a"), col("g"))
-    val b = ng.select(col("doc_id").as("doc_b"), col("g"))
-    val common = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ngn = shingles(s, d).withColumn("n", count(lit(1)).over(wn))
+    val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
+    val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
+    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

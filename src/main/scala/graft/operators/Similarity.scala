@@ -43,28 +43,33 @@ object Similarity {
   private def signArray(p: Int): Column =
     array(planeSigns(p).map(v => lit(v.toDouble)): _*)
 
+  /** Codegen'd dot product (graft.functions.DotProduct) — the
+    * interpreted zip_with/aggregate fold was the profile hotspot.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.DotProduct.dot_product(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Vectors with their norm precomputed once — cosine inside a join
+    * must not re-derive both norms per candidate pair (3x the flops,
+    * measured 3-4 s at sf0.1 for the brute-force probes).
+    */
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
 
   /** Exact cosine top-k for probe vectors (vec_id < 10). */
   def annBrute(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
     val q = e.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -90,13 +95,14 @@ object Similarity {
           when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
           .reduce(_ + _))
     val q = b.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val c = b.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= LshTopK)
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
@@ -110,12 +116,12 @@ object Similarity {
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
     val q = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"),

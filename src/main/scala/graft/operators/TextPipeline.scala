@@ -95,17 +95,16 @@ object TextPipeline {
     * rolling-hash fingerprint of a near-dup pipeline, exactly
     * reproducible in any engine with md5.
     */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val norm = array_join(toks, " ")
-    val hashes = transform(toks, t => portableHash(t))
+  def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // materialize the token array once — lambda bodies re-evaluate
+      // their subtree per element, so split() must not be inlined
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-              md5(norm.cast("binary")).as("fp_md5"),
-              aggregate(hashes, lit(0L),
+              md5(array_join(col("tk"), " ").cast("binary")).as("fp_md5"),
+              aggregate(transform(col("tk"), t => portableHash(t)), lit(0L),
                 (acc, h) => (acc * 31 + h) % 1000000007L).as("fp_roll"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_top_words"    -> wcTopWords _,
