@@ -72,4 +72,20 @@ object TextAnalytics {
     */
   def writeCounts(counts: DataFrame, outPath: String): Unit =
     toOutputLines(counts).coalesce(1).write.mode("overwrite").text(outPath)
+
+  /** Parse `"<word> <count>"` sink lines back into (word, count) —
+    * P3/P4 in SURVEY §2.2 (mapreduce/worker.go:240-258): empty lines
+    * skipped, malformed lines dropped (the reference logs a warning
+    * and continues; PERMISSIVE-style tolerance).
+    */
+  def readCounts(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(col("value"), "\\s+")
+    spark.read.text(path)
+      .filter(length(col("value")) > 0)
+      .select(element_at(parts, 1).as("word"),
+              // try_cast: malformed counts -> null -> dropped, instead
+              // of the ANSI cast error (worker.go:247-253 tolerance)
+              element_at(parts, 2).try_cast("long").as("count"))
+      .filter(col("count").isNotNull)
+  }
 }
