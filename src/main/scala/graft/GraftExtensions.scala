@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, TokenizeWords}
+
+/** SQL-surface registration for the engine's custom Catalyst
+  * expressions, so `spark.sql("SELECT tokenize_words(text) ...")`
+  * works the same as the Column API.
+  *
+  * Two entry points:
+  *  - `withExtensions(new GraftExtensions)` at session build time
+  *    (the SparkSessionExtensions path);
+  *  - [[GraftExtensions.register]] to add the functions to an
+  *    already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("tokenize_words",
+      info("tokenize_words", "tokenize_words(str) - maximal runs of Unicode letters"),
+      (es: Seq[Expression]) => TokenizeWords(es.head)),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+  )
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -72,7 +72,8 @@ object CrossEngine {
 
   /** Tokens of a text column as array<string>, empties removed
     * (split on runs of non-letters — wc/wc.go:28 semantics).
+    * Codegen'd single-pass walk; differential-tested against the
+    * regex form `filter(split(c, "[^\\p{L}]+"), length > 0)`.
     */
-  def tokens(c: Column): Column =
-    filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
+  def tokens(c: Column): Column = TokenizeWords.tokenize_words(c)
 }

@@ -130,10 +130,67 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  private val CentroidEvery = 50
+  private val NProbe = 2
+
+  /** IVF index build: deterministic coarse centroids (every 50th
+    * vector — the sampling stand-in for k-means), each vector assigned
+    * to its nearest centroid. Centroids broadcast; one codegen'd pass
+    * over the corpus. Build cost N x C with C ~ sqrt(N) at scale.
+    */
+  def ivfLists(s: SparkSession, d: String): DataFrame =
+    ivfAssignment(s, d)
+      .select(col("vec_id"), col("cid"),
+              pround(col("ccos"), 4).as("centroid_cos"))
+      .orderBy(col("vec_id"))
+
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(pround(col("ccos"), 6).desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("ccos"))
+  }
+
+  /** IVF search: probe the nprobe nearest centroid lists only. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssignment(s, d)
+    val e = vectors(s, d)
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val probes = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("pcos"), 6).desc, col("cid"))
+    val probeLists = broadcast(probes).crossJoin(broadcast(cents))
+      .withColumn("pcos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    probeLists.join(assign.select(col("vec_id").as("neighbor_id"),
+                                  col("v"), col("nrm"), col("cid")), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,
     "ann_lsh"       -> annLsh _,
+    "ann_ivf_lists" -> ivfLists _,
+    "ann_ivf"       -> annIvf _,
     "sim_near_dup"  -> embedNearDup _,
   )
 
@@ -147,6 +204,18 @@ object Similarity {
 
   private val vecCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  private val ivfCte =
+    s"""$vecCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |assign AS (
+       |  SELECT vec_id, v, cid, ccos FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      list_cosine_similarity(e.v, c.cv) AS ccos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS crnk
+       |    FROM e, cents c) t
+       |  WHERE crnk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -175,6 +244,29 @@ object Similarity {
          |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
          |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |      WHERE q.vec_id < $ProbeCount) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_lists" ->
+      s"""WITH $ivfCte
+         |SELECT vec_id, cid, pround(ccos, 4) AS centroid_cos
+         |FROM assign
+         |ORDER BY vec_id""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $ivfCte,
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |plists AS (SELECT query_id, qv, cid FROM (
+         |    SELECT p.query_id, p.qv, c.cid,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM probes p, cents c) t
+         |  WHERE prnk <= $NProbe)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT pl.query_id, a.vec_id AS neighbor_id,
+         |    pround(list_cosine_similarity(pl.qv, a.v), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY pl.query_id
+         |      ORDER BY pround(list_cosine_similarity(pl.qv, a.v), 6) DESC, a.vec_id) AS rank
+         |  FROM plists pl
+         |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_near_dup" ->

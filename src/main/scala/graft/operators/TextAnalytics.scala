@@ -38,12 +38,13 @@ object TextAnalytics {
 
   /** Tokenize a text column into one row per token (P1 in SURVEY §2.2).
     *
-    * split+explode+filter stays entirely inside whole-stage codegen;
-    * no UDF, no Scala closure on the hot path.
+    * Codegen'd single-pass tokenizer (graft.functions.TokenizeWords) —
+    * no UDF, no per-row regex state on the hot path; semantics
+    * differential-tested against `split` on [[SeparatorRegex]].
     */
   def tokenize(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.select(explode(split(col(textCol), SeparatorRegex)).as("word"))
-      .filter(length(col("word")) > 0)
+    df.select(explode(graft.functions.TokenizeWords.tokenize_words(col(textCol)))
+      .as("word"))
 
   /** word -> count over a corpus DataFrame (A1-A5). */
   def wordCount(df: DataFrame, textCol: String = "text"): DataFrame =

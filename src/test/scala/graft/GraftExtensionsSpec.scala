@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration path for the custom expressions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("custom expressions are callable from SQL after register()") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT tokenize_words('don''t stop-me 123 ϰητος') AS toks,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |""".stripMargin)
+      .as[(Seq[String], Double)].head()
+    assert(row._1 == Seq("don", "t", "stop", "me", "ϰητος"))
+    assert(row._2 == 11.0)
+  }
+
+  test("a fresh session built withExtensions gets the functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // NOTE: if an earlier session exists, getOrCreate reuses it and the
+    // extension may be a no-op there — register() covers that path.
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT size(tokenize_words('a b')) AS n")
+      .collect().head.getInt(0) == 2)
+  }
+}
