@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over a stream — the streaming twin
+  * of the batch q11/q12 queries (SURVEY §2.7: windows are absent in
+  * the reference; exposed via built-in `window()` for the events
+  * table per the north-star extension).
+  */
+object EventAnalytics {
+
+  /** Tumbling-window counts+sums per event type with a watermark:
+    * late rows beyond `lateness` are dropped, state is bounded, and
+    * the aggregation distributes by (window, event_type).
+    */
+  def windowedStats(stream: DataFrame,
+                    windowLength: String = "1 hour",
+                    lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Batch twin over the same input — used by the spec to prove the
+    * streaming result equals the batch result on identical data.
+    */
+  def windowedStatsBatch(df: DataFrame,
+                         windowLength: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+}
