@@ -232,7 +232,85 @@ object Relational {
       .orderBy(col("gap_start"))
   }
 
+  /** JSON column processing: extract a typed field from the props
+    * JSON string, aggregate per event type.
+    */
+  def q15JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           pround(avg(col("k")), 2).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** CUBE over region x market segment (full grouping-set lattice). */
+  def q17Cube(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           pround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+              col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("segment"))
+  }
+
+  /** Correlated-subquery shape, decorrelated: customers spending more
+    * than twice their nation's average customer spend.
+    *
+    * Money is integerized to thousandths before summing: double sums
+    * are order-dependent (and DuckDB compensates, Spark doesn't), so
+    * a rounded float sum can straddle a rounding boundary between
+    * engines. Integer-valued sums below 2^53 are EXACT in any order.
+    */
+  def q18BigSpenders(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)"))
+             .as("spend_milli"))
+    val c = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+    c.withColumn("nation_avg_milli", avg(col("spend_milli")).over(w))
+      .filter(col("spend_milli") > col("nation_avg_milli") * 2)
+      .select(col("c_custkey"), col("n_name"),
+              pround(col("spend_milli") / 1000.0, 2).as("spend"),
+              pround(col("nation_avg_milli") / 1000.0, 2).as("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Exact percentiles per group (linear interpolation). */
+  def q19Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(pround(expr("percentile(value, 0.5)"), 2).as("p50"),
+           pround(expr("percentile(value, 0.9)"), 2).as("p90"),
+           pround(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Approximate sketches (HLL distinct, t-digest-style quantile) —
+    * no cross-engine oracle (algorithms differ by engine); the driver
+    * records a rows-only check. At 100 TB these replace their exact
+    * twins (q13, q19) wherever small error is acceptable.
+    */
+  def statsApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           pround(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_p50"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_json_extract"  -> q15JsonExtract _,
+    "q17_cube"          -> q17Cube _,
+    "q18_big_spenders"  -> q18BigSpenders _,
+    "q19_percentiles"   -> q19Percentiles _,
+    "stats_approx"      -> statsApprox _,
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_revenue_by_nation" -> q2RevenueByNation _,
     "q3_top_orders"        -> q3TopOrders _,
@@ -251,6 +329,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  pround(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q17_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*) AS n_customers,
+        |  pround(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin,
+    "q18_big_spenders" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)) AS spend_milli
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, n_name,
+        |  pround(spend_milli / 1000.0, 2) AS spend,
+        |  pround(nation_avg_milli / 1000.0, 2) AS nation_avg
+        |FROM (SELECT c_custkey, n_name, spend_milli,
+        |        avg(spend_milli) OVER (PARTITION BY n_name) AS nation_avg_milli
+        |      FROM customer
+        |      JOIN spend ON c_custkey = o_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE spend_milli > nation_avg_milli * 2
+        |ORDER BY c_custkey""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT event_type,
+        |  pround(quantile_cont(value, 0.5), 2) AS p50,
+        |  pround(quantile_cont(value, 0.9), 2) AS p90,
+        |  pround(quantile_cont(value, 0.99), 2) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  pround(sum(l_quantity), 2) AS sum_qty,

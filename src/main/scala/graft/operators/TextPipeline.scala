@@ -106,7 +106,33 @@ object TextPipeline {
                 (acc, h) => (acc * 31 + h) % 1000000007L).as("fp_roll"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF: top-5 highest-weighted terms per document (probe slice
+    * doc_id < 20; document frequencies computed over the FULL corpus).
+    * idf = ln(N / df); ranking on pround(tfidf, 6) with term tiebreak
+    * keeps ordering engine-stable (ln differs by <=1 ulp across
+    * libms; pround absorbs it).
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tokd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val tf = tokd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tokd.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).count()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(pround(col("tfidf"), 6).desc, col("word"))
+    tf.filter(col("doc_id") < 20)
+      .join(df, "word")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("word"),
+              col("tf"), col("df"), pround(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
     "txt_token_stats" -> tokenStats _,
     "txt_quality"     -> quality _,
@@ -118,6 +144,25 @@ object TextPipeline {
     s"list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "txt_tfidf" ->
+      """WITH tok AS (SELECT doc_id, word
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents) u
+        |  WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, word FROM tok) x GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, rnk, word, tf, df, pround(tfidf, 4) AS tfidf
+        |FROM (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY pround(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC,
+        |                   tf.word) AS rnk
+        |      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |      WHERE tf.doc_id < 20) t
+        |WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
     "wc_top_words" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
