@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, TokenizeWords}
+import graft.functions.{CountTokens, DotProduct, FuseTokenCount, TokenizeWords}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, so `spark.sql("SELECT tokenize_words(text) ...")`
@@ -16,10 +16,12 @@ import graft.functions.{DotProduct, TokenizeWords}
   *    already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => FuseTokenCount)
+  }
 }
 
 object GraftExtensions {
@@ -34,12 +36,21 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("count_tokens",
+      info("count_tokens", "count_tokens(str) - number of letter-run tokens"),
+      (es: Seq[Expression]) => CountTokens(es.head)),
   )
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session: functions plus the fusion
+    * rule (via the experimental extra-optimizations hook).
+    */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(FuseTokenCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseTokenCount
+  }
 }

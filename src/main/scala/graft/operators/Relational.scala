@@ -305,7 +305,28 @@ object Relational {
            pround(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_p50"))
       .orderBy(col("event_type"))
 
+  /** As-of join, composed from built-ins (preference order (a) of the
+    * extension ladder): each purchase matched to the user's most
+    * recent STRICTLY PRIOR click — `last(..., ignoreNulls)` over a
+    * per-user ordered frame ending at 1 PRECEDING. No custom plan
+    * needed; state is per-user and distributes on the partition key.
+    */
+  def q20AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("asof_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+             ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("asof_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_asof_join"     -> q20AsofJoin _,
     "q15_json_extract"  -> q15JsonExtract _,
     "q17_cube"          -> q17Cube _,
     "q18_big_spenders"  -> q18BigSpenders _,
@@ -329,6 +350,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, asof_click_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_id
+        |      FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "q15_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

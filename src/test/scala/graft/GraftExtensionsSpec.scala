@@ -18,6 +18,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row._2 == 11.0)
   }
 
+  test("FuseTokenCount rewrites size(tokenize_words(x)) to count_tokens") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TokenizeWords.tokenize_words
+    val df = spark.range(3)
+      .select(concat(lit("a b c"), col("id")).as("text"))
+      .select(size(tokenize_words(col("text"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("counttokens"), optimized)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 3, 3))
+    // and the unfused + fused forms agree on real data
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.select(size(graft.functions.CrossEngine.tokens(col("text"))).as("n"))
+    val b = docs.selectExpr("count_tokens(text) AS n")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("a fresh session built withExtensions gets the functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
