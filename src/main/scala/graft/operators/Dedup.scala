@@ -209,7 +209,36 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val DropThreshold = 0.8
+
+  /** The full near-dup dedup pipeline, end to end:
+    * shingle → minhash → LSH bands → candidate pairs → EXACT Jaccard
+    * verification (computed only for candidates — the quadratic space
+    * is never touched) → greedy drop list (keep the lowest doc_id of
+    * each verified pair). This is the query a pretraining pipeline
+    * actually runs; the corpus contains planted near-dups at
+    * J ≈ 0.99 that LSH surfaces.
+    */
+  def dropList(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ngn = shingles(s, d).withColumn("n", count(lit(1)).over(wn))
+    val aSide = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
+    val bSide = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
+    val verified = pairs
+      .join(aSide, "doc_a")
+      .join(bSide, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= DropThreshold)
+    verified.groupBy(col("doc_b").as("drop_id"))
+      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("drop_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_drop_list"     -> dropList _,
     "dedup_exact"         -> exact _,
     "dedup_minhash_sig"   -> minhashSignature _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -253,6 +282,29 @@ object Dedup {
        |       FROM hb GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_drop_list" ->
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
+         |  FROM pairs p
+         |  JOIN ng x ON x.doc_id = p.doc_a
+         |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
+         |  JOIN sizes na ON na.doc_id = p.doc_a
+         |  JOIN sizes nb ON nb.doc_id = p.doc_b
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_b AS drop_id, min(doc_a) AS kept_id,
+         |  max(pround(c / (na + nb - c), 4)) AS max_jaccard
+         |FROM verified
+         |WHERE pround(c / (na + nb - c), 4) >= $DropThreshold
+         |GROUP BY doc_b
+         |ORDER BY drop_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents
