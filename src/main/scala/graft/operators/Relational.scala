@@ -325,7 +325,43 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Array aggregation: sorted distinct collections per group. */
+  def q21Arrays(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Pivot (wide counts per event type by month) — Spark's pivot()
+    * with an explicit value list; the oracle mirrors with conditional
+    * aggregation, the engine-portable form of the same plan.
+    */
+  def q22Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("month", date_trunc("month", col("ts")).cast("date"))
+      .groupBy(col("month"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("month"))
+
+  /** Calendar features: ISO weekday x hour activity matrix (weekday()
+    * is Monday=0 in Spark, isodow Monday=1 in DuckDB — aligned by +1).
+    */
+  def q23Calendar(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((weekday(col("ts")) + 1).as("isodow"),
+               hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n_events"),
+           pround(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("isodow"), col("hh"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_arrays"        -> q21Arrays _,
+    "q22_pivot"         -> q22Pivot _,
+    "q23_calendar"      -> q23Calendar _,
     "q20_asof_join"     -> q20AsofJoin _,
     "q15_json_extract"  -> q15JsonExtract _,
     "q17_cube"          -> q17Cube _,
@@ -350,6 +386,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_arrays" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        |  count(*) AS n_events
+        |FROM events
+        |WHERE user_id < 10
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q22_pivot" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "q23_calendar" ->
+      """SELECT CAST(date_part('isodow', ts) AS INT) AS isodow,
+        |  CAST(date_part('hour', ts) AS INT) AS hh,
+        |  count(*) AS n_events, pround(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY isodow, hh""".stripMargin,
     "q20_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, asof_click_id
         |FROM (SELECT event_id, user_id, event_type,

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** ANN quality: recall of the indexed paths against the exact
+  * brute-force top-3. The synthetic embeddings are near-isotropic
+  * (max pairwise cosine ~0.51), the hard case for ANN — recall
+  * numbers are recorded in SCALE.md; here we assert the structural
+  * floor: indexes return results and beat random-bucket recall.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.01"
+
+  private def topSets(df: org.apache.spark.sql.DataFrame,
+                      maxRank: Int): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    df.filter($"rank" <= maxRank)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("IVF and LSH recall vs exact top-3") {
+    val brute = topSets(Similarity.annBrute(spark, sf), 3)
+    val total = brute.values.map(_.size).sum.toDouble
+    for ((name, df, floor) <- Seq(
+        ("ivf", Similarity.annIvf(spark, sf), 0.3),
+        ("lsh", Similarity.annLsh(spark, sf), 0.05))) {
+      val got = topSets(df, 3)
+      val hits = brute.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum
+      val recall = hits / total
+      info(f"$name recall@3 = $recall%.3f")
+      assert(recall >= floor, s"$name recall $recall below floor $floor")
+    }
+  }
+}
