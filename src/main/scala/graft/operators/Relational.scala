@@ -358,7 +358,45 @@ object Relational {
            pround(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("isodow"), col("hh"))
 
+  /** GROUPING SETS (the general form underlying rollup/cube). */
+  def q24GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+                    col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           pround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+              coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+              col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** The SQL front-end surface: the same engine driven entirely via
+    * `spark.sql` over registered views (CTE + window + join), proving
+    * a SQL user needs no DataFrame code.
+    */
+  def q25SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)) AS rev_milli
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, rnk, c_custkey,
+        |  floor(CAST(rev_milli AS DOUBLE) / 10.0 + 0.5) / 100 AS revenue
+        |FROM (SELECT n_name, c_custkey, rev_milli,
+        |        row_number() OVER (PARTITION BY n_name
+        |          ORDER BY rev_milli DESC, c_custkey) AS rnk
+        |      FROM cust_rev
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_grouping_sets" -> q24GroupingSets _,
+    "q25_sql_surface"   -> q25SqlSurface _,
     "q21_arrays"        -> q21Arrays _,
     "q22_pivot"         -> q22Pivot _,
     "q23_calendar"      -> q23Calendar _,
@@ -386,6 +424,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*) AS n_customers,
+        |  pround(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment""".stripMargin,
+    "q25_sql_surface" ->
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)) AS rev_milli
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, rnk, c_custkey,
+        |  floor(CAST(rev_milli AS DOUBLE) / 10.0 + 0.5) / 100 AS revenue
+        |FROM (SELECT n_name, c_custkey, rev_milli,
+        |        row_number() OVER (PARTITION BY n_name
+        |          ORDER BY rev_milli DESC, c_custkey) AS rnk
+        |      FROM cust_rev
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
     "q21_arrays" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
         |  count(*) AS n_events

@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every test table as a temp view so the engine's SQL
+    * surface (`spark.sql`) works against them by name.
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

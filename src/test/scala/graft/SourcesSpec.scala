@@ -33,6 +33,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(o.except(back).isEmpty && back.except(o).isEmpty)
   }
 
+  test("parquet round-trips under zstd and snappy compression") {
+    val li = Tables.lineitem(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("codec").toString
+    for (codec <- Seq("zstd", "snappy")) {
+      li.write.mode("overwrite").option("compression", codec)
+        .parquet(s"$dir/$codec")
+      val back = spark.read.parquet(s"$dir/$codec")
+      assert(li.except(back).isEmpty && back.except(li).isEmpty, codec)
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val o = Tables.orders(spark, sf)
       .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
