@@ -394,7 +394,24 @@ object Relational {
         |ORDER BY n_name, rnk""".stripMargin)
   }
 
+  /** Part/supplier coverage: revenue by part brand and supplier
+    * nation (three-way fact-dim-dim star with two broadcast dims).
+    */
+  def q26PartsSupply(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+           pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           pround(avg(col("p_retailprice")), 2).as("avg_retail"))
+      .orderBy(col("p_brand"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_parts_supply"  -> q26PartsSupply _,
     "q24_grouping_sets" -> q24GroupingSets _,
     "q25_sql_surface"   -> q25SqlSurface _,
     "q21_arrays"        -> q21Arrays _,
@@ -424,6 +441,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_parts_supply" ->
+      """SELECT p_brand, n_name, count(*) AS n_items,
+        |  pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  pround(avg(p_retailprice), 2) AS avg_retail
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name
+        |ORDER BY p_brand, n_name""".stripMargin,
     "q24_grouping_sets" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |  coalesce(c_mktsegment, 'ALL') AS segment,
