@@ -81,6 +81,18 @@ object ReplicatedLog {
       .orderBy(col("id"))
   }
 
+  /** Render the sink table in the reference's checkpoint format —
+    * one JSON object mapping id -> line (`<nodeid>-replication.json`,
+    * replication.go:463-494) — for interop with reference tooling.
+    */
+  def checkpointJson(sink: DataFrame): String = {
+    import org.apache.spark.sql.functions.{col, collect_list, map_from_arrays, to_json}
+    sink.select(col("id").cast("string").as("k"), col("value").as("v"))
+      .orderBy(col("id").cast("long"))
+      .agg(to_json(map_from_arrays(collect_list(col("k")), collect_list(col("v")))))
+      .head().getString(0)
+  }
+
   /** Replay a completed result table as a rate-limited stream (W1):
     * the leader's 2 s broadcast of `mr-out-final` lines, one file per
     * trigger. `linesDir` must contain the text lines; ids are assigned

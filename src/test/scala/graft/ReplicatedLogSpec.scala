@@ -72,6 +72,13 @@ class ReplicatedLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointJson renders the reference's id->line map format (S8)") {
+    import spark.implicits._
+    val sink = Seq((1L, "a 1"), (2L, "b 2")).toDF("id", "value")
+    val json = ReplicatedLog.checkpointJson(sink)
+    assert(json == """{"1":"a 1","2":"b 2"}""")
+  }
+
   test("checkpointed sink resumes without loss or dupes (W5/W7)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
