@@ -185,6 +185,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Lloyd's k-means for IVF centroids, DataFrame-native: assignment
+    * is a broadcast argmin pass, the update step recomputes element-
+    * wise means via posexplode → (cid, dim) average → array rebuild.
+    * Deterministic: init = the sampled centroids, fixed iteration
+    * count, squared-Euclidean objective (monotone under Lloyd).
+    * Swapping these trained centroids into [[annIvf]] changes no plan
+    * shape — proven in AnnRecallSpec.
+    */
+  def trainIvfCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val e = vectors(s, d).select(col("vec_id"), col("v"))
+    var cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(e, cents)
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
+    }
+    cents
+  }
+
+  /** Nearest centroid per vector by squared Euclidean distance. */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = expr(
+      "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("d2"))
+  }
+
+  /** Sum of squared distances to assigned centroids (k-means loss). */
+  def ivfInertia(s: SparkSession, d: String, cents: DataFrame): Double = {
+    val e = vectors(s, d).select(col("vec_id"), col("v"))
+    assignToCentroids(e, cents).agg(sum(col("d2"))).head().getDouble(0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,

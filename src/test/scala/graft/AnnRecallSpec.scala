@@ -21,6 +21,17 @@ class AnnRecallSpec extends AnyFunSuite {
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
+  test("k-means training monotonically reduces IVF inertia") {
+    val init = Similarity.trainIvfCentroids(spark, sf, iters = 0)
+    val i0 = Similarity.ivfInertia(spark, sf, init)
+    val t1 = Similarity.trainIvfCentroids(spark, sf, iters = 1)
+    val i1 = Similarity.ivfInertia(spark, sf, t1)
+    val t3 = Similarity.trainIvfCentroids(spark, sf, iters = 3)
+    val i3 = Similarity.ivfInertia(spark, sf, t3)
+    info(f"inertia: init=$i0%.2f iter1=$i1%.2f iter3=$i3%.2f")
+    assert(i1 <= i0 && i3 <= i1)
+  }
+
   test("IVF and LSH recall vs exact top-3") {
     val brute = topSets(Similarity.annBrute(spark, sf), 3)
     val total = brute.values.map(_.size).sum.toDouble
