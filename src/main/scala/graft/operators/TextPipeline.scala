@@ -131,7 +131,26 @@ object TextPipeline {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style: contractions,
+    * letter runs, digit runs, punctuation runs, whitespace) — the
+    * token-count approximation a data pipeline uses for budgeting.
+    */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token budgeting three ways: whitespace tokens, BPE-ish pieces,
+    * and Unicode letter-run tokens (count_tokens, array-free).
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_pieces"),
+        graft.functions.ColumnShims.countTokens(col("text")).as("n_letter_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_token_counts" -> tokenCounts _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
     "txt_token_stats" -> tokenStats _,
@@ -144,6 +163,13 @@ object TextPipeline {
     s"list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "txt_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_pieces,
+        |  len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS n_letter_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "txt_tfidf" ->
       """WITH tok AS (SELECT doc_id, word
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
