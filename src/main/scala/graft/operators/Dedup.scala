@@ -278,7 +278,7 @@ object Dedup {
        |       FROM tf, range(0, $SimhashBits) r(b)
        |       GROUP BY doc_id, b),
        |sh AS (SELECT doc_id,
-       |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |       FROM hb GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -293,16 +293,26 @@ object Relational {
            pround(expr("percentile(value, 0.99)"), 2).as("p99"))
       .orderBy(col("event_type"))
 
-  /** Approximate sketches (HLL distinct, t-digest-style quantile) —
-    * no cross-engine oracle (algorithms differ by engine); the driver
-    * records a rows-only check. At 100 TB these replace their exact
-    * twins (q13, q19) wherever small error is acceptable.
+  /** Approximate sketches (HLL distinct, t-digest-style quantile).
+    * Sketch values differ per engine, so the oracle contract is a
+    * tolerance bound: each engine checks ITS OWN sketch against its
+    * own exact aggregate; the exported columns (exact value + the
+    * within-tolerance booleans) are cross-engine deterministic. At
+    * 100 TB the sketches replace their exact twins (q13, q19)
+    * wherever small error is acceptable.
     */
   def statsApprox(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-           pround(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_p50"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           approx_count_distinct(col("user_id")).as("au"),
+           expr("percentile(value, CAST(0.5 AS DOUBLE))").as("ep50"),
+           expr("approx_percentile(value, CAST(0.5 AS DOUBLE), 10000)").as("ap50"))
+      .select(col("event_type"), col("n_users"),
+              (abs(col("au") - col("n_users")) <=
+                 col("n_users") * lit(0.1) + lit(2.0)).as("hll_ok"),
+              (abs(col("ap50") - col("ep50")) <=
+                 abs(col("ep50")) * lit(0.1) + lit(1.0)).as("p50_ok"))
       .orderBy(col("event_type"))
 
   /** As-of join, composed from built-ins (preference order (a) of the
@@ -325,12 +335,16 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
-  /** Array aggregation: sorted distinct collections per group. */
+  /** Array aggregation: sorted distinct collections per group. The
+    * collection is serialized with array_join for the oracle dump —
+    * the driver's comparator sorts rows via pandas, which cannot
+    * order array cells.
+    */
   def q21Arrays(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .filter(col("user_id") < 10)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
            count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -475,7 +489,7 @@ object Relational {
         |WHERE rnk <= 3
         |ORDER BY n_name, rnk""".stripMargin,
     "q21_arrays" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |  count(*) AS n_events
         |FROM events
         |WHERE user_id < 10
@@ -483,11 +497,11 @@ object Relational {
         |ORDER BY user_id""".stripMargin,
     "q22_pivot" ->
       """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
@@ -510,7 +524,7 @@ object Relational {
     "q15_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  pround(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
         |FROM events
         |GROUP BY event_type
@@ -539,6 +553,15 @@ object Relational {
         |      JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE spend_milli > nation_avg_milli * 2
         |ORDER BY c_custkey""".stripMargin,
+    "stats_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  abs(CAST(approx_count_distinct(user_id) AS DOUBLE) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.1 + 2.0 AS hll_ok,
+        |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |    <= abs(quantile_cont(value, 0.5)) * 0.1 + 1.0 AS p50_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q19_percentiles" ->
       """SELECT event_type,
         |  pround(quantile_cont(value, 0.5), 2) AS p50,
@@ -644,7 +667,7 @@ object Relational {
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
     "q12_user_sessions" ->
-      """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+      """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
         |FROM (SELECT user_id,
         |        CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
         |      FROM (SELECT user_id,

@@ -77,7 +77,8 @@ object TextPipeline {
     toks.groupBy(col("doc_id"))
       .agg(hits.head, hits.tail :+
         (min(length(col("text"))) -
-         min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))).as("zh_chars"): _*)
+         min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))))
+          .cast("long").as("zh_chars"): _*)
       .withColumn("lang_guess",
         when(col("zh_chars") > 0, "zh")
           .when(col("en_hits") === 0 && col("es_hits") === 0 &&
@@ -221,7 +222,7 @@ object TextPipeline {
       def hitsSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ", ", ")")
       s"""SELECT doc_id,
         |  ${markers.map { case (l, ws) =>
-             s"sum(CASE WHEN lower(word) IN ${hitsSql(ws)} THEN 1 ELSE 0 END) AS ${l}_hits"
+             s"CAST(sum(CASE WHEN lower(word) IN ${hitsSql(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_hits"
            }.mkString(",\n  ")},
         |  min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS zh_chars,
         |  CASE

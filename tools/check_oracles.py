@@ -10,6 +10,7 @@ Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
 import sys, json, glob, math
 import duckdb
 import pyarrow.parquet as pq
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -20,10 +21,43 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v  # full precision — the driver hashes exact values
     if isinstance(v, bool):
         return bool(v)
     return str(v) if not isinstance(v, (int,)) else v
+
+
+def dtype_class(dt):
+    s = str(dt)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "object"
+
+
+def dtype_report(name, sdf, ddf):
+    """The driver's hash is dtype-CLASS-sensitive (empirically, round 1):
+    int32 vs int64 and datetime64[ns] vs [us] hash equal, but DuckDB
+    HUGEINT sums surfacing as float64 against Spark int64 hash-mismatch.
+    Also array/list cells break the driver's pandas sort_values."""
+    import datetime as _dt
+    probs = []
+    for c in sorted(sdf.columns):
+        sc, dc = dtype_class(sdf[c].dtype), dtype_class(ddf[c].dtype)
+        # date32 parquet cells surface as datetime.date objects but the
+        # driver's read path normalizes them to datetimes (q14 passed r1)
+        if sc == "object" and len(sdf) and isinstance(sdf[c].iloc[0], _dt.date):
+            sc = "datetime"
+        if sc != dc:
+            probs.append(f"dtype class {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
+        if sc == "object" and len(sdf) and isinstance(sdf[c].iloc[0], (np.ndarray, list, dict)):
+            probs.append(f"unsortable cell type in {c}: {type(sdf[c].iloc[0]).__name__}")
+    return probs
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -48,6 +82,11 @@ def main(sf_dir, out_dir):
             duck_rows = [tuple(canon(r[i]) for i in idx) for r in duck.fetchall()]
             if cols != dcols:
                 print(f"FAIL {name}: columns spark={cols} duck={dcols}")
+                n_fail += 1
+                continue
+            probs = dtype_report(name, spark_tbl.to_pandas(), con.sql(sql).df())
+            if probs:
+                print(f"FAIL {name}: " + "; ".join(probs))
                 n_fail += 1
                 continue
             if spark_rows == duck_rows:
