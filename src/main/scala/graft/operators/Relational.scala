@@ -215,21 +215,15 @@ object Relational {
   /** Gap detection over an ID sequence — the reference's CheckAndDump
     * missing-range scan (replication.go:339-460) as gaps-and-islands.
     * Observed = event_ids seen on non-error events; emit [start,end]
-    * of every missing run. The global-order window is the operator's
-    * semantics; at scale this runs as repartitionByRange + per-range
-    * lag with boundary exchange (the sort itself is distributed; only
-    * the lag frame crosses partitions by one row).
+    * of every missing run. Runs as the distributed operator
+    * (ScaleOps.gapRanges): range-bucketed per-bucket lag plus a
+    * broadcast boundary carry — no single-partition window stage.
     */
   def replGaps(s: SparkSession, d: String): DataFrame = {
     val observed = Tables.events(s, d)
       .filter(col("event_type") =!= "error")
-      .select(col("event_id").as("id")).distinct()
-    val w = Window.orderBy(col("id"))
-    observed
-      .withColumn("prev", lag(col("id"), 1).over(w))
-      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
-      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
-      .orderBy(col("gap_start"))
+      .select(col("event_id").as("id"))
+    ScaleOps.gapRanges(observed, "id", None)
   }
 
   /** JSON column processing: extract a typed field from the props

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale physical-layout tooling: bucketing for co-located
@@ -23,6 +24,44 @@ object ScaleOps {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Distributed gaps-and-islands over an id sequence — the scalable
+    * form of `lag(id) OVER (ORDER BY id)`. A global-order window
+    * moves ALL rows to one partition (Spark warns exactly that); here
+    * ids are range-bucketed with `width_bucket`, lag runs per bucket
+    * (parallel, spillable), and the only cross-bucket state is one
+    * max per bucket, carried via a broadcast join of a <=`buckets`-row
+    * table. Same output as the global window, no single-partition
+    * stage — survives any id-sequence size.
+    *
+    * `startId`: when set, the sequence is expected to begin there and
+    * a leading hole [startId, first-1] is reported (the reference's
+    * replication scan starts at id 1, replication.go:345-406).
+    */
+  def gapRanges(observed: DataFrame, idCol: String = "id",
+                startId: Option[Long] = None, buckets: Int = 64): DataFrame = {
+    val obs = observed.select(col(idCol).cast("long").as("id")).distinct()
+    val mm = obs.agg(min(col("id")), max(col("id"))).head()
+    if (mm.isNullAt(0))
+      return obs.select(col("id").as("gap_start"), col("id").as("gap_end"))
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val nb = math.max(1L, math.min(buckets.toLong, mx - mn + 1)).toInt
+    val b = obs.withColumn("bucket",
+      width_bucket(col("id"), lit(mn), lit(mx) + 1, lit(nb)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val bmax = b.groupBy(col("bucket")).agg(max(col("id")).as("bmax"))
+    val carry = bmax.as("a")
+      .join(bmax.as("b"), col("b.bucket") < col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(max(col("b.bmax")).as("carry"))
+    b.withColumn("prev", lag(col("id"), 1).over(w))
+      .join(broadcast(carry), Seq("bucket"), "left")
+      .withColumn("prev", coalesce(col("prev"), col("carry"),
+        startId.map(s => lit(s - 1)).getOrElse(lit(null).cast("long"))))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+      .orderBy(col("gap_start"))
+  }
 
   /** Skew-safe equi-join: spread each hot key of `big` over `nSalts`
     * partitions by a random salt, replicate `small` across all salt

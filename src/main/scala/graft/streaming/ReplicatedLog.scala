@@ -52,21 +52,13 @@ object ReplicatedLog {
   /** W3: missing-range scan. Returns [gap_start, gap_end] for every
     * hole in the observed id sequence, starting from `startId`
     * (replication.go:345-406 scans memory + file for exactly these
-    * ranges). The global-order window is the semantics; the observed
-    * set is first shrunk to distinct ids, so the windowed row count is
-    * the number of LIVE ids, not input rows — at scale, run after
-    * range-partitioning on id (sort is distributed; only the one-row
-    * lag frame crosses boundaries).
+    * ranges). Runs as the distributed gaps-and-islands operator:
+    * range-bucketed per-bucket lag with a broadcast boundary carry —
+    * no single-partition window at any size (ScaleOps.gapRanges).
     */
   def gapRanges(observed: DataFrame, idCol: String = "id",
-                startId: Long = 1L): DataFrame = {
-    val w = Window.orderBy(col("id"))
-    observed.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("prev", coalesce(lag(col("id"), 1).over(w), lit(startId - 1)))
-      .filter(col("id") - col("prev") > 1)
-      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
-      .orderBy(col("gap_start"))
-  }
+                startId: Long = 1L): DataFrame =
+    graft.operators.ScaleOps.gapRanges(observed, idCol, Some(startId))
 
   /** W3 as an anti-join (the form SURVEY §2.7 documents): expected ids
     * `startId..maxId` minus observed. Equivalent to [[gapRanges]]

@@ -39,6 +39,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("distributed gapRanges equals the global-window form, with no single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    // deterministic gapped id set: multiples dropped + a few runs removed
+    val ids = spark.range(1, 20001).toDF("id")
+      .filter(col("id") % 97 =!= 0)
+      .filter(!col("id").between(5000, 5120) && !col("id").between(19990, 20000))
+      .union(spark.range(1, 50).toDF("id")) // duplicates must not matter
+    val got = ScaleOps.gapRanges(ids, "id", startId = Some(1L))
+    val w = Window.orderBy(col("id"))
+    val want = ids.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("prev", coalesce(lag(col("id"), 1).over(w), lit(0L)))
+      .filter(col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+    assert(got.collect().toSeq.sortBy(_.getLong(0)) ===
+           want.collect().toSeq.sortBy(_.getLong(0)))
+    val globalWindows = got.queryExecution.executedPlan.collect {
+      case we: WindowExec if we.partitionSpec.isEmpty => we
+    }
+    assert(globalWindows.isEmpty, "gap scan must not plan a global-order window")
+    // leading hole [1, first-1] is reported when startId is set
+    val lead = ScaleOps.gapRanges(spark.range(10, 15).toDF("id"), "id", Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lead.head === (1L, 9L))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
