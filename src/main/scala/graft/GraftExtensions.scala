@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => FuseTokenCount)
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -41,8 +43,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => CountTokens(es.head)),
   )
 
-  /** Register into an existing session: functions plus the fusion
-    * rule (via the experimental extra-optimizations hook).
+  /** Register into an existing session: functions plus the rewrite
+    * rules and planner strategy (experimental hooks).
     */
   def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, _, builder) =>
@@ -52,5 +54,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(FuseTokenCount))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseTokenCount
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRankFilterToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRankFilterToTopK
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
   }
 }

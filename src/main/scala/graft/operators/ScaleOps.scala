@@ -25,6 +25,33 @@ object ScaleOps {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Per-group top-k through the custom [[graft.plans.TopKPerGroup]]
+    * operator (logical node + strategy + exec injected by
+    * GraftExtensions): unlike the window row_number plan, a map-side
+    * partial phase caps shuffle volume at k rows per key per input
+    * partition. Appends a 1-based `rankName` column with exactly
+    * row_number() semantics.
+    *
+    * `orderBy` is (column, descending?) pairs; make it a total order
+    * per key (add a tiebreak id) for deterministic output.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 orderBy: Seq[(String, Boolean)], k: Int,
+                 rankName: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.IntegerType
+    val plan = ColumnBridge.analyzed(df)
+    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    val order = orderBy.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending) }
+    val rank = AttributeReference(rankName, IntegerType, nullable = false)()
+    ColumnBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroup(keys.map(attr), order, k, rank, plan))
+  }
+
   /** Distributed gaps-and-islands over an id sequence — the scalable
     * form of `lag(id) OVER (ORDER BY id)`. A global-order window
     * moves ALL rows to one partition (Spark warns exactly that); here
