@@ -43,6 +43,53 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("text_md5"))
       .orderBy(col("keep_id"))
 
+  /** Normalized ("fuzzy-exact") dedup: case-fold, collapse every
+    * non-alphanumeric run to one space, trim — then group like
+    * [[exact]]. Catches the near-copies that differ only in casing /
+    * punctuation / whitespace, at exactly the cost of exact dedup
+    * (16-byte md5 shuffle keys; documents never shuffle).
+    */
+  def normalized(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^\\p{L}\\p{N}]+", " "))
+    Tables.documents(s, d)
+      .groupBy(md5(norm.cast("binary")).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("norm_md5"))
+      .orderBy(col("keep_id"))
+  }
+
+  // At sf0.01 the shingle document-frequency tail tops out at 7, so
+  // the cap is set where it actually prunes; production corpora use a
+  // much higher absolute cap (or a df/N fraction), same plan shape.
+  private val DfCap = 5
+
+  /** DF-capped n-gram Jaccard — the scale knob called out in SCALE.md:
+    * shingles appearing in more than `DfCap` documents are dropped
+    * before the inverted-index join. Non-discriminative shingles are
+    * exactly the ones that explode the candidate pair space (a shingle
+    * shared by m docs contributes m(m-1)/2 joined rows), so the cap
+    * bounds join fan-out at DfCap²/2 per shingle while barely moving
+    * the scores of true near-dups. Jaccard here is over the CAPPED
+    * shingle sets (self-consistent sizes).
+    */
+  def ngramJaccardCapped(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val keep = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("g"))
+    val capped = sh.join(keep, "g")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ngn = capped.withColumn("n", count(lit(1)).over(wn))
+    val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
+    val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
+    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Distinct word-3-gram shingles per document: (doc_id, g).
     *
     * The token array is materialized in its own projection BEFORE the
@@ -240,6 +287,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_drop_list"     -> dropList _,
     "dedup_exact"         -> exact _,
+    "dedup_norm"          -> normalized _,
+    "dedup_ngram_capped"  -> ngramJaccardCapped _,
     "dedup_minhash_sig"   -> minhashSignature _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
@@ -310,6 +359,29 @@ object Dedup {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_id""".stripMargin,
+    "dedup_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))) AS norm_md5
+        |FROM documents
+        |GROUP BY 3
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_capped" ->
+      s"""WITH $ngCte,
+         |keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM ng GROUP BY g) t
+         |         WHERE df <= $DfCap),
+         |capped AS (SELECT ng.doc_id, ng.g FROM ng JOIN keep ON ng.g = keep.g),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM capped a JOIN capped b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  pround(c / (na.n + nb.n - c), 4) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE pround(c / (na.n + nb.n - c), 4) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $mhCte
          |SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY i) AS minhash_sig

@@ -150,7 +150,33 @@ object TextPipeline {
         graft.functions.ColumnShims.countTokens(col("text")).as("n_letter_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Scrubbing pass of a pretraining pipeline: redact URLs/emails and
+    * strip stopwords, with counts of what was removed and a
+    * fingerprint of the scrubbed text. The synthetic corpus carries
+    * no URLs/emails (counters structurally exercised, zero-valued);
+    * the stopword strip does real work. One narrow map-side pass —
+    * scrubbing never shuffles.
+    */
+  def scrub(s: SparkSession, d: String): DataFrame = {
+    val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val scrubbed = trim(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(lower(col("text")),
+        "https?://\\S+", " "), "[a-z0-9._%+-]+@[a-z0-9.-]+", " "),
+      stopPat, " "), "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("https?://\\S+"), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(lower(col("text")), lit(stopPat), lit(0)))
+          .cast("long").as("n_stopwords"),
+        md5(scrubbed.cast("binary")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
@@ -164,6 +190,18 @@ object TextPipeline {
     s"list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "txt_scrub" -> {
+      val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) AS n_stopwords,
+         |  md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |    'https?://\\S+', ' ', 'g'), '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+         |    '$stopPat', ' ', 'g'), '\\s+', ' ', 'g'))) AS scrub_md5
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
     "txt_token_counts" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,
