@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CountTokens, DotProduct, FuseTokenCount, TokenizeWords}
+import graft.functions.{CountTokens, DotProduct, FuseTokenCount, NormalizeText, TokenizeWords}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, so `spark.sql("SELECT tokenize_words(text) ...")`
@@ -41,6 +41,10 @@ object GraftExtensions {
     ("count_tokens",
       info("count_tokens", "count_tokens(str) - number of letter-run tokens"),
       (es: Seq[Expression]) => CountTokens(es.head)),
+    ("normalize_text",
+      info("normalize_text",
+        "normalize_text(str) - casefold, keep alphanumerics, collapse separators"),
+      (es: Seq[Expression]) => NormalizeText(es.head)),
   )
 
   /** Register into an existing session: functions plus the rewrite

@@ -50,7 +50,7 @@ object Dedup {
     * (16-byte md5 shuffle keys; documents never shuffle).
     */
   def normalized(s: SparkSession, d: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^\\p{L}\\p{N}]+", " "))
+    val norm = graft.functions.NormalizeText.normalize_text(col("text"))
     Tables.documents(s, d)
       .groupBy(md5(norm.cast("binary")).as("norm_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
