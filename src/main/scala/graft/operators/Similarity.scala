@@ -130,6 +130,48 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Symmetric int8 quantization + search — the embedding-compression
+    * path of a 100 TB pipeline (4x smaller vectors, SIMD-friendly
+    * integer dot products; here the arithmetic story is what's
+    * modeled). Each vector gets a per-vector scale 127/max|x|;
+    * quantized code q_i = floor(x_i * scale + 0.5) (portable
+    * rounding). The quantized cosine reconstructs from integer dot
+    * products — exact in double for any summation order (|q|<=127, so
+    * a 64-dim product sum < 2^21), which makes the value
+    * cross-engine-deterministic where a float dot product would not
+    * be. Output: top-3 per probe by quantized cosine, with the exact
+    * cosine alongside and a <=0.05 quantization-error bound flag.
+    */
+  def quantizedSearch(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), abs(_))))
+      // floor() yields LongType — cast back so the codegen'd dot
+      // product (array<double>-only) applies; values stay integral
+      .withColumn("q",
+        transform(col("v"), x => floor(x * col("scale") + 0.5).cast("double")))
+      .withColumn("qnorm", sqrt(dot(col("q"), col("q"))) / col("scale"))
+    val probes = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("q").as("pq"),
+              col("scale").as("pscale"), col("qnorm").as("pqnorm"),
+              col("v").as("pv"), col("nrm").as("pnrm"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("q"), col("scale"),
+                         col("qnorm"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("qcos"), 6).desc, col("neighbor_id"))
+    broadcast(probes).join(cands, col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        dot(col("pq"), col("q")) / (col("pscale") * col("scale"))
+          / (col("pqnorm") * col("qnorm")))
+      .withColumn("cos", dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              pround(col("qcos"), 4).as("qcos_sim"),
+              pround(col("cos"), 4).as("cos_sim"),
+              (abs(col("qcos") - col("cos")) <= 0.05).as("err_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val CentroidEvery = 50
   private val NProbe = 2
 
@@ -235,6 +277,7 @@ object Similarity {
     "ann_ivf_lists" -> ivfLists _,
     "ann_ivf"       -> annIvf _,
     "sim_near_dup"  -> embedNearDup _,
+    "sim_quantized" -> quantizedSearch _,
   )
 
   private def signSql(p: Int): String =
@@ -310,6 +353,34 @@ object Similarity {
          |      ORDER BY pround(list_cosine_similarity(pl.qv, a.v), 6) DESC, a.vec_id) AS rank
          |  FROM plists pl
          |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_quantized" ->
+      s"""WITH $vecCte,
+         |qv AS (SELECT vec_id, v,
+         |         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+         |       FROM e),
+         |qq AS (SELECT vec_id, v, scale,
+         |         list_transform(v, x -> floor(x * scale + 0.5)) AS q
+         |       FROM qv),
+         |qn AS (SELECT vec_id, v, scale, q,
+         |         sqrt(list_dot_product(q, q)) / scale AS qnorm,
+         |         sqrt(list_dot_product(v, v)) AS nrm
+         |       FROM qq)
+         |SELECT query_id, rank, neighbor_id, qcos_sim, cos_sim,
+         |       abs(qcos - cos) <= 0.05 AS err_ok
+         |FROM (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_dot_product(p.q, c.q) / (p.scale * c.scale)
+         |          / (p.qnorm * c.qnorm) AS qcos,
+         |        list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos,
+         |        pround(list_dot_product(p.q, c.q) / (p.scale * c.scale)
+         |          / (p.qnorm * c.qnorm), 4) AS qcos_sim,
+         |        pround(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY p.vec_id
+         |          ORDER BY pround(list_dot_product(p.q, c.q) / (p.scale * c.scale)
+         |            / (p.qnorm * c.qnorm), 6) DESC, c.vec_id) AS rank
+         |      FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+         |      WHERE p.vec_id < $ProbeCount) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
     "sim_near_dup" ->
