@@ -24,6 +24,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // checkpoint-file checksums deadlock RocksDB snapshot uploads in
+      // local mode (every task parks in ChecksumCancellableFSDataOutput
+      // Stream.close awaiting a checksum-write future that never runs);
+      // integrity checking is redundant on local disk anyway
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // RocksDB is the production state store (spillable, incremental
+      // snapshots) and the only provider supporting transformWithState's
+      // multiple column families
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   def defaultCpus: Int =

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState, ListState}
+
+/** The reference's buffered checkpoint flush (W5,
+  * replication/replication.go:441-455: write when >=5 items are
+  * buffered, and a periodic cadence picks up stragglers) as a Spark 4
+  * `transformWithState` StatefulProcessor — the modern typed-state
+  * API with explicit state variables and timers, vs the older
+  * flatMapGroupsWithState single-blob state used by [[GapMonitor]].
+  *
+  *  - ListState buffers ids per node (columnar per-key state — at
+  *    scale, appends don't rewrite the whole value like a
+  *    GroupState[Seq[_]] blob would).
+  *  - A count threshold flushes inline (reason "threshold").
+  *  - A processing-time timer flushes stragglers on the cadence
+  *    (reason "timer"), mirroring the 10 s loop.
+  *
+  * State is per-node and bounded by the threshold; output is the
+  * flush log a replication sink would apply.
+  */
+object BufferedFlush {
+
+  case class FlushEvent(node: Long, reason: String, n: Int, ids: Seq[Long])
+
+  class Processor(threshold: Int, cadenceMs: Long)
+      extends StatefulProcessor[Long, ReplicatedLog.LogRecord, FlushEvent] {
+
+    @transient private var buffer: ListState[Long] = _
+    @transient private var timerSet: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[Long](
+        "buffer", Encoders.scalaLong, TTLConfig.NONE)
+      timerSet = getHandle.getValueState[Boolean](
+        "timerSet", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        node: Long,
+        rows: Iterator[ReplicatedLog.LogRecord],
+        timerValues: TimerValues): Iterator[FlushEvent] = {
+      rows.foreach(r => buffer.appendValue(r.id))
+      val buffered = buffer.get().toSeq
+      if (!timerSet.exists() || !timerSet.get()) {
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + cadenceMs)
+        timerSet.update(true)
+      }
+      if (buffered.size >= threshold) {
+        buffer.clear()
+        Iterator.single(
+          FlushEvent(node, "threshold", buffered.size, buffered.sorted))
+      } else Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        node: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FlushEvent] = {
+      timerSet.update(false)
+      val buffered = buffer.get().toSeq
+      if (buffered.nonEmpty) {
+        buffer.clear()
+        Iterator.single(FlushEvent(node, "timer", buffered.size, buffered.sorted))
+      } else Iterator.empty
+    }
+  }
+
+  /** nodeOf: id → owning node (the reference shards by id range). */
+  def flushes(stream: Dataset[ReplicatedLog.LogRecord],
+              threshold: Int = 5,
+              cadenceMs: Long = 10000L,
+              nodesSpan: Long = 1000L): Dataset[FlushEvent] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(r => r.id / nodesSpan)
+      .transformWithState(
+        new Processor(threshold, cadenceMs),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+}
