@@ -21,7 +21,8 @@ object SparkEntry {
     operators.TextPipeline.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
-    operators.Multimodal.queries
+    operators.Multimodal.queries ++
+    operators.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +31,8 @@ object SparkEntry {
      operators.TextPipeline.oracles ++
      operators.Dedup.oracles ++
      operators.Similarity.oracles ++
-     operators.Multimodal.oracles)
+     operators.Multimodal.oracles ++
+     operators.Sampling.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
       }

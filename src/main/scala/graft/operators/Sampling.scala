@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.{portableHash, portableHashSql, pround}
+
+/** Reproducible sampling and split assignment — the data-mixing ops
+  * of a pretraining pipeline. Random samplers are useless at 100 TB
+  * (non-reproducible across runs/retries, not joinable across
+  * tables); production pipelines hash a stable key into buckets and
+  * select bucket ranges, which is exactly reproducible on any engine,
+  * any partitioning, any retry — and lets a later run extend the
+  * sample (rate 10% ⊂ rate 20%) or join per-example labels computed
+  * elsewhere.
+  *
+  * The hash is the cross-engine H(x) = first-8-hex(md5) used across
+  * the library; keys are salted with a purpose prefix ("sample:",
+  * "split:") so the sample and the split are independent.
+  */
+object Sampling {
+
+  private val Buckets = 1000
+  private val SampleBuckets = 100 // 10%
+  private val ValBuckets = 10     // 1% val, 1% test, rest train
+
+  private def bucket(prefix: String): org.apache.spark.sql.Column =
+    portableHash(concat(lit(prefix), col("doc_id").cast("string"))) % Buckets
+
+  /** The 10% reproducible sample itself (rows, not a summary). */
+  def sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket("sample:"))
+      .filter(col("bucket") < SampleBuckets)
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Train/val/test assignment counts per source: buckets [0,980) →
+    * train, [980,990) → val, [990,1000) → test.
+    */
+  def splitCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket("split:"))
+      .withColumn("split",
+        when(col("bucket") < Buckets - 2 * ValBuckets, "train")
+          .when(col("bucket") < Buckets - ValBuckets, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("split"))
+
+  /** Stratified-rate check: per-source sampled fraction (hash buckets
+    * approximate the rate per stratum without a per-stratum pass).
+    */
+  def sampleRates(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sampled",
+        (bucket("sample:") < SampleBuckets).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(col("sampled")).as("n_sampled"))
+      .select(col("source"), col("n_total"), col("n_sampled"),
+              pround(col("n_sampled") / col("n_total"), 4).as("rate"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_sample" -> sample _,
+    "smp_split"  -> splitCounts _,
+    "smp_rates"  -> sampleRates _,
+  )
+
+  private def bucketSql(prefix: String) =
+    s"${portableHashSql(s"'$prefix' || CAST(doc_id AS VARCHAR)")} % $Buckets"
+
+  val oracles: Map[String, String] = Map(
+    "smp_sample" ->
+      s"""SELECT doc_id, source, ${bucketSql("sample:")} AS bucket
+         |FROM documents
+         |WHERE ${bucketSql("sample:")} < $SampleBuckets
+         |ORDER BY doc_id""".stripMargin,
+    "smp_split" ->
+      s"""SELECT source,
+         |  CASE WHEN ${bucketSql("split:")} < ${Buckets - 2 * ValBuckets} THEN 'train'
+         |       WHEN ${bucketSql("split:")} < ${Buckets - ValBuckets} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY source, split""".stripMargin,
+    "smp_rates" ->
+      s"""SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN ${bucketSql("sample:")} < $SampleBuckets
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  pround(CAST(sum(CASE WHEN ${bucketSql("sample:")} < $SampleBuckets
+         |                  THEN 1 ELSE 0 END) AS BIGINT)
+         |         / count(*), 4) AS rate
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+  )
+}
