@@ -175,7 +175,40 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The full pretraining cleanse, composed end-to-end in ONE plan:
+    * quality metrics → language ID → filter (enough tokens, English)
+    * → normalized dedup (keep lowest doc_id per normalized content
+    * among survivors) → train/val/test assignment. The query a
+    * pipeline actually ships; every stage is one of this library's
+    * operators, and Catalyst fuses the whole thing (shared scans,
+    * broadcast keep-list at this SF / shuffle join at scale).
+    */
+  def pipeClean(s: SparkSession, d: String): DataFrame = {
+    val lid = langId(s, d).select(col("doc_id"), col("lang_guess"))
+    val qual = quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+    val norm = Tables.documents(s, d).select(col("doc_id"),
+      md5(graft.functions.NormalizeText.normalize_text(col("text"))
+        .cast("binary")).as("norm_md5"))
+    val filtered = qual.join(lid, "doc_id").join(norm, "doc_id")
+      .filter(col("n_tokens") >= 20 && col("lang_guess") === "en")
+    val keepIds = filtered.groupBy(col("norm_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    filtered.join(keepIds, "doc_id")
+      .withColumn("split",
+        when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+               % 1000 < 980, "train")
+          .when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+               % 1000 < 990, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("n_tokens"),
+              pround(col("stop_ratio"), 4).as("stop_ratio"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_clean"       -> pipeClean _,
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
     "txt_tfidf"       -> tfidf _,
@@ -188,6 +221,48 @@ object TextPipeline {
 
   private val tokSql =
     s"list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
+
+  /** Hoisted oracle SQL strings, reused as CTEs by pipe_clean. */
+  private val QualityOracleSql: String =
+    s"""SELECT doc_id, count(*) AS n_tokens, min(n_chars) AS n_chars,
+      |  pround(sum(CASE WHEN lower(word) IN $StopSql THEN 1 ELSE 0 END)
+      |        / count(*), 4) AS stop_ratio,
+      |  pround(min(n_nonalpha) / min(n_chars), 4) AS nonalpha_ratio
+      |FROM (SELECT doc_id, n_chars,
+      |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word,
+      |        length(text) - length(regexp_replace(text, '[\\p{L} ]', '', 'g')) AS n_nonalpha
+      |      FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  private val LangIdOracleSql: String = {
+      def hitsSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ", ", ")")
+      s"""SELECT doc_id,
+        |  ${markers.map { case (l, ws) =>
+             s"CAST(sum(CASE WHEN lower(word) IN ${hitsSql(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_hits"
+           }.mkString(",\n  ")},
+        |  min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS zh_chars,
+        |  CASE
+        |    WHEN min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) > 0 THEN 'zh'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) = 0
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) = 0 THEN 'und'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'en'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
+        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'es'
+        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'de'
+        |    ELSE 'fr' END AS lang_guess
+        |FROM (SELECT doc_id, text,
+        |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "txt_scrub" -> {
@@ -244,45 +319,29 @@ object TextPipeline {
         |WHERE word <> ''
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
-    "txt_quality" ->
-      s"""SELECT doc_id, count(*) AS n_tokens, min(n_chars) AS n_chars,
-        |  pround(sum(CASE WHEN lower(word) IN $StopSql THEN 1 ELSE 0 END)
-        |        / count(*), 4) AS stop_ratio,
-        |  pround(min(n_nonalpha) / min(n_chars), 4) AS nonalpha_ratio
-        |FROM (SELECT doc_id, n_chars,
-        |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word,
-        |        length(text) - length(regexp_replace(text, '[\\p{L} ]', '', 'g')) AS n_nonalpha
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-    "txt_langid" -> {
-      def hitsSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ", ", ")")
-      s"""SELECT doc_id,
-        |  ${markers.map { case (l, ws) =>
-             s"CAST(sum(CASE WHEN lower(word) IN ${hitsSql(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_hits"
-           }.mkString(",\n  ")},
-        |  min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS zh_chars,
-        |  CASE
-        |    WHEN min(length(text)) - min(length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) > 0 THEN 'zh'
-        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) = 0
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) = 0
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) = 0
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) = 0 THEN 'und'
-        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END)
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(0)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'en'
-        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END)
-        |     AND sum(CASE WHEN lower(word) IN ${hitsSql(markers(1)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'es'
-        |    WHEN sum(CASE WHEN lower(word) IN ${hitsSql(markers(2)._2)} THEN 1 ELSE 0 END) >= sum(CASE WHEN lower(word) IN ${hitsSql(markers(3)._2)} THEN 1 ELSE 0 END) THEN 'de'
-        |    ELSE 'fr' END AS lang_guess
-        |FROM (SELECT doc_id, text,
-        |        unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
-    },
+    "txt_quality" -> QualityOracleSql,
+    "txt_langid" -> LangIdOracleSql,
+    "pipe_clean" ->
+      s"""WITH lid AS ($LangIdOracleSql),
+         |qual AS ($QualityOracleSql),
+         |norm AS (SELECT doc_id,
+         |           md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS norm_md5
+         |         FROM documents),
+         |filtered AS (
+         |  SELECT q.doc_id, q.n_tokens, q.stop_ratio, n.norm_md5
+         |  FROM qual q
+         |  JOIN lid l ON q.doc_id = l.doc_id
+         |  JOIN norm n ON q.doc_id = n.doc_id
+         |  WHERE q.n_tokens >= 20 AND l.lang_guess = 'en'),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY norm_md5)
+         |SELECT f.doc_id, f.n_tokens, pround(f.stop_ratio, 4) AS stop_ratio,
+         |  CASE WHEN ${graft.functions.CrossEngine.portableHashSql(
+                  "'split:' || CAST(f.doc_id AS VARCHAR)")} % 1000 < 980 THEN 'train'
+         |       WHEN ${graft.functions.CrossEngine.portableHashSql(
+                  "'split:' || CAST(f.doc_id AS VARCHAR)")} % 1000 < 990 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     "txt_fingerprint" ->
       s"""SELECT doc_id,
         |  md5(array_to_string($tokSql, ' ')) AS fp_md5,
