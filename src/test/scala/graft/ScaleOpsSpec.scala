@@ -65,6 +65,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lead.head === (1L, 9L))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB knob: a selective dimension-side predicate becomes a
+    // bloom filter applied at the fact scan, cutting shuffle input
+    // before the join. Size thresholds are tuned for a cluster
+    // (application side >= 10 GB), so the spec lowers them to prove
+    // the plan shape at test SF; the rewrite itself is Catalyst's.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 200000)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"), plan)
+      assert(j.count() > 0)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
