@@ -45,6 +45,11 @@ object GraftExtensions {
       info("normalize_text",
         "normalize_text(str) - casefold, keep alphanumerics, collapse separators"),
       (es: Seq[Expression]) => NormalizeText(es.head)),
+    ("approx_top_k",
+      info("approx_top_k",
+        "approx_top_k(str, k) - space-saving heavy-hitter summary"),
+      (es: Seq[Expression]) => graft.functions.ApproxTopK(es(0),
+        es(1).eval().asInstanceOf[Number].intValue)),
   )
 
   /** Register into an existing session: functions plus the rewrite

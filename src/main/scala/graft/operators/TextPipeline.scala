@@ -23,6 +23,30 @@ object TextPipeline {
   private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
   private val StopSql = stopwords.map("'" + _ + "'").mkString("(", ", ", ")")
 
+  /** Heavy hitters in ONE pass via the space-saving aggregate
+    * (graft.functions.ApproxTopK): the sketch discovers the candidate
+    * set without a full per-term shuffle (only capacity-sized buffers
+    * move), then exact counts are computed for candidates ONLY (a
+    * broadcast semi-join, bounded by capacity) and thresholded at the
+    * guarantee bound cnt·capacity > N. The space-saving guarantee
+    * makes the final set identical to the exact computation — which
+    * is precisely what the DuckDB oracle recomputes.
+    */
+  def wcHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val cap = 64
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+    val n = words.count()
+    val cands = words
+      .agg(graft.functions.ApproxTopK.approx_top_k(col("word"), cap).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.term").as("word"))
+    words.join(broadcast(cands), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * cap > n)
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Reference word count applied to the documents table, top 50. */
   def wcTopWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -209,6 +233,7 @@ object TextPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
+    "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
     "txt_tfidf"       -> tfidf _,
@@ -321,6 +346,17 @@ object TextPipeline {
         |ORDER BY doc_id""".stripMargin,
     "txt_quality" -> QualityOracleSql,
     "txt_langid" -> LangIdOracleSql,
+    "wc_heavy_hitters" ->
+      """WITH w AS (SELECT word
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents) u
+        |  WHERE word <> ''),
+        |n AS (SELECT count(*) AS n FROM w),
+        |g AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+        |SELECT word, cnt
+        |FROM g, n
+        |WHERE cnt * 64 > n.n
+        |ORDER BY cnt DESC, word""".stripMargin,
     "pipe_clean" ->
       s"""WITH lid AS ($LangIdOracleSql),
          |qual AS ($QualityOracleSql),
