@@ -208,13 +208,38 @@ object TextPipeline {
     * broadcast keep-list at this SF / shuffle join at scale).
     */
   def pipeClean(s: SparkSession, d: String): DataFrame = {
-    val lid = langId(s, d).select(col("doc_id"), col("lang_guess"))
-    val qual = quality(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+    // quality metrics + language profile fused into ONE tokenize +
+    // groupBy pass (the separate quality/langId operators each scan
+    // and explode the corpus; composed they'd do it twice — measured
+    // ~2x of the pipeline's cost). The oracle recomputes via the
+    // independent CTE forms, so plan fusion is verified, not trusted.
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), explode(tokens(col("text"))).as("word"))
+    val hitCols = markers.map { case (lang, ws) =>
+      sum(when(lower(col("word")).isin(ws: _*), 1).otherwise(0)).as(s"${lang}_hits")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_tokens"),
+      pround(sum(when(lower(col("word")).isin(stopwords: _*), 1).otherwise(0))
+               / count(lit(1)), 4).as("stop_ratio")) ++ hitCols :+
+      (min(length(col("text"))) -
+       min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))))
+        .cast("long").as("zh_chars")
+    val metrics = toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("lang_guess",
+        when(col("zh_chars") > 0, "zh")
+          .when(col("en_hits") === 0 && col("es_hits") === 0 &&
+                col("de_hits") === 0 && col("fr_hits") === 0, "und")
+          .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+                col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
     val norm = Tables.documents(s, d).select(col("doc_id"),
       md5(graft.functions.NormalizeText.normalize_text(col("text"))
         .cast("binary")).as("norm_md5"))
-    val filtered = qual.join(lid, "doc_id").join(norm, "doc_id")
+    val filtered = metrics.join(norm, "doc_id")
       .filter(col("n_tokens") >= 20 && col("lang_guess") === "en")
     val keepIds = filtered.groupBy(col("norm_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
