@@ -11,9 +11,13 @@ import graft.sources.Tables
   * stable across engines.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed pretraining cleanse exercises tokenizer,
+    * quality metrics, language ID, normalized dedup and split
+    * assignment in one plan (428 rows at sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    queries("pipe_clean")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
