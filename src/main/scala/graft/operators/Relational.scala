@@ -418,7 +418,65 @@ object Relational {
       .orderBy(col("p_brand"), col("n_name"))
   }
 
+  /** Range join: clicks by the same user in the 10 minutes before
+    * each purchase. Equi-key (user_id) + range predicate — Spark
+    * plans the equi-join and applies the range as a join filter, so
+    * the pair space is bounded per user, never cross-user. At scale
+    * the win is the same as any fact-fact join: shuffle on user_id
+    * once; AQE handles skewed users.
+    */
+  def q27RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+    // range lives in the join condition: pairs outside the window are
+    // dropped during the join, not carried into the aggregate. At
+    // extreme per-user volumes, add coarse time-buckets to the equi
+    // key (join on (user, bucket) ∪ (user, bucket-1)) — same plan
+    // family, pair space bounded by bucket width.
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") < col("pts"),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("cts")).as("n_recent_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Time-series resample: per-user hourly grid over the user's
+    * active span, hourly mean of `value` (integerized before summing
+    * — see q18's money note), gaps forward-filled from the last
+    * observed hour. Grid generation is sequence+explode (no driver
+    * loop); fill state is a per-user window — distributes on user_id.
+    * Probe slice user_id < 10 bounds the dump.
+    */
+  def q28Resample(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("user_id") < 10)
+    val span = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+           date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")) /
+              (count(lit(1)) * lit(1000.0).cast("double"))).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("observed", col("v").isNotNull)
+      .withColumn("vf", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("vf").isNotNull)
+      .select(col("user_id"), col("hour"), pround(col("vf"), 2).as("value"),
+              col("observed"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_range_join"    -> q27RangeJoin _,
+    "q28_resample"      -> q28Resample _,
     "q26_parts_supply"  -> q26PartsSupply _,
     "q24_grouping_sets" -> q24GroupingSets _,
     "q25_sql_surface"   -> q25SqlSurface _,
@@ -449,6 +507,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_range_join" ->
+      """SELECT p.purchase_id, p.user_id,
+        |  CAST(sum(CASE WHEN c.cts >= p.pts - INTERVAL 10 MINUTE
+        |                 AND c.cts < p.pts THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recent_clicks
+        |FROM (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts AS cts
+        |           FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY p.purchase_id""".stripMargin,
+    "q28_resample" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 10),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1
+        |         FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |         FROM span),
+        |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |             sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+        |               / (count(*) * 1000.0) AS v
+        |           FROM e GROUP BY 1, 2),
+        |filled AS (SELECT g.user_id, g.hour, h.v, h.v IS NOT NULL AS observed,
+        |             last_value(h.v IGNORE NULLS) OVER (
+        |               PARTITION BY g.user_id ORDER BY g.hour
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+        |           FROM grid g
+        |           LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, hour, pround(vf, 2) AS value, observed
+        |FROM filled
+        |WHERE vf IS NOT NULL
+        |ORDER BY user_id, hour""".stripMargin,
     "q26_parts_supply" ->
       """SELECT p_brand, n_name, count(*) AS n_items,
         |  pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
