@@ -35,4 +35,29 @@ object EventAnalytics {
            sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
+
+  /** Native session windows: per-user sessions close after `gap` of
+    * inactivity — the streaming form of the batch q12 sessionization
+    * (gaps-and-islands), using Spark's session_window so the engine
+    * merges/extends window state instead of a hand-rolled lag. State
+    * is per (user, open session) and expires via the watermark.
+    */
+  def sessionStats(stream: DataFrame,
+                   gap: String = "30 minutes",
+                   lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  /** Batch twin of [[sessionStats]] for the equivalence spec. */
+  def sessionStatsBatch(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
 }
