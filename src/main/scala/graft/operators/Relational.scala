@@ -474,7 +474,24 @@ object Relational {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Decile bucketing (ntile) of customers by balance within each
+    * nation — partitioned window, so rank state distributes by
+    * nation; the global-decile variant would be the single-partition
+    * trap (use approx quantile cutpoints for that at scale).
+    */
+  def q29Deciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_nationkey"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+           pround(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("c_nationkey"), col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_deciles"       -> q29Deciles _,
     "q27_range_join"    -> q27RangeJoin _,
     "q28_resample"      -> q28Resample _,
     "q26_parts_supply"  -> q26PartsSupply _,
@@ -507,6 +524,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_deciles" ->
+      """SELECT c_nationkey, decile, count(*) AS n_customers,
+        |  pround(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM (SELECT c_nationkey, c_acctbal,
+        |        ntile(10) OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS decile
+        |      FROM customer) t
+        |GROUP BY c_nationkey, decile
+        |ORDER BY c_nationkey, decile""".stripMargin,
     "q27_range_join" ->
       """SELECT p.purchase_id, p.user_id,
         |  CAST(sum(CASE WHEN c.cts >= p.pts - INTERVAL 10 MINUTE

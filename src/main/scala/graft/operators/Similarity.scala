@@ -172,6 +172,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val ProjDims = 8
+
+  /** Random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss): 64d → 8d via a deterministic ±1 matrix (md5
+    * parity, same literals in the oracle), scaled by 1/√d. One
+    * codegen'd map-side pass — the standard cheap pre-step before
+    * clustering/ANN at scale (4-8x less vector I/O downstream).
+    * Output dims are scalar columns (p0..p7), probe slice bounds the
+    * dump.
+    */
+  def projectEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val projSigns: Seq[Seq[Int]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until ProjDims).map { p =>
+        (0 until Dims).map { dd =>
+          val h = md.digest(s"rp_${p}_$dd".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1 else -1
+        }
+      }
+    }
+    val scale = 1.0 / math.sqrt(Dims.toDouble)
+    val cols = (0 until ProjDims).map { p =>
+      val row = array(projSigns(p).map(v => lit(v.toDouble)): _*)
+      pround(dot(col("v"), row) * scale, 4).as(s"p$p")
+    }
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id") +: asDouble(col("embedding")).as("v") +: Nil: _*)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private[operators] def projSignsSql: Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ProjDims).map { p =>
+      (0 until Dims).map { dd =>
+        val h = md.digest(s"rp_${p}_$dd".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }
+  }
+
   private val CentroidEvery = 50
   private val NProbe = 2
 
@@ -278,6 +320,7 @@ object Similarity {
     "ann_ivf"       -> annIvf _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_quantized" -> quantizedSearch _,
+    "sim_project"   -> projectEmbeddings _,
   )
 
   private def signSql(p: Int): String =
@@ -355,6 +398,17 @@ object Similarity {
          |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
+    "sim_project" -> {
+      val cols = projSignsSql.zipWithIndex.map { case (row, p) =>
+        s"pround(list_dot_product(v, $row) / sqrt(64.0), 4) AS p$p"
+      }.mkString(",\n  ")
+      s"""WITH $vecCte
+         |SELECT vec_id,
+         |  $cols
+         |FROM e
+         |WHERE vec_id < 50
+         |ORDER BY vec_id""".stripMargin
+    },
     "sim_quantized" ->
       s"""WITH $vecCte,
          |qv AS (SELECT vec_id, v,
