@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts enforced across the WHOLE query surface — the
+  * properties that make plans survive a 100x scale-up, asserted so a
+  * future edit can't silently regress them:
+  *  - no query plans a global-order (empty-partition-spec) window;
+  *  - flagship scans prune columns and push predicates;
+  *  - dimension joins broadcast; rank filters use the TopK operator.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("no query in the library plans a single-partition window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = unwrap(fn(spark, sf).queryExecution.executedPlan)
+      val global = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global-order windows (all-rows-to-one-partition) in: $offenders")
+  }
+
+  test("q6 pushes its predicates and prunes to a narrow schema") {
+    val plan = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // narrow read schema: the scan must not read all 16 lineitem columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(l => "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l).map(_.group(1)))
+      .getOrElse("")
+    assert(readSchema.nonEmpty && readSchema.count(_ == ',') < 6, readSchema)
+  }
+
+  test("q2's dimension joins broadcast") {
+    val plan = SparkEntry.queries("q2_revenue_by_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("rank-filter queries plan through TopKPerGroup") {
+    for (q <- Seq("q7_top_orders_per_customer", "txt_tfidf")) {
+      val plan = unwrap(SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan)
+      val topk = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(topk.size == 2, s"$q should plan partial+final TopKPerGroup")
+    }
+  }
+}
