@@ -490,7 +490,55 @@ object Relational {
       .orderBy(col("c_nationkey"), col("decile"))
   }
 
+  /** Value histogram: 20 fixed-width buckets per event type over
+    * [0, 1000). One partial-aggregating groupBy — histograms at any
+    * scale are a counting problem once bucket edges are fixed.
+    */
+  def q30Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") >= 0 && col("value") < 1000)
+      // explicit edge formula (DuckDB has no width_bucket): bucket i
+      // covers [50(i-1), 50i)
+      .withColumn("bucket", (floor(col("value") / 50.0) + 1).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           pround(min(col("value")), 2).as("lo"),
+           pround(max(col("value")), 2).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Pearson correlation of order price vs line quantity per return
+    * flag — built from EXACT integer sums (milli-units; products stay
+    * < 2^63) instead of corr(): float-sum reductions are
+    * order-dependent, exact integer sums are not, so the value is
+    * bit-identical on any engine and any partitioning. The shape is
+    * the textbook single-pass sufficient-statistics aggregation —
+    * what corr() does internally, made deterministic.
+    */
+  def q31Corr(s: SparkSession, d: String): DataFrame = {
+    val x = expr("CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)")
+    val y = expr("CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT)")
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    // sums are exact integers (sxy/sxx/syy stay < 2^63 at the chosen
+    // scales); cross-sum products would overflow BIGINT, so the final
+    // arithmetic runs in double AFTER the exact reductions — same
+    // fixed expression order as the oracle, so bit-identical
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        pround(
+          (d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))) /
+            sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) /
+            sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy"))),
+          6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_histogram"     -> q30Histogram _,
+    "q31_corr"          -> q31Corr _,
     "q29_deciles"       -> q29Deciles _,
     "q27_range_join"    -> q27RangeJoin _,
     "q28_resample"      -> q28Resample _,
@@ -524,6 +572,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 50.0) + 1 AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  pround(min(value), 2) AS lo, pround(max(value), 2) AS hi
+        |FROM events
+        |WHERE value >= 0 AND value < 1000
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q31_corr" ->
+      """SELECT l_returnflag, n,
+        |  pround(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+        |    6) AS corr_qty_price
+        |FROM (SELECT l_returnflag, count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM (SELECT l_returnflag,
+        |              CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT) AS y
+        |            FROM lineitem) t
+        |      GROUP BY l_returnflag) s
+        |ORDER BY l_returnflag""".stripMargin,
     "q29_deciles" ->
       """SELECT c_nationkey, decile, count(*) AS n_customers,
         |  pround(avg(c_acctbal), 2) AS avg_acctbal
