@@ -79,7 +79,12 @@ case class ApproxTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8 (writeUTF caps encoded terms at 64 KiB
+    // and would throw mid-shuffle on long values of an arbitrary column)
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -87,7 +92,12 @@ case class ApproxTopK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach { _ => val t = in.readUTF(); buf.update(t, in.readLong()) }
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

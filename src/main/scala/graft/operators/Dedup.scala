@@ -17,8 +17,10 @@ import graft.functions.CrossEngine.{pround, portableHash, tokens}
   *              shingles, banded 4x4 → LSH candidate pairs via a
   *              bucket join (shingle→minhash→band→bucket-join).
   *  - SimHash:  32-bit tf-weighted fingerprint; near-dups = small
-  *              Hamming distance. Pairs pruned by band-of-bits
-  *              blocking at scale; exact pairwise here (test SF).
+  *              Hamming distance. Pairs found by pigeonhole blocking
+  *              (8 blocks of 4 bits, equi-join on agreeing blocks) —
+  *              the all-pairs scan survives only as a dense-corpus
+  *              fallback.
   *  - n-gram Jaccard: exact pairwise Jaccard over pairs sharing ≥1
   *              shingle (inverted-index join prunes the quadratic
   *              space).
@@ -191,17 +193,16 @@ object Dedup {
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by Hamming distance over the SimHash fingerprint.
-    *
-    * All-pairs broadcast nested-loop over the (doc_id, simhash)
-    * signature table — NOT over documents; only 16 bytes per doc move.
-    * On this synthetic corpus ~10% of ALL pairs fall within Hamming 6
-    * (shared vocabulary), so no blocking scheme can prune: the output
-    * itself is near-quadratic, and the blocked variant below measures
-    * slower here. On realistic corpora (sparse matches) use
-    * [[simhashPairsBlocked]], which never enumerates the quadratic
-    * space — it is output-identical (spec-enforced) and is the 100 TB
-    * path.
+  /** All-pairs fallback for SimHash near-dup pairs — NOT the shipped
+    * query. Broadcast nested-loop over the (doc_id, simhash) signature
+    * table (only 16 bytes per doc move, never documents). O(N²)
+    * compute, so it dies at 100×; it exists because on pathologically
+    * dense corpora (this synthetic one puts ~10% of ALL pairs within
+    * Hamming 6) the blocked variant's candidate set is itself
+    * near-quadratic and the simpler scan measures faster. The shipped,
+    * oracle-checked default is [[simhashPairsBlocked]] — output-
+    * identical (spec-enforced), and the only shape that survives at
+    * scale.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val t = simhashTable(s, d)
@@ -214,11 +215,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Pigeonhole-blocked variant: split the 32 bits into 8 blocks of
+  /** Pigeonhole-blocked SimHash pair scan — the shipped
+    * `dedup_simhash_pairs` query. Split the 32 bits into 8 blocks of
     * 4; a pair within Hamming distance 6 differs in at most 6 blocks,
     * so it MUST agree exactly on ≥2 of the 8 — an equi-join on
     * (block_id, block_value) finds every such pair without
-    * enumerating all pairs. Identical output to [[simhashPairs]].
+    * enumerating all pairs. Identical output to [[simhashPairs]]
+    * (spec-enforced); unlike it, candidate work scales with bucket
+    * collisions, not N², so this is the 100 TB path.
     */
   def simhashPairsBlocked(s: SparkSession, d: String): DataFrame = {
     val nBlocks = 8
@@ -303,7 +307,7 @@ object Dedup {
     "dedup_minhash_sig"   -> minhashSignature _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
-    "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_simhash_pairs" -> simhashPairsBlocked _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 

@@ -143,7 +143,10 @@ object Similarity {
     * cosine alongside and a <=0.05 quantization-error bound flag.
     */
   def quantizedSearch(s: SparkSession, d: String): DataFrame = {
+    // all-zero vectors make scale = 127/0 = Inf and NaN cosines whose
+    // ordering is engine-dependent — excluded on both sides
     val e = vectors(s, d)
+      .filter(array_max(transform(col("v"), abs(_))) > 0)
       .withColumn("scale", lit(127.0) / array_max(transform(col("v"), abs(_))))
       // floor() yields LongType — cast back so the codegen'd dot
       // product (array<double>-only) applies; values stay integral
@@ -413,7 +416,8 @@ object Similarity {
       s"""WITH $vecCte,
          |qv AS (SELECT vec_id, v,
          |         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
-         |       FROM e),
+         |       FROM e
+         |       WHERE list_max(list_transform(v, x -> abs(x))) > 0),
          |qq AS (SELECT vec_id, v, scale,
          |         list_transform(v, x -> floor(x * scale + 0.5)) AS q
          |       FROM qv),

@@ -16,10 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object ContentDedup {
 
-  /** stream: (doc_id, text, ts). Emits first-seen documents only. */
+  /** stream: (doc_id, text, ts). Emits first-seen documents only.
+    *
+    * Uses `dropDuplicatesWithinWatermark`: plain `dropDuplicates` on a
+    * non-event-time subset never evicts its state (Spark only purges
+    * dedup state when the event-time column is part of the key), so
+    * the md5 set would grow with every distinct document forever.
+    * The withinWatermark variant expires each key once the watermark
+    * passes it — exactly the documented O(docs within the horizon)
+    * contract.
+    */
   def firstSeen(stream: DataFrame, watermark: String = "10 seconds"): DataFrame =
     stream
       .withColumn("text_md5", md5(col("text").cast("binary")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("text_md5")
+      .dropDuplicatesWithinWatermark("text_md5")
 }

@@ -49,6 +49,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dedup_simhash_pairs ships the blocked plan — no nested-loop join") {
+    val plan = unwrap(SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .queryExecution.executedPlan)
+    val nlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nlj.isEmpty,
+      s"dedup_simhash_pairs must use the pigeonhole equi-join, found: $nlj")
+  }
+
   test("rank-filter queries plan through TopKPerGroup") {
     for (q <- Seq("q7_top_orders_per_customer", "txt_tfidf")) {
       val plan = unwrap(SparkEntry.queries(q)(spark, sf)

@@ -53,6 +53,10 @@ def dtype_report(name, sdf, ddf):
         # driver's read path normalizes them to datetimes (q14 passed r1)
         if sc == "object" and len(sdf) and isinstance(sdf[c].iloc[0], _dt.date):
             sc = "datetime"
+        # same normalization for DuckDB: a DATE column can surface from
+        # .df() as datetime.date objects too
+        if dc == "object" and len(ddf) and isinstance(ddf[c].iloc[0], _dt.date):
+            dc = "datetime"
         if sc != dc:
             probs.append(f"dtype class {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
         if sc == "object" and len(sdf) and isinstance(sdf[c].iloc[0], (np.ndarray, list, dict)):
