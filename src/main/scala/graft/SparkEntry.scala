@@ -26,7 +26,8 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
-    operators.Sampling.queries
+    operators.Sampling.queries ++
+    operators.Gossip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,7 +37,8 @@ object SparkEntry {
      operators.Dedup.oracles ++
      operators.Similarity.oracles ++
      operators.Multimodal.oracles ++
-     operators.Sampling.oracles)
+     operators.Sampling.oracles ++
+     operators.Gossip.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
       }

@@ -68,13 +68,17 @@ object ScaleOps {
   def gapRanges(observed: DataFrame, idCol: String = "id",
                 startId: Option[Long] = None, buckets: Int = 64): DataFrame = {
     val obs = observed.select(col(idCol).cast("long").as("id")).distinct()
-    val mm = obs.agg(min(col("id")), max(col("id"))).head()
-    if (mm.isNullAt(0))
-      return obs.select(col("id").as("gap_start"), col("id").as("gap_end"))
-    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-    val nb = math.max(1L, math.min(buckets.toLong, mx - mn + 1)).toInt
-    val b = obs.withColumn("bucket",
-      width_bucket(col("id"), lit(mn), lit(mx) + 1, lit(nb)))
+    // id-range bounds folded in as a broadcast scalar (width_bucket
+    // takes column bounds) — the whole thing is ONE lazy plan, not a
+    // driver-side min/max job followed by the query
+    val mm = obs.agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .select(col("mn"), col("mx"),
+        greatest(lit(1L), least(lit(buckets.toLong), col("mx") - col("mn") + 1))
+          .cast("int").as("nb"))
+    val b = obs.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        width_bucket(col("id"), col("mn"), col("mx") + 1, col("nb")))
+      .drop("mn", "mx", "nb")
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val bmax = b.groupBy(col("bucket")).agg(max(col("id")).as("bmax"))
     val carry = bmax.as("a")

@@ -36,14 +36,18 @@ object TextPipeline {
     val cap = 64
     val words = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("word"))
-    val n = words.count()
+    // N and the sketch come out of the SAME aggregate — one corpus
+    // scan produces both, and the query is one lazy plan (no driver
+    // .count() action; at 100 TB the extra scan was the dominant cost)
     val cands = words
-      .agg(graft.functions.ApproxTopK.approx_top_k(col("word"), cap).as("hh"))
-      .select(explode(col("hh")).as("h"))
-      .select(col("h.term").as("word"))
+      .agg(count(lit(1)).as("n"),
+           graft.functions.ApproxTopK.approx_top_k(col("word"), cap).as("hh"))
+      .select(col("n"), explode(col("hh")).as("h"))
+      .select(col("n"), col("h.term").as("word"))
     words.join(broadcast(cands), "word")
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * cap > n)
+      .groupBy(col("word"), col("n")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * cap > col("n"))
+      .select(col("word"), col("cnt"))
       .orderBy(col("cnt").desc, col("word"))
   }
 
@@ -143,12 +147,16 @@ object TextPipeline {
     val tf = tokd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tokd.select(col("doc_id"), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, d).count()
+    // corpus size folded in as a broadcast scalar — the query is one
+    // lazy plan instead of a driver-side .count() job plus the query
+    val n = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(pround(col("tfidf"), 6).desc, col("word"))
     tf.filter(col("doc_id") < 20)
       .join(df, "word")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("rnk"), col("word"),

@@ -15,8 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schemas, cached per (dir, table). Schema inference runs
+    * a footer-reading Spark job on every fresh `spark.read.parquet`;
+    * pinning the schema after the first read makes every later plan
+    * build job-free (and at cluster scale skips re-listing thousands
+    * of footers per query). The nanosAsLong flag participates in the
+    * key because it changes the inferred type of events.ts.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = s"${spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")}:$path"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Register every test table as a temp view so the engine's SQL
     * surface (`spark.sql`) works against them by name.

@@ -31,6 +31,29 @@ class PlanContractSpec extends AnyFunSuite {
       s"global-order windows (all-rows-to-one-partition) in: $offenders")
   }
 
+  test("every registered query builds lazily — no driver-side jobs at plan time") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        fn(spark, sf) // first build may trigger one-time file listing
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(sc)
+        jobs.set(0)
+        fn(spark, sf) // steady-state build must run zero jobs
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(sc)
+        if (jobs.get() > 0) Some(name -> jobs.get()) else None
+      }
+      assert(offenders.isEmpty,
+        s"queries running driver-side jobs while building the plan: $offenders")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q6 pushes its predicates and prunes to a narrow schema") {
     val plan = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
       .queryExecution.executedPlan.toString
