@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = s"local[${defaultCpus}]",
+  // local[N, 4]: allow 4 attempts per task like a real cluster
+  // (spark.task.maxFailures default) — plain local[N] sets 1, which
+  // would turn any transient task failure into a query failure and
+  // silently skip the retry path ChaosSpec proves invariant.
+  def builder(master: String = s"local[${defaultCpus}, 4]",
               shufflePartitions: Int = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
