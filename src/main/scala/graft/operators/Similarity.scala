@@ -246,10 +246,35 @@ object Similarity {
 
   /** IVF search: probe the nprobe nearest centroid lists only. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val assign = ivfAssignment(s, d)
     val e = vectors(s, d)
     val cents = e.filter(col("vec_id") % CentroidEvery === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfSearch(s, d, cents, ivfAssignment(s, d))
+  }
+
+  /** IVF search against trained (Lloyd) centroids — same plan shape
+    * as [[annIvf]] (spec-asserted), only the centroid table differs.
+    * Training is unrolled declaratively (checkpoint = false), so the
+    * registered query stays one lazy plan with a DuckDB-mirrorable
+    * oracle.
+    */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d, iters = TrainIters, checkpoint = false)
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    val e = vectors(s, d)
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(pround(col("ccos"), 6).desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("crnk", row_number().over(wa))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("ccos"))
+    ivfSearch(s, d, cents, assign)
+  }
+
+  private def ivfSearch(s: SparkSession, d: String,
+                        cents: DataFrame, assign: DataFrame): DataFrame = {
+    val e = vectors(s, d)
     val probes = e.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val wp = Window.partitionBy(col("query_id"))
@@ -272,27 +297,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val TrainIters = 3
+  // Mean scaling: coordinates are summed as floor(x·2^20 + 0.5)
+  // BIGINTs — exact in any order (|sum| far below 2^53), so the
+  // per-iteration centroid means are bit-identical across engines and
+  // partitionings, where a double avg() would drift by summation
+  // order and cascade into different assignments next iteration.
+  private val MeanScale = 1048576.0
+
   /** Lloyd's k-means for IVF centroids, DataFrame-native: assignment
-    * is a broadcast argmin pass, the update step recomputes element-
-    * wise means via posexplode → (cid, dim) average → array rebuild.
-    * Deterministic: init = the sampled centroids, fixed iteration
-    * count, squared-Euclidean objective (monotone under Lloyd).
-    * Swapping these trained centroids into [[annIvf]] changes no plan
-    * shape — proven in AnnRecallSpec.
+    * is a broadcast argmin pass (ranked on pround(d2, 6) with cid
+    * tiebreak — engine-stable), the update step recomputes element-
+    * wise means via posexplode → (cid, dim) exact integerized mean →
+    * array rebuild. Deterministic: init = the sampled centroids,
+    * fixed iteration count, squared-Euclidean objective (monotone
+    * under Lloyd — asserted in AnnRecallSpec).
+    *
+    * `checkpoint = true` (the programmatic/scale default) cuts
+    * lineage with a `localCheckpoint()` per iteration — without it
+    * the nested plan grows linearly with iteration count and
+    * replanning cost explodes past ~10 iters. The registered
+    * `ann_ivf_trained` query passes `checkpoint = false`: 3 unrolled
+    * iterations stay a single lazy declarative plan whose DuckDB
+    * oracle mirrors every iteration exactly.
     */
-  def trainIvfCentroids(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  def trainIvfCentroids(s: SparkSession, d: String, iters: Int = TrainIters,
+                        checkpoint: Boolean = true): DataFrame = {
     val e = vectors(s, d).select(col("vec_id"), col("v"))
     var cents = e.filter(col("vec_id") % CentroidEvery === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assignToCentroids(e, cents)
-      cents = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(floor(col("x") * MeanScale + lit(0.5))).cast("double")
+              / count(lit(1)) / MeanScale).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
+      cents = if (checkpoint) next.localCheckpoint() else next
     }
     cents
   }
@@ -301,7 +345,8 @@ object Similarity {
   private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
     val dist2 = expr(
       "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(pround(col("d2"), 6), col("cid"))
     e.crossJoin(broadcast(cents))
       .withColumn("d2", dist2)
       .withColumn("rnk", row_number().over(w))
@@ -321,6 +366,7 @@ object Similarity {
     "ann_lsh"       -> annLsh _,
     "ann_ivf_lists" -> ivfLists _,
     "ann_ivf"       -> annIvf _,
+    "ann_ivf_trained" -> annIvfTrained _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_quantized" -> quantizedSearch _,
     "sim_project"   -> projectEmbeddings _,
@@ -349,7 +395,58 @@ object Similarity {
        |    FROM e, cents c) t
        |  WHERE crnk = 1)""".stripMargin
 
+  /** One Lloyd iteration as DuckDB CTEs: argmin assignment on
+    * pround(d2, 6) + cid tiebreak, then the exact integerized
+    * element-wise mean — both bit-compatible with the Spark side.
+    */
+  private def lloydIterSql(k: Int): String = {
+    val d2 =
+      s"list_sum([ (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) FOR i IN generate_series(1,$Dims) ])"
+    val prev = s"c${k - 1}"
+    s"""a$k AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY pround($d2, 6), c.cid) AS rnk
+       |    FROM e, $prev c) t WHERE rnk = 1),
+       |c$k AS (SELECT cid, array_agg(m ORDER BY dim) AS cv FROM (
+       |    SELECT cid, dim,
+       |      CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 1048576.0 AS m
+       |    FROM (SELECT cid, unnest(v) AS x,
+       |            unnest(generate_series(1, $Dims)) AS dim FROM a$k) u
+       |    GROUP BY cid, dim) g GROUP BY cid)""".stripMargin
+  }
+
+  private val trainedCte: String =
+    s"""$vecCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |${(1 to TrainIters).map(lloydIterSql).mkString(",\n")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_trained" ->
+      s"""WITH $trainedCte,
+         |cents AS (SELECT cid, cv FROM c$TrainIters),
+         |assign AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS crnk
+         |    FROM e, cents c) t WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |plists AS (SELECT query_id, qv, cid FROM (
+         |    SELECT p.query_id, p.qv, c.cid,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM probes p, cents c) t
+         |  WHERE prnk <= $NProbe)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT pl.query_id, a.vec_id AS neighbor_id,
+         |    pround(list_cosine_similarity(pl.qv, a.v), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY pl.query_id
+         |      ORDER BY pround(list_cosine_similarity(pl.qv, a.v), 6) DESC, a.vec_id) AS rank
+         |  FROM plists pl
+         |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_brute" ->
       s"""WITH $vecCte
          |SELECT query_id, rank, neighbor_id, cos_sim, label

@@ -32,17 +32,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(i1 <= i0 && i3 <= i1)
   }
 
-  test("IVF and LSH recall vs exact top-3") {
+  test("IVF and LSH recall vs exact top-3; trained centroids don't lose to sampled") {
     val brute = topSets(Similarity.annBrute(spark, sf), 3)
     val total = brute.values.map(_.size).sum.toDouble
-    for ((name, df, floor) <- Seq(
-        ("ivf", Similarity.annIvf(spark, sf), 0.3),
-        ("lsh", Similarity.annLsh(spark, sf), 0.05))) {
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
       val got = topSets(df, 3)
-      val hits = brute.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum
-      val recall = hits / total
-      info(f"$name recall@3 = $recall%.3f")
-      assert(recall >= floor, s"$name recall $recall below floor $floor")
+      brute.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum / total
     }
+    val ivf = recallOf(Similarity.annIvf(spark, sf))
+    val trained = recallOf(Similarity.annIvfTrained(spark, sf))
+    val lsh = recallOf(Similarity.annLsh(spark, sf))
+    info(f"ivf recall@3 = $ivf%.3f  trained = $trained%.3f  lsh = $lsh%.3f")
+    assert(ivf >= 0.3, s"ivf recall $ivf below floor 0.3")
+    assert(lsh >= 0.05, s"lsh recall $lsh below floor 0.05")
+    assert(trained >= ivf,
+      s"Lloyd-trained centroids ($trained) must not lose recall vs sampled ($ivf)")
   }
 }
