@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * replication/replication.go:441-455: write when >=5 items are
   * buffered, and a periodic cadence picks up stragglers) as a Spark 4
   * `transformWithState` StatefulProcessor — the modern typed-state
-  * API with explicit state variables and timers, vs the older
-  * flatMapGroupsWithState single-blob state used by [[GapMonitor]].
+  * API with explicit state variables and timers (the whole streaming
+  * surface is on it; see also [[GapMonitor]]).
   *
   *  - ListState buffers ids per node (columnar per-key state — at
   *    scale, appends don't rewrite the whole value like a
