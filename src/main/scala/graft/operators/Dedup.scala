@@ -239,12 +239,16 @@ object Dedup {
                            col("blk"), col("bv"))
     val b = blocked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
                            col("blk"), col("bv"))
+    // hamming-filter BEFORE the dedup shuffle: bit_count is codegen'd
+    // and free at candidate production, so non-matching colliding
+    // candidates never reach the distinct's exchange. Neutral on this
+    // dense corpus (nearly all candidates are matches); on a sparse
+    // real corpus the filtered-out fraction dominates.
     a.join(b, Seq("blk", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= HammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

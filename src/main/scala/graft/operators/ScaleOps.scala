@@ -94,6 +94,39 @@ object ScaleOps {
       .orderBy(col("gap_start"))
   }
 
+  /** Distributed prefix sum over a unique ordering column — the
+    * scalable form of `sum(v) OVER (ORDER BY ord)`. A global-order
+    * window moves every row to one partition; here rows are
+    * range-bucketed on the order column (bounds folded in as a
+    * broadcast scalar, same trick as [[gapRanges]]), the running sum
+    * runs per bucket (parallel, spillable), and the only cross-bucket
+    * state is one total per bucket, combined into an exclusive carry
+    * and broadcast back. Output: input rows + `outCol` = inclusive
+    * prefix sum in `orderCol` order.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String = "cum", buckets: Int = 64): DataFrame = {
+    val obs = df.withColumn("__ord", col(orderCol).cast("long"))
+    val mm = obs.agg(min(col("__ord")).as("mn"), max(col("__ord")).as("mx"))
+      .select(col("mn"), col("mx"),
+        greatest(lit(1L), least(lit(buckets.toLong), col("mx") - col("mn") + 1))
+          .cast("int").as("nb"))
+    val b = obs.crossJoin(broadcast(mm))
+      .withColumn("__bucket",
+        width_bucket(col("__ord"), col("mn"), col("mx") + 1, col("nb")))
+      .drop("mn", "mx", "nb")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"))
+    val local = b.withColumn("__local", sum(col(valueCol)).over(w))
+    val btot = local.groupBy(col("__bucket")).agg(max(col("__local")).as("__btot"))
+    val carry = btot.as("a")
+      .join(btot.as("b"), col("b.__bucket") < col("a.__bucket"))
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(sum(col("b.__btot")).as("__carry"))
+    local.join(broadcast(carry), Seq("__bucket"), "left")
+      .withColumn(outCol, col("__local") + coalesce(col("__carry"), lit(0L)))
+      .drop("__bucket", "__local", "__carry", "__ord")
+  }
+
   /** Skew-safe equi-join: spread each hot key of `big` over `nSalts`
     * partitions by a random salt, replicate `small` across all salt
     * values, join on (key, salt). Output is identical to the plain

@@ -207,6 +207,29 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  private val ShardBudget = 2000L
+
+  /** Token-budget shard packing — the sequence-packing step of a
+    * training-data pipeline: documents are laid out in a stable order
+    * (doc_id) and cut into shards of ~`ShardBudget` tokens by the
+    * running token total. The running total is computed by
+    * [[ScaleOps.prefixSum]] — range-bucketed partial sums plus a
+    * broadcast carry, NOT a global-order window — so the layout pass
+    * scales to any corpus size while remaining deterministic (the
+    * oracle recomputes it with a plain window, which DuckDB can
+    * afford single-node).
+    */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.ColumnShims.countTokens(col("text")).as("n_tokens"))
+    ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum")
+      .withColumn("shard_id",
+        expr(s"(cum - n_tokens) div $ShardBudget"))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full pretraining cleanse, composed end-to-end in ONE plan:
     * quality metrics → language ID → filter (enough tokens, English)
     * → normalized dedup (keep lowest doc_id per normalized content
@@ -269,6 +292,7 @@ object TextPipeline {
     "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
+    "txt_pack_shards" -> packShards _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
     "txt_token_stats" -> tokenStats _,
@@ -342,6 +366,17 @@ object TextPipeline {
         |  len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS n_letter_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "txt_pack_shards" ->
+      s"""SELECT doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
+         |FROM (SELECT doc_id, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM (SELECT doc_id,
+         |              len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |                              t -> t <> '')) AS n_tokens
+         |            FROM documents) t) c
+         |ORDER BY doc_id""".stripMargin,
     "txt_tfidf" ->
       """WITH tok AS (SELECT doc_id, word
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word

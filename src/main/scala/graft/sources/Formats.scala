@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange formats beyond parquet — the loaders/sinks a pipeline
+  * needs at its edges (the reference's surface is text files; a
+  * training-data pipeline additionally speaks JSONL and CSV).
+  *
+  * Reads always pin an explicit schema: schema inference over a
+  * 100 TB JSONL directory is a full extra scan of the data, and
+  * inferred types drift (ints become longs become doubles) between
+  * samples. Writes are plain distributed sinks — one file per
+  * partition, no driver funnel.
+  */
+object Formats {
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV with full quoting so free text (embedded newlines, commas,
+    * quotes) survives the round trip; multiLine on read for the
+    * embedded-newline case.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+}

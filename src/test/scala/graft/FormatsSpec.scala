@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Formats, Tables}
+
+/** Interchange round trips: the documents table (free text with
+  * arbitrary punctuation) must survive parquet → JSONL/CSV → read
+  * with a pinned schema, row-for-row.
+  */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("documents survive a JSONL round trip") {
+    val path = "target/fmt_test/docs_jsonl"
+    Formats.writeJsonl(docs, path)
+    val back = Formats.readJsonl(spark, path, docs.schema)
+    assert(back.count() == docs.count())
+    assert(docs.except(back).isEmpty && back.except(docs).isEmpty)
+  }
+
+  test("documents survive a CSV round trip (quoted free text)") {
+    val path = "target/fmt_test/docs_csv"
+    Formats.writeCsv(docs, path)
+    val back = Formats.readCsv(spark, path, docs.schema)
+    assert(back.count() == docs.count())
+    assert(docs.except(back).isEmpty && back.except(docs).isEmpty)
+  }
+
+  test("lineitem numerics survive a CSV round trip") {
+    val li = Tables.lineitem(spark, sf)
+    val path = "target/fmt_test/lineitem_csv"
+    Formats.writeCsv(li, path)
+    val back = Formats.readCsv(spark, path, li.schema)
+    assert(li.except(back).isEmpty && back.except(li).isEmpty)
+  }
+}

