@@ -171,6 +171,33 @@ object Relational {
       .orderBy(col("tag"), col("custkey"))
   }
 
+  /** Join-key skew diagnostic — the measurement that decides whether
+    * a 100 TB join needs `ScaleOps.saltedJoin` and with how many
+    * salts: per-key row counts of the fact join key, reduced to
+    * distribution stats (max/avg/p50/p90/p99) and a skew factor.
+    * Two cheap aggregations (per-key partial count, then a scalar
+    * reduce); key volume shuffles as (key, count) pairs only.
+    * `suggested_salts` = ceil(max / p90) — spread the hottest key to
+    * roughly the p90 partition load.
+    */
+  def opsKeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        pround(avg(col("cnt")), 4).as("avg_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50"),
+        expr("percentile(cnt, 0.9)").as("p90"),
+        expr("percentile(cnt, 0.99)").as("p99"))
+      .select(col("n_keys"), col("max_cnt"), col("avg_cnt"),
+        pround(col("p50"), 4).as("p50"),
+        pround(col("p90"), 4).as("p90"),
+        pround(col("p99"), 4).as("p99"),
+        pround(col("max_cnt") / col("avg_cnt"), 4).as("skew_factor"),
+        ceil(col("max_cnt") / col("p90")).cast("long").as("suggested_salts"))
+  }
+
   /** Tumbling-hour aggregation over the event stream table — the
     * batch shape of the streaming windowed agg (SURVEY §2.7).
     */
@@ -564,6 +591,7 @@ object Relational {
     "q8_running_total"     -> q8RunningTotal _,
     "q9_rollup_acctbal"    -> q9RollupAcctbal _,
     "q10_set_ops"          -> q10SetOps _,
+    "ops_key_skew"         -> opsKeySkew _,
     "q11_events_hourly"    -> q11EventsHourly _,
     "q12_user_sessions"    -> q12UserSessions _,
     "q13_distinct_users"   -> q13DistinctUsers _,
@@ -847,6 +875,16 @@ object Relational {
         |SELECT 'auto_only' AS tag, custkey
         |FROM (SELECT custkey FROM auto EXCEPT SELECT custkey FROM buyers) t2
         |ORDER BY tag, custkey""".stripMargin,
+    "ops_key_skew" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+        |  pround(avg(cnt), 4) AS avg_cnt,
+        |  pround(quantile_cont(cnt, 0.5), 4) AS p50,
+        |  pround(quantile_cont(cnt, 0.9), 4) AS p90,
+        |  pround(quantile_cont(cnt, 0.99), 4) AS p99,
+        |  pround(max(cnt) / avg(cnt), 4) AS skew_factor,
+        |  CAST(ceil(max(cnt) / quantile_cont(cnt, 0.9)) AS BIGINT) AS suggested_salts
+        |FROM c""".stripMargin,
     "q11_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  count(*) AS n_events, pround(sum(value), 2) AS sum_value
