@@ -130,6 +130,42 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Near-dup scan over the FULL corpus via LSH buckets — the scale
+    * path for embedding near-dup detection. [[embedNearDup]]'s probe
+    * slice (every 20th vector) grows with the corpus, so its
+    * broadcast side is unbounded at 100x; here every vector finds its
+    * nearest mate WITHIN ITS SIGN-PROJECTION BUCKET via a bucket
+    * equi-join (one shared exchange for both aliases) — work scales
+    * with bucket occupancy, and the bucket count grows with the
+    * plane count as the corpus grows. Vectors alone in their bucket
+    * have no candidate mate and are absent (the approximation LSH
+    * trades for boundedness — the brute variant remains the
+    * spec/oracle baseline).
+    */
+  def embedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val b = vectors(s, d)
+      .withColumn("bucket",
+        (0 until NumPlanes).map(p =>
+          when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
+          .reduce(_ + _))
+      .repartition(col("bucket"))
+    val a = b.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                     col("nrm").as("qnrm"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+                     col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    a.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"),
+              (pround(col("cos"), 4) >= 0.95).as("is_dup"))
+      .orderBy(col("query_id"))
+  }
+
   /** Symmetric int8 quantization + search — the embedding-compression
     * path of a 100 TB pipeline (4x smaller vectors, SIMD-friendly
     * integer dot products; here the arithmetic story is what's
@@ -375,6 +411,7 @@ object Similarity {
     "ann_ivf"       -> annIvf _,
     "ann_ivf_trained" -> annIvfTrained _,
     "sim_near_dup"  -> embedNearDup _,
+    "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
     "sim_project"   -> projectEmbeddings _,
   )
@@ -545,6 +582,17 @@ object Similarity {
          |      WHERE p.vec_id < $ProbeCount) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
+    "sim_near_dup_lsh" ->
+      s"""WITH $vecCte,
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+         |SELECT query_id, neighbor_id, cos_sim, cos_sim >= 0.95 AS is_dup
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        pround(list_cosine_similarity(q.v, c.v), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+         |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id) t
+         |WHERE rank = 1
+         |ORDER BY query_id""".stripMargin,
     "sim_near_dup" ->
       s"""WITH $vecCte
          |SELECT query_id, neighbor_id, cos_sim, cos_sim >= 0.95 AS is_dup
