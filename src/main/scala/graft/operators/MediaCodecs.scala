@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real media codecs from the JDK — no external libraries: PNG via
+  * javax.imageio (actual deflate compression/decompression), WAV via
+  * javax.sound.sampled (actual RIFF/PCM encode/parse). This is what
+  * makes [[Multimodal.MediaDecoder.Real]] genuinely execute codec
+  * work for image and audio payloads; video stays a stubbed seam
+  * (the JDK ships no video codec).
+  *
+  * Encoders are deterministic (pixel/sample patterns derived from a
+  * seed via a fixed LCG), so round-trip queries are reproducible.
+  */
+object MediaCodecs {
+
+  private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+
+  /** Deterministic RGB image, compressed to real PNG bytes. */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var v = lcg(seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        v = lcg(v + x * 9973L + y * 31L)
+        img.setRGB(x, y, (v >>> 24).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode: (width, height, md5 of the decoded pixel ints). */
+  def decodePng(bytes: Array[Byte]): (Int, Int, String) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y) & 0xFFFFFF
+        md.update((p >> 16).toByte); md.update((p >> 8).toByte); md.update(p.toByte)
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight,
+      md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private val SampleRate = 8000f
+
+  /** Deterministic 16-bit mono PCM, wrapped as a real WAV file. */
+  def wavBytes(nSamples: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var v = lcg(seed)
+    var i = 0
+    while (i < nSamples) {
+      v = lcg(v)
+      val s = (v >>> 40).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: (sample count, sample rate Hz, md5 of PCM). */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, String) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(pcm)
+    (pcm.length / (fmt.getSampleSizeInBits / 8) / fmt.getChannels,
+      fmt.getSampleRate.toInt,
+      md.digest().map("%02x".format(_)).mkString)
+  }
+}

@@ -9,11 +9,14 @@ import graft.functions.CrossEngine.{portableHash, portableHashSql}
   * with typed metadata, plus the decode / feature-extract / frame-
   * sample plumbing of a multimodal training pipeline.
   *
-  * The container has no image/audio codecs, so the DECODE step is
-  * stubbed ([[MediaDecoder.Real]] is a clearly-marked `???`); the
-  * Spark-side plumbing — binary schema, per-partition batched decode,
-  * deterministic frame sampling, metadata struct — is real and
-  * tested with [[MediaDecoder.Deterministic]].
+  * The DECODE step is REAL for image and audio — the JDK ships PNG
+  * (javax.imageio, actual deflate) and WAV (javax.sound.sampled,
+  * actual RIFF/PCM) codecs, exercised end-to-end by the `mm_decode`
+  * round-trip query and MultimodalSpec. Video decode remains a
+  * clearly-marked `???` seam (no video codec in the JDK or this
+  * container). The Spark-side plumbing — binary schema, per-partition
+  * batched decode, deterministic frame sampling, metadata struct — is
+  * the same for all kinds.
   *
   * Scale shape: payloads never shuffle — features are computed in the
   * scan stage (map-side), and only the small feature rows move.
@@ -46,13 +49,26 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** STUB — the real codec path (javax.imageio / ffmpeg / soundfile)
-      * is not available in this container. Wire a real implementation
-      * here when codecs exist; everything downstream is agnostic.
+    /** REAL codecs for image (PNG via javax.imageio — actual deflate
+      * decompression) and audio (WAV via javax.sound.sampled — actual
+      * RIFF/PCM parse), both shipped with the JDK. Feature fields per
+      * kind: image → (width, height, md5 of decoded pixels); audio →
+      * (sample count, sample rate Hz, md5 of PCM). Video remains a
+      * stubbed seam: the JDK has no video codec, and this container
+      * has no ffmpeg — wire one here when it exists.
       */
     object Real extends MediaDecoder {
       def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures =
-        ??? // real codec unavailable in this environment — see Scaladoc
+        kind match {
+          case "image" =>
+            val (w, h, dig) = MediaCodecs.decodePng(payload)
+            MediaFeatures(mediaId, kind, payload.length, w, h, dig)
+          case "audio" =>
+            val (n, rate, dig) = MediaCodecs.decodeWav(payload)
+            MediaFeatures(mediaId, kind, payload.length, n, rate, dig)
+          case other =>
+            ??? // video: no codec in the JDK/container — see Scaladoc
+        }
     }
 
     /** Deterministic fake: dimensions derived from the payload hash —
@@ -116,9 +132,35 @@ object Multimodal {
               length(col("frame")).as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** End-to-end REAL codec round trip: deterministic pixels/samples →
+    * actual PNG/WAV encode (mapPartitions, payload born in the scan
+    * stage) → actual decode through [[MediaDecoder.Real]] → features.
+    * No SQL oracle (DuckDB can't decode PNG) — the driver records the
+    * rows-only check; MultimodalSpec pins the exact decoded values.
+    */
+  def decodeRoundTrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          if (id % 2 == 0)
+            (id, "image",
+              MediaCodecs.pngBytes(16 + (id % 32).toInt, 8 + (id % 16).toInt, id))
+          else
+            (id, "audio", MediaCodecs.wavBytes(256 + (id % 512).toInt, id))
+        }
+      }.toDF("media_id", "kind", "payload")
+    featurize(media, MediaDecoder.Real).toDF()
+      .select(col("mediaId").as("media_id"), col("kind"),
+              col("nBytes").as("n_bytes"), col("width"), col("height"),
+              col("digest"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> features _,
     "mm_frames"   -> frames _,
+    "mm_decode"   -> decodeRoundTrip _,
   )
 
   val oracles: Map[String, String] = Map(
