@@ -117,7 +117,9 @@ object ScaleOps {
       .drop("mn", "mx", "nb")
     val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"))
     val local = b.withColumn("__local", sum(col(valueCol)).over(w))
-    val btot = local.groupBy(col("__bucket")).agg(max(col("__local")).as("__btot"))
+    // bucket totals as a real sum — NOT max of the running sum, which
+    // breaks for negative values (caught by DistributedAlgoPropertySpec)
+    val btot = b.groupBy(col("__bucket")).agg(sum(col(valueCol)).as("__btot"))
     val carry = btot.as("a")
       .join(btot.as("b"), col("b.__bucket") < col("a.__bucket"))
       .groupBy(col("a.__bucket").as("__bucket"))
