@@ -62,6 +62,52 @@ class DistributedAlgoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeLeft agrees with a direct reference merge on random tables") {
+    import spark.implicits._
+    case class Node(hb: Long, ts: Long, alive: Boolean)
+    val now = 1000000000L
+    val timeoutSec = 100L
+    val nodeGen = for {
+      hb <- Gen.choose(0L, 10L)
+      ts <- Gen.choose(now - 300000000L, now)
+      alive <- Gen.oneOf(true, false)
+    } yield Node(hb, ts, alive)
+    val tableGen = for {
+      n <- Gen.choose(0, 20)
+      ids <- Gen.pick(n, 1 to 30)
+      nodes <- Gen.listOfN(n, nodeGen)
+    } yield ids.toSeq.zip(nodes).toMap
+    def df(t: Map[Int, Node]) =
+      t.toSeq.map { case (id, n) => (id.toLong, n.hb, n.ts, n.alive) }
+        .toDF("id", "hb", "ts_us", "alive")
+    // direct port of gossip.go:87-108 over Scala maps
+    def reference(l: Map[Int, Node], r: Map[Int, Node]): Map[Int, (Node, String)] = {
+      val stale = l.map { case (id, n) =>
+        id -> n.copy(alive = n.alive && !(now > n.ts + timeoutSec * 1000000L))
+      }
+      (stale.keySet ++ r.keySet).map { id =>
+        (stale.get(id), r.get(id)) match {
+          case (None, Some(rn)) => id -> ((rn, "right"))
+          case (Some(ln), None) => id -> ((ln, "left"))
+          case (Some(ln), Some(rn)) =>
+            if (rn.alive && (rn.hb > ln.hb || (!ln.alive && rn.hb < ln.hb)))
+              id -> ((rn, "right"))
+            else id -> ((ln, "left"))
+          case (None, None) => sys.error("unreachable")
+        }
+      }.toMap
+    }
+    for (seed <- 1L to 10L) {
+      val l = sample(tableGen, seed)
+      val r = sample(tableGen, seed + 1000)
+      val got = graft.operators.Gossip.mergeLeft(df(l), df(r), now, timeoutSec)
+        .collect().map(row => row.getLong(0).toInt ->
+          ((Node(row.getLong(1), row.getLong(2), row.getBoolean(3)),
+            row.getString(4)))).toMap
+      assert(got == reference(l, r), s"seed=$seed")
+    }
+  }
+
   test("gap bitmap agrees with a set-based reference on random buckets") {
     val bucketSize = 64L
     val gen = for {
