@@ -21,6 +21,18 @@ class PlanContractSpec extends AnyFunSuite {
     case other => other
   }
 
+  test("every query has a DuckDB oracle unless explicitly rows-only") {
+    // rows-only queries must be justified here: mm_decode runs real
+    // JDK codecs (PNG/WAV) that DuckDB cannot mirror in SQL; its
+    // exact decoded values are pinned in MultimodalSpec instead.
+    val rowsOnly = Set("mm_decode")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty,
+      s"queries silently skipping the oracle hash gate: $missing")
+    assert(stray.isEmpty, s"oracles without queries: $stray")
+  }
+
   test("no query in the library plans a single-partition window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = unwrap(fn(spark, sf).queryExecution.executedPlan)
