@@ -70,6 +70,18 @@ object CrossEngine {
   def portableHashSql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Second independent portable 32-bit hash: hex chars 9..16 of the
+    * same md5 — together with [[portableHash]] this yields 64
+    * engine-portable hash bits per value (used by the 64-bit SimHash
+    * fingerprint) for the price of one md5.
+    */
+  def portableHashLo(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 9, 8), 16, 10).cast("long")
+
+  /** DuckDB mirror of portableHashLo applied to SQL expression `e`. */
+  def portableHashLoSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 9, 8)) AS BIGINT)"
+
   /** Tokens of a text column as array<string>, empties removed
     * (split on runs of non-letters — wc/wc.go:28 semantics).
     * Codegen'd single-pass walk; differential-tested against the

@@ -16,11 +16,12 @@ import graft.functions.CrossEngine.{pround, portableHash, tokens}
   *  - MinHash:  k=16 affine-permutation mins over word-3-gram
   *              shingles, banded 4x4 → LSH candidate pairs via a
   *              bucket join (shingle→minhash→band→bucket-join).
-  *  - SimHash:  32-bit tf-weighted fingerprint; near-dups = small
-  *              Hamming distance. Pairs found by pigeonhole blocking
-  *              (8 blocks of 4 bits, equi-join on agreeing blocks) —
-  *              the all-pairs scan survives only as a dense-corpus
-  *              fallback.
+  *  - SimHash:  64-bit tf-weighted fingerprint (Manku et al.,
+  *              WWW'07); near-dups = Hamming distance ≤ 3. Pairs
+  *              found by pigeonhole blocking (4 blocks of 16 bits,
+  *              equi-join on agreeing blocks; per-block random
+  *              collision 2⁻¹⁶) — the all-pairs scan survives only
+  *              as a differential-test baseline.
   *  - n-gram Jaccard: exact pairwise Jaccard over pairs sharing ≥1
   *              shingle (inverted-index join prunes the quadratic
   *              space).
@@ -34,8 +35,8 @@ object Dedup {
   private val BandRows = 4
   private val MersennePrime = 2147483647L // 2^31-1
   private val JaccardThreshold = 0.1
-  private val SimhashBits = 32
-  private val HammingMax = 6
+  private val SimhashBits = 64
+  private val HammingMax = 3
 
   /** Exact dedup: one group per distinct text, keeper = min doc_id. */
   def exact(s: SparkSession, d: String): DataFrame =
@@ -167,17 +168,23 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit tf-weighted SimHash per document. */
+  /** 64-bit tf-weighted SimHash per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(s, d).orderBy(col("doc_id"))
 
-  /** All 32 bit-sums in ONE aggregation pass (32 conditional-sum
-    * columns) — exploding every (doc, word) row x32 multiplied the
-    * aggregate input by the bit width for no reason.
+  /** All 64 bit-sums in ONE aggregation pass (64 conditional-sum
+    * columns) — exploding every (doc, word) row x64 multiplied the
+    * aggregate input by the bit width for no reason. The 64 hash
+    * bits per word come from the two md5 halves (h1 = hex 1..8 →
+    * bits 32..63, h0 = hex 9..16 → bits 0..31), so one md5 per word
+    * feeds the whole fingerprint. Bit 63's literal is Long.MinValue;
+    * the bits combine with bitwise OR (each term owns one distinct
+    * bit), which is sign-safe where a sum would overflow-check.
     */
   private def simhashTable(s: SparkSession, d: String): DataFrame = {
     val aggs = (0 until SimhashBits).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("tf"))
+      val h = if (b < 32) "h0" else "h1"
+      sum(when(expr(s"(shiftright($h, ${b % 32}) & 1) = 1"), col("tf"))
           .otherwise(-col("tf"))).as(s"s$b")
     }
     val bits = (0 until SimhashBits).map { b =>
@@ -187,22 +194,20 @@ object Dedup {
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("tf"), portableHash(col("word")).as("h"))
+      .select(col("doc_id"), col("tf"),
+              portableHash(col("word")).as("h1"),
+              graft.functions.CrossEngine.portableHashLo(col("word")).as("h0"))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
-  /** All-pairs fallback for SimHash near-dup pairs — NOT the shipped
+  /** All-pairs baseline for SimHash near-dup pairs — NOT the shipped
     * query. Broadcast nested-loop over the (doc_id, simhash) signature
     * table (only 16 bytes per doc move, never documents). O(N²)
-    * compute, so it dies at 100×; it exists because on pathologically
-    * dense corpora (this synthetic one puts ~10% of ALL pairs within
-    * Hamming 6) the blocked variant's candidate set is itself
-    * near-quadratic and the simpler scan measures faster. The shipped,
-    * oracle-checked default is [[simhashPairsBlocked]] — output-
-    * identical (spec-enforced), and the only shape that survives at
-    * scale.
+    * compute, so it dies at 100×; it survives purely as the
+    * differential-test twin of the shipped, oracle-checked default
+    * [[simhashPairsBlocked]] (output-identical, spec-enforced).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val t = simhashTable(s, d)
@@ -216,21 +221,27 @@ object Dedup {
   }
 
   /** Pigeonhole-blocked SimHash pair scan — the shipped
-    * `dedup_simhash_pairs` query. Split the 32 bits into 8 blocks of
-    * 4; a pair within Hamming distance 6 differs in at most 6 blocks,
-    * so it MUST agree exactly on ≥2 of the 8 — an equi-join on
-    * (block_id, block_value) finds every such pair without
+    * `dedup_simhash_pairs` query, in the Manku et al. (WWW'07)
+    * configuration: 64-bit fingerprint split into 4 blocks of 16
+    * bits. A pair within Hamming distance 3 differs in at most 3
+    * blocks, so it MUST agree exactly on ≥1 of the 4 — an equi-join
+    * on (block_id, block_value) finds every such pair without
     * enumerating all pairs. Identical output to [[simhashPairs]]
-    * (spec-enforced); unlike it, candidate work scales with bucket
-    * collisions, not N², so this is the 100 TB path.
+    * (spec-enforced). Per-block random collision is 2⁻¹⁶, so on
+    * non-adversarial corpora candidate volume tracks true near-dups
+    * (≈ 4·C(N,2)/65536 background pairs), not N² — this is the
+    * 100 TB path. (The previous 8×4-bit blocking collided at
+    * p=1/16 per block ⇒ ≈N²/4 background candidates: structurally
+    * correct, asymptotically useless. SCALE.md carries the measured
+    * candidate-count curve.)
     */
   def simhashPairsBlocked(s: SparkSession, d: String): DataFrame = {
-    val nBlocks = 8
+    val nBlocks = 4
     val t = simhashTable(s, d)
     val blocked = t.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBlocks).map { b =>
         struct(lit(b).as("blk"),
-               expr(s"(simhash >> ${4 * b}) & 15").as("bv"))
+               expr(s"(simhash >> ${16 * b}) & 65535").as("bv"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.blk").as("blk"), col("bb.bv").as("bv"))
@@ -336,17 +347,28 @@ object Dedup {
        |       FROM ng, range(0, $MinhashK) r2(i)
        |       GROUP BY doc_id, i)""".stripMargin
 
+  // 64 hash bits per word from the two md5 halves (hex 9..16 → bits
+  // 0..31, hex 1..8 → bits 32..63), mirroring simhashTable. bit 63's
+  // literal is spelled out: DuckDB rejects 1::BIGINT << 63 as an
+  // overflow, and bit_or (not sum) assembles the fingerprint so the
+  // sign bit needs no HUGEINT detour.
+  private val hLoSql = "CAST(('0x' || substr(md5(%s), 9, 8)) AS BIGINT)"
   private val simhashCte =
     s"""tf AS (SELECT doc_id, word, count(*) AS tf
        |       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
        |             FROM documents) u
        |       WHERE word <> '' GROUP BY doc_id, word),
        |hb AS (SELECT doc_id, b,
-       |         sum(CASE WHEN (${hSql.format("word")} >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+       |         sum(CASE WHEN (CASE WHEN b < 32 THEN ${hLoSql.format("word")} >> b
+       |                        ELSE ${hSql.format("word")} >> (b - 32) END) & 1 = 1
+       |             THEN tf ELSE -tf END) AS s
        |       FROM tf, range(0, $SimhashBits) r(b)
        |       GROUP BY doc_id, b),
        |sh AS (SELECT doc_id,
-       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |         CAST(bit_or(CASE WHEN s > 0 THEN
+       |                (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                 ELSE CAST(1 AS BIGINT) << b END)
+       |              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |       FROM hb GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
