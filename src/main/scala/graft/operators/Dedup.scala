@@ -141,8 +141,49 @@ object Dedup {
                 .as("minhash_sig"))
       .orderBy(col("doc_id"))
 
+  /** Per-ROW form of the banded minhash signature, for streams: maps
+    * any DataFrame with a text column to the same rows plus a `bands`
+    * column `array<struct<band:long, sig:string>>` — bit-identical to
+    * [[minhashBands]]'s (band, sig) pairs for the same text
+    * (spec-enforced), but computed entirely map-side with array
+    * expressions, so a streaming micro-batch pays no shuffle to
+    * sign its documents. Docs with <3 tokens get an empty array,
+    * mirroring the batch chain where they never produce shingles.
+    *
+    * Each intermediate array lands in its own projection: expressions
+    * referenced inside higher-order-function lambdas re-evaluate per
+    * element, so tokenizing inside the n-gram lambda would re-run the
+    * tokenizer O(len) times per doc.
+    */
+  private[graft] def withBandKeys(df: DataFrame, textCol: String): DataFrame = {
+    val tk = col("__tk")
+    val hashed = df
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__gs",
+        array_distinct(when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+                           element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("__hs",
+        transform(col("__gs"), g => graft.functions.CrossEngine.portableHash(g)))
+    val bands = (0 until MinhashK / BandRows).map { b =>
+      struct(lit(b.toLong).as("band"),
+             concat_ws(",", (0 until BandRows).map { r =>
+               val i = b * BandRows + r
+               array_min(transform(col("__hs"),
+                 h => (h * (2 * i + 1) + (i * i + 7)) % MersennePrime))
+             }: _*).as("sig"))
+    }
+    hashed
+      .withColumn("bands",
+        when(size(col("__gs")) > 0, array(bands: _*))
+          .otherwise(array().cast("array<struct<band:bigint,sig:string>>")))
+      .drop("__tk", "__gs", "__hs")
+  }
+
   /** LSH band table: (doc_id, band, band-signature string). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
     val bands = (0 until MinhashK / BandRows).map { b =>
       struct(lit(b.toLong).as("band"),
              concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+import graft.operators.Dedup
+
+/** Streaming NEAR-dup detection — the incremental form of the batch
+  * `Dedup.minhashPairs` operator: a live ingestion pipeline surfaces
+  * near-duplicate candidate pairs as documents arrive instead of
+  * re-scanning the corpus.
+  *
+  * Shape: each arriving document is signed map-side with the SAME
+  * banded minhash as the batch plan ([[Dedup.withBandKeys]] —
+  * bit-identical signatures, spec-enforced), exploded into one row
+  * per LSH band, and grouped by (band, sig). A `transformWithState`
+  * processor keeps the documents previously seen in each bucket and
+  * emits a candidate pair for every (existing, new) combination —
+  * exactly the pairs the batch equi-join on (band, sig) would
+  * produce. A pair colliding in several bands is emitted once per
+  * colliding bucket; the downstream `dropDuplicatesWithinWatermark`
+  * collapses them to the batch twin's `.distinct()`.
+  *
+  * Scale contract: state per bucket is the doc ids + timestamps of
+  * the bucket's members WITHIN the watermark horizon — members whose
+  * event time has fallen behind the watermark are evicted on the
+  * next touch of that bucket, so state is O(docs in horizon), never
+  * O(corpus). Documents themselves never enter state (only 8-byte
+  * ids + timestamps); the pair stream is the candidate surface, and
+  * exact Jaccard verification stays a batch join downstream, as in
+  * `Dedup.dropList`. The standard trade applies: near-dups farther
+  * apart in event time than the horizon fall back to the batch
+  * sweep.
+  */
+object NearDedup {
+
+  case class BandArrival(doc_id: Long, band: Long, sig: String, ts: Timestamp)
+  case class Member(doc_id: Long, tsMillis: Long)
+  case class CandidatePair(doc_a: Long, doc_b: Long, ts: Timestamp)
+
+  class Processor
+      extends StatefulProcessor[(Long, String), BandArrival, CandidatePair] {
+
+    @transient private var members: ListState[Member] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Member](
+        "members", Encoders.product[Member], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[BandArrival],
+        timerValues: TimerValues): Iterator[CandidatePair] = {
+      val horizon = timerValues.getCurrentWatermarkInMs()
+      // evict members the watermark has passed — the bound that keeps
+      // state O(horizon) instead of O(corpus)
+      var kept: Vector[Member] = {
+        val it = members.get()
+        val b = Vector.newBuilder[Member]
+        while (it.hasNext) { val m = it.next(); if (m.tsMillis >= horizon) b += m }
+        b.result()
+      }
+      val out = Vector.newBuilder[CandidatePair]
+      // deterministic intra-batch order so streaming output is a pure
+      // function of the data, not of iterator order
+      rows.toVector.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        if (!kept.exists(_.doc_id == r.doc_id)) {
+          kept.foreach { m =>
+            out += CandidatePair(
+              math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id),
+              new Timestamp(math.max(m.tsMillis, r.ts.getTime)))
+          }
+          kept = kept :+ Member(r.doc_id, r.ts.getTime)
+        }
+      }
+      members.put(kept.toArray)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (Long, String), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidatePair] =
+      Iterator.empty
+  }
+
+  /** stream: (doc_id, text, ts). Emits distinct near-dup candidate
+    * pairs (doc_a < doc_b) with event time = the later document's.
+    */
+  def candidatePairs(stream: DataFrame,
+                     watermark: String = "10 seconds"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    Dedup.withBandKeys(stream, "text")
+      .select(col("doc_id"), explode(col("bands")).as("bs"), col("ts"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+              col("bs.sig").as("sig"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[BandArrival]
+      .groupByKey(r => (r.band, r.sig))
+      .transformWithState(new Processor, "ts", OutputMode.Append())
+      .toDF()
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+}
