@@ -78,6 +78,60 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  private val VideoMagic = "GFV1".getBytes("US-ASCII")
+
+  /** Deterministic "video": a length-prefixed concatenated-PNG
+    * container — magic `GFV1`, big-endian frame count, then per frame
+    * a big-endian byte length + real PNG bytes (every frame goes
+    * through the actual deflate encoder; the per-frame seed varies so
+    * frames differ). This is the container format that closes the
+    * video seam with zero external dependencies: the codec work per
+    * frame is the same real PNG codec the image path runs.
+    */
+  def videoBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(nFrames)
+    var i = 0
+    while (i < nFrames) {
+      val png = pngBytes(w, h, lcg(seed + i))
+      out.writeInt(png.length)
+      out.write(png)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Real video decode: walk the GFV1 container, decode every frame
+    * through the real PNG codec. Returns (frame count, width, height,
+    * digest) where digest = md5 over the per-frame pixel digests in
+    * frame order — any bit flip in any frame's pixels changes it.
+    */
+  def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(java.util.Arrays.equals(magic, VideoMagic), "not a GFV1 container")
+    val n = in.readInt()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var w = -1
+    var h = -1
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      val (fw, fh, dig) = decodePng(frame)
+      if (i == 0) { w = fw; h = fh }
+      else require(fw == w && fh == h, "frame dimensions must be constant")
+      md.update(dig.getBytes("US-ASCII"))
+      i += 1
+    }
+    (n, w, h, md.digest().map("%02x".format(_)).mkString)
+  }
+
   /** Real WAV decode: (sample count, sample rate Hz, md5 of PCM). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, String) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))

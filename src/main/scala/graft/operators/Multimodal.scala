@@ -9,14 +9,15 @@ import graft.functions.CrossEngine.{portableHash, portableHashSql}
   * with typed metadata, plus the decode / feature-extract / frame-
   * sample plumbing of a multimodal training pipeline.
   *
-  * The DECODE step is REAL for image and audio — the JDK ships PNG
+  * The DECODE step is REAL for all three kinds — the JDK ships PNG
   * (javax.imageio, actual deflate) and WAV (javax.sound.sampled,
-  * actual RIFF/PCM) codecs, exercised end-to-end by the `mm_decode`
-  * round-trip query and MultimodalSpec. Video decode remains a
-  * clearly-marked `???` seam (no video codec in the JDK or this
-  * container). The Spark-side plumbing — binary schema, per-partition
-  * batched decode, deterministic frame sampling, metadata struct — is
-  * the same for all kinds.
+  * actual RIFF/PCM) codecs, and video is a length-prefixed
+  * concatenated-PNG container ([[MediaCodecs.decodeVideo]]) whose
+  * every frame runs the real PNG codec — all exercised end-to-end by
+  * the `mm_decode` round-trip query and MultimodalSpec. The
+  * Spark-side plumbing — binary schema, per-partition batched
+  * decode, deterministic frame sampling, metadata struct — is the
+  * same for all kinds.
   *
   * Scale shape: payloads never shuffle — features are computed in the
   * scan stage (map-side), and only the small feature rows move.
@@ -39,9 +40,12 @@ object Multimodal {
         length(col("text").cast("binary")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
-  /** Decoded-media features; what a real image/audio decode yields. */
+  /** Decoded-media features; what a real decode yields. `frames` is 1
+    * for stills and audio clips, the container frame count for video.
+    */
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
-                           width: Int, height: Int, digest: String)
+                           frames: Int, width: Int, height: Int,
+                           digest: String)
 
   /** The decode seam. Real decoders plug in here. */
   trait MediaDecoder extends Serializable {
@@ -49,25 +53,29 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** REAL codecs for image (PNG via javax.imageio — actual deflate
-      * decompression) and audio (WAV via javax.sound.sampled — actual
-      * RIFF/PCM parse), both shipped with the JDK. Feature fields per
-      * kind: image → (width, height, md5 of decoded pixels); audio →
-      * (sample count, sample rate Hz, md5 of PCM). Video remains a
-      * stubbed seam: the JDK has no video codec, and this container
-      * has no ffmpeg — wire one here when it exists.
+    /** REAL codecs for every kind, zero external dependencies:
+      * image → PNG via javax.imageio (actual deflate decompression);
+      * audio → WAV via javax.sound.sampled (actual RIFF/PCM parse);
+      * video → GFV1 length-prefixed concatenated-PNG container, every
+      * frame through the real PNG codec. Feature fields per kind:
+      * image → (1, width, height, md5 of decoded pixels); audio →
+      * (1, sample count, sample rate Hz, md5 of PCM); video →
+      * (frame count, width, height, md5 over per-frame pixel digests).
       */
     object Real extends MediaDecoder {
       def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures =
         kind match {
           case "image" =>
             val (w, h, dig) = MediaCodecs.decodePng(payload)
-            MediaFeatures(mediaId, kind, payload.length, w, h, dig)
+            MediaFeatures(mediaId, kind, payload.length, 1, w, h, dig)
           case "audio" =>
             val (n, rate, dig) = MediaCodecs.decodeWav(payload)
-            MediaFeatures(mediaId, kind, payload.length, n, rate, dig)
+            MediaFeatures(mediaId, kind, payload.length, 1, n, rate, dig)
+          case "video" =>
+            val (n, w, h, dig) = MediaCodecs.decodeVideo(payload)
+            MediaFeatures(mediaId, kind, payload.length, n, w, h, dig)
           case other =>
-            ??? // video: no codec in the JDK/container — see Scaladoc
+            throw new IllegalArgumentException(s"unknown media kind: $other")
         }
     }
 
@@ -79,7 +87,7 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(payload).map("%02x".format(_)).mkString
         val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-        MediaFeatures(mediaId, kind, payload.length,
+        MediaFeatures(mediaId, kind, payload.length, 1,
           (64 + h % 1217).toInt, (64 + h % 657).toInt, hex)
       }
     }
@@ -132,28 +140,33 @@ object Multimodal {
               length(col("frame")).as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
-  /** End-to-end REAL codec round trip: deterministic pixels/samples →
-    * actual PNG/WAV encode (mapPartitions, payload born in the scan
-    * stage) → actual decode through [[MediaDecoder.Real]] → features.
-    * No SQL oracle (DuckDB can't decode PNG) — the driver records the
-    * rows-only check; MultimodalSpec pins the exact decoded values.
+  /** End-to-end REAL codec round trip: deterministic pixels/samples/
+    * frames → actual PNG/WAV/GFV1 encode (mapPartitions, payload born
+    * in the scan stage) → actual decode through [[MediaDecoder.Real]]
+    * → features. No SQL oracle (DuckDB can't decode PNG) — the driver
+    * records the rows-only check; MultimodalSpec pins the exact
+    * decoded values.
     */
   def decodeRoundTrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          if (id % 2 == 0)
-            (id, "image",
+          (id % 3) match {
+            case 0 => (id, "image",
               MediaCodecs.pngBytes(16 + (id % 32).toInt, 8 + (id % 16).toInt, id))
-          else
-            (id, "audio", MediaCodecs.wavBytes(256 + (id % 512).toInt, id))
+            case 1 => (id, "audio",
+              MediaCodecs.wavBytes(256 + (id % 512).toInt, id))
+            case _ => (id, "video",
+              MediaCodecs.videoBytes(8 + (id % 8).toInt, 4 + (id % 4).toInt,
+                                     2 + (id % 4).toInt, id))
+          }
         }
       }.toDF("media_id", "kind", "payload")
     featurize(media, MediaDecoder.Real).toDF()
       .select(col("mediaId").as("media_id"), col("kind"),
-              col("nBytes").as("n_bytes"), col("width"), col("height"),
-              col("digest"))
+              col("nBytes").as("n_bytes"), col("frames").as("n_frames"),
+              col("width"), col("height"), col("digest"))
       .orderBy(col("media_id"))
   }
 

@@ -67,19 +67,52 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeRoundTrip(spark, sf)
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
     assert(out.count() == nDocs)
-    // decoded dimensions equal the generation parameters per row
+    // all three kinds present, decoded dimensions equal the
+    // generation parameters per row
+    assert(out.select("kind").distinct().count() == 3)
     val bad = out.filter(
       ($"kind" === "image" &&
-        ($"width" =!= lit(16) + $"media_id" % 32 ||
+        ($"n_frames" =!= 1 ||
+         $"width" =!= lit(16) + $"media_id" % 32 ||
          $"height" =!= lit(8) + $"media_id" % 16)) ||
       ($"kind" === "audio" &&
-        ($"width" =!= lit(256) + $"media_id" % 512 || $"height" =!= 8000)))
+        ($"n_frames" =!= 1 ||
+         $"width" =!= lit(256) + $"media_id" % 512 || $"height" =!= 8000)) ||
+      ($"kind" === "video" &&
+        ($"n_frames" =!= lit(2) + $"media_id" % 4 ||
+         $"width" =!= lit(8) + $"media_id" % 8 ||
+         $"height" =!= lit(4) + $"media_id" % 4)))
     assert(bad.isEmpty, "decoded features must match generation parameters")
   }
 
-  test("video decode remains an explicit stub (no JDK codec)") {
-    intercept[NotImplementedError] {
-      MediaDecoder.Real.decode(0L, "video", Array[Byte](1, 2, 3))
+  test("real video codec: GFV1 container round trip through real PNG frames") {
+    import graft.operators.MediaCodecs
+    val video = MediaCodecs.videoBytes(12, 6, 3, seed = 42L)
+    assert(new String(video.take(4), "US-ASCII") == "GFV1")
+    val f = MediaDecoder.Real.decode(9L, "video", video)
+    assert(f.frames == 3 && f.width == 12 && f.height == 6
+      && f.nBytes == video.length)
+    // deterministic, and sensitive to any frame's pixel content
+    assert(f.digest == MediaDecoder.Real.decode(9L, "video",
+      MediaCodecs.videoBytes(12, 6, 3, seed = 42L)).digest)
+    assert(f.digest != MediaDecoder.Real.decode(9L, "video",
+      MediaCodecs.videoBytes(12, 6, 3, seed = 43L)).digest)
+    // exact value: the container digest is md5 over the per-frame
+    // pixel digests, recomputed here independently frame by frame
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(video.drop(8)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 3).foreach { _ =>
+      val frame = new Array[Byte](in.readInt())
+      in.readFully(frame)
+      md.update(MediaCodecs.decodePng(frame)._3.getBytes("US-ASCII"))
+    }
+    assert(f.digest == md.digest().map("%02x".format(_)).mkString)
+  }
+
+  test("unknown media kind fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      MediaDecoder.Real.decode(0L, "hologram", Array[Byte](1, 2, 3))
     }
   }
 }
