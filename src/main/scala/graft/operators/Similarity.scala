@@ -110,6 +110,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-probe ANN — the recall lever of the sign-LSH path at a
+    * fixed index: each probe searches its own bucket PLUS the
+    * NumPlanes Hamming-1 neighbor buckets (one sign flipped), the
+    * buckets a true neighbor most likely fell into when a single
+    * hyperplane disagreed. The plan shape is IDENTICAL to [[annLsh]]
+    * — broadcast probe side (now (1+NumPlanes)× rows, still tiny)
+    * equi-joined on `bucket` — so cost grows only with the probed
+    * fraction of the corpus ((1+NumPlanes)/2^NumPlanes), never a
+    * nested-loop scan. Candidates can't duplicate: a vector lives in
+    * exactly one bucket and a probe's expanded keys are distinct.
+    * Recall is structurally ≥ [[annLsh]]'s (its candidate set is a
+    * superset — mask 0 is the home bucket); AnnRecallSpec pins the
+    * measured floors.
+    */
+  def annLshMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val b = vectors(s, d)
+      .withColumn("bucket",
+        (0 until NumPlanes).map(p =>
+          when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
+          .reduce(_ + _))
+    val masks = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))): _*)
+    val q = b.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("bucket").as("home"))
+      .withColumn("m", explode(masks))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+              expr("home ^ m").as("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+                     col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              pround(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup scan: nearest neighbor for a deterministic
     * probe slice, flagged when cosine exceeds the dup threshold.
     */
@@ -407,6 +448,7 @@ object Similarity {
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,
     "ann_lsh"       -> annLsh _,
+    "ann_lsh_mp"    -> annLshMultiProbe _,
     "ann_ivf_lists" -> ivfLists _,
     "ann_ivf"       -> annIvf _,
     "ann_ivf_trained" -> annIvfTrained _,
@@ -517,6 +559,20 @@ object Similarity {
          |          ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
          |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |      WHERE q.vec_id < $ProbeCount) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_mp" ->
+      s"""WITH $vecCte,
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |probes AS (SELECT q.vec_id AS query_id, q.v AS qv, xor(q.bucket, m.m) AS bucket
+         |           FROM b q, (VALUES ${(0 +: (0 until NumPlanes).map(1 << _).toList).map(v => s"($v)").mkString(", ")}) m(m)
+         |           WHERE q.vec_id < $ProbeCount)
+         |SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |        pround(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim,
+         |        row_number() OVER (PARTITION BY p.query_id
+         |          ORDER BY pround(list_cosine_similarity(p.qv, c.v), 6) DESC, c.vec_id) AS rank
+         |      FROM probes p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_lists" ->

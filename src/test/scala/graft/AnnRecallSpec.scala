@@ -42,9 +42,15 @@ class AnnRecallSpec extends AnyFunSuite {
     val ivf = recallOf(Similarity.annIvf(spark, sf))
     val trained = recallOf(Similarity.annIvfTrained(spark, sf))
     val lsh = recallOf(Similarity.annLsh(spark, sf))
-    info(f"ivf recall@3 = $ivf%.3f  trained = $trained%.3f  lsh = $lsh%.3f")
+    val mp = recallOf(Similarity.annLshMultiProbe(spark, sf))
+    info(f"ivf recall@3 = $ivf%.3f  trained = $trained%.3f  lsh = $lsh%.3f  lsh_mp = $mp%.3f")
     assert(ivf >= 0.3, s"ivf recall $ivf below floor 0.3")
     assert(lsh >= 0.05, s"lsh recall $lsh below floor 0.05")
+    // multi-probe candidates are a superset of single-probe's (mask 0
+    // is the home bucket), so its recall can never be lower — and the
+    // Hamming-1 expansion must lift it meaningfully, not marginally
+    assert(mp >= lsh, s"multi-probe recall $mp below single-probe $lsh")
+    assert(mp >= 0.4, s"multi-probe recall $mp below floor 0.4")
     assert(trained >= ivf,
       s"Lloyd-trained centroids ($trained) must not lose recall vs sampled ($ivf)")
   }

@@ -95,6 +95,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"dedup_simhash_pairs must use the pigeonhole equi-join, found: $nlj")
   }
 
+  test("ann_lsh_mp keeps the broadcast bucket equi-join — no nested-loop scan") {
+    val plan = unwrap(SparkEntry.queries("ann_lsh_mp")(spark, sf)
+      .queryExecution.executedPlan)
+    val nlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nlj.isEmpty,
+      s"multi-probe LSH must equi-join on bucket, found: $nlj")
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "probe side must broadcast into a hash join")
+  }
+
   test("rank-filter queries plan through TopKPerGroup") {
     for (q <- Seq("q7_top_orders_per_customer", "txt_tfidf")) {
       val plan = unwrap(SparkEntry.queries(q)(spark, sf)
