@@ -64,16 +64,23 @@ object ScaleOps {
     * `startId`: when set, the sequence is expected to begin there and
     * a leading hole [startId, first-1] is reported (the reference's
     * replication scan starts at id 1, replication.go:345-406).
+    *
+    * `buckets` ≤ 0 (the default) derives the bucket count from
+    * `spark.sql.shuffle.partitions`: the bucket count IS the stage's
+    * parallelism, and a hardcoded constant would cap a 1000-executor
+    * cluster's gap scan at that constant while leaving each bucket
+    * N/constant rows through one window task.
     */
   def gapRanges(observed: DataFrame, idCol: String = "id",
-                startId: Option[Long] = None, buckets: Int = 64): DataFrame = {
+                startId: Option[Long] = None, buckets: Int = -1): DataFrame = {
+    val nBuckets = sessionBuckets(observed, buckets)
     val obs = observed.select(col(idCol).cast("long").as("id")).distinct()
     // id-range bounds folded in as a broadcast scalar (width_bucket
     // takes column bounds) — the whole thing is ONE lazy plan, not a
     // driver-side min/max job followed by the query
     val mm = obs.agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .select(col("mn"), col("mx"),
-        greatest(lit(1L), least(lit(buckets.toLong), col("mx") - col("mn") + 1))
+        greatest(lit(1L), least(lit(nBuckets.toLong), col("mx") - col("mn") + 1))
           .cast("int").as("nb"))
     val b = obs.crossJoin(broadcast(mm))
       .withColumn("bucket",
@@ -103,13 +110,17 @@ object ScaleOps {
     * state is one total per bucket, combined into an exclusive carry
     * and broadcast back. Output: input rows + `outCol` = inclusive
     * prefix sum in `orderCol` order.
+    *
+    * `buckets` ≤ 0 (the default) derives the bucket count from
+    * `spark.sql.shuffle.partitions` — see [[gapRanges]].
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                outCol: String = "cum", buckets: Int = 64): DataFrame = {
+                outCol: String = "cum", buckets: Int = -1): DataFrame = {
+    val nBuckets = sessionBuckets(df, buckets)
     val obs = df.withColumn("__ord", col(orderCol).cast("long"))
     val mm = obs.agg(min(col("__ord")).as("mn"), max(col("__ord")).as("mx"))
       .select(col("mn"), col("mx"),
-        greatest(lit(1L), least(lit(buckets.toLong), col("mx") - col("mn") + 1))
+        greatest(lit(1L), least(lit(nBuckets.toLong), col("mx") - col("mn") + 1))
           .cast("int").as("nb"))
     val b = obs.crossJoin(broadcast(mm))
       .withColumn("__bucket",
@@ -128,6 +139,13 @@ object ScaleOps {
       .withColumn(outCol, col("__local") + coalesce(col("__carry"), lit(0L)))
       .drop("__bucket", "__local", "__carry", "__ord")
   }
+
+  /** Explicit `buckets` wins; otherwise the session's shuffle
+    * parallelism — the same number every other wide stage runs at.
+    */
+  private def sessionBuckets(df: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
   /** Skew-safe equi-join: spread each hot key of `big` over `nSalts`
     * partitions by a random salt, replicate `small` across all salt
