@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects; this session-level flag reads such
+      // columns as raw ns longs (Tables.events truncates to µs). Set
+      // here — a table LOADER mutating session conf as a side effect
+      // would change behavior for every other reader on the session.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // checkpoint-file checksums deadlock RocksDB snapshot uploads in
       // local mode (every task parks in ChecksumCancellableFSDataOutput
       // Stream.close awaiting a checksum-write future that never runs);

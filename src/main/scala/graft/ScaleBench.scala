@@ -45,9 +45,9 @@ object ScaleBench {
     val spark = GraftSession.builder(s"local[$cpus, 4]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.ts is TIMESTAMP(NANOS); read it as a raw ns long and
-    // write it back as a plain long — Tables.events handles both
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is TIMESTAMP(NANOS); the GraftSession-level
+    // nanosAsLong flag reads it as a raw ns long, and it is written
+    // back as a plain long — Tables.events handles both
     for ((t, cols) <- idCols.toSeq.sortBy(_._1)) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val scaled =

@@ -50,13 +50,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nanosecond long
-    * (`nanosAsLong`) and truncate to microseconds — the same floor
-    * conversion DuckDB applies when it loads ns into its µs timestamp,
-    * so both engines see identical instants.
+    * reader rejects outright. The GraftSession builder sets
+    * `spark.sql.legacy.parquet.nanosAsLong` so the column arrives as
+    * a raw nanosecond long; here it is truncated to microseconds —
+    * the same floor conversion DuckDB applies when it loads ns into
+    * its µs timestamp, so both engines see identical instants. (No
+    * session-conf mutation here: a loader silently flipping a session
+    * flag would change behavior for every other reader. A session
+    * built without the flag fails this read loudly instead.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(set by GraftSession.builder)")
     load(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
