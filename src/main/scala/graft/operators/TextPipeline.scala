@@ -171,15 +171,19 @@ object TextPipeline {
   private val BpePattern =
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
-  /** Token budgeting three ways: whitespace tokens, BPE-ish pieces,
-    * and Unicode letter-run tokens (count_tokens, array-free).
+  /** Token budgeting four ways: whitespace tokens, BPE pre-tokenizer
+    * pieces, Unicode letter-run tokens (count_tokens, array-free),
+    * and true BPE subword pieces after rank-ordered merges
+    * ([[graft.functions.BpeTokenizer]] — what an LLM tokenizer
+    * actually sees; both engines run the same merge list).
     */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_pieces"),
-        graft.functions.ColumnShims.countTokens(col("text")).as("n_letter_tokens"))
+        graft.functions.ColumnShims.countTokens(col("text")).as("n_letter_tokens"),
+        graft.functions.BpeTokenizer.subwordCount(col("text")).as("n_subword"))
       .orderBy(col("doc_id"))
 
   /** Scrubbing pass of a pretraining pipeline: redact URLs/emails and
@@ -220,9 +224,11 @@ object TextPipeline {
     * afford single-node).
     */
   def packShards(s: SparkSession, d: String): DataFrame = {
+    // budget in BPE subword pieces — the unit an LLM context window
+    // is actually measured in — not the letter-run proxy
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        graft.functions.ColumnShims.countTokens(col("text")).as("n_tokens"))
+        graft.functions.BpeTokenizer.subwordCount(col("text")).as("n_tokens"))
     ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum")
       .withColumn("shard_id",
         expr(s"(cum - n_tokens) div $ShardBudget"))
@@ -360,12 +366,13 @@ object TextPipeline {
          |ORDER BY doc_id""".stripMargin
     },
     "txt_token_counts" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_pieces,
-        |  len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS n_letter_tokens
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(trim(text), '\\S+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_pieces,
+         |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS n_letter_tokens,
+         |  ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_subword
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "txt_pack_shards" ->
       s"""SELECT doc_id, n_tokens,
          |  CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
@@ -373,8 +380,7 @@ object TextPipeline {
          |        sum(n_tokens) OVER (ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM (SELECT doc_id,
-         |              len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
-         |                              t -> t <> '')) AS n_tokens
+         |              ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_tokens
          |            FROM documents) t) c
          |ORDER BY doc_id""".stripMargin,
     "txt_tfidf" ->
