@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * how the plans scale (fixed-overhead amortization, no
   * super-linear blowups) one step beyond sf0.1.
   *
-  * Usage: runMain graft.ScaleBench [K] [srcDir] [outDir]
+  * Usage: runMain graft.ScaleBench [K] [srcDir] [outDir] [queriesCsv] [tablesCsv]
+  *
+  * `queriesCsv` restricts the timed set (default: all registered
+  * queries) and `tablesCsv` the replicated tables (default: all) —
+  * the 50x point times only the flagship scale paths, whose brute
+  * twins are exactly the plans that would explode there.
   */
 object ScaleBench {
 
@@ -41,6 +46,10 @@ object ScaleBench {
     val k = args.headOption.map(_.toInt).getOrElse(5)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2) else s"target/scaled_${k}x"
+    val querySet = if (args.length > 3) args(3).split(",").toSet
+                   else SparkEntry.queries.keySet
+    val tableSet = if (args.length > 4) args(4).split(",").toSet
+                   else idCols.keySet
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = GraftSession.builder(s"local[$cpus, 4]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +57,7 @@ object ScaleBench {
     // events.ts is TIMESTAMP(NANOS); the GraftSession-level
     // nanosAsLong flag reads it as a raw ns long, and it is written
     // back as a plain long — Tables.events handles both
-    for ((t, cols) <- idCols.toSeq.sortBy(_._1)) {
+    for ((t, cols) <- idCols.toSeq.sortBy(_._1) if tableSet(t)) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val scaled =
         if (cols.isEmpty || k == 1) base
@@ -61,7 +70,8 @@ object ScaleBench {
     }
 
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => querySet(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, out).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -22,6 +22,9 @@ import graft.operators.Dedup
   * every scale point. Results are appended to SCALE.md by hand.
   *
   * Usage: runMain graft.SimhashScale [dir ...]
+  * (env SIMHASH_SCALE_SKIP_NARROW=1 skips the narrow baseline — at
+  * 250k docs it counts a ~10¹¹-row join whose verdict is already
+  * known: ≈3.4× all-pairs at every measured point.)
   */
 object SimhashScale {
 
@@ -61,7 +64,9 @@ object SimhashScale {
       }
 
       val (wideTotal, wideMatch) = candidates(4, 16)
-      val (narrowTotal, _) = candidates(16, 4)
+      val narrowTotal =
+        if (sys.env.contains("SIMHASH_SCALE_SKIP_NARROW")) -1L
+        else candidates(16, 4)._1
       val allPairs = n * (n - 1) / 2
       println(f"""{"dir":"$d","n_docs":$n,"allpairs":$allPairs,""" +
         f""""wide_total":$wideTotal,"wide_matching":$wideMatch,""" +

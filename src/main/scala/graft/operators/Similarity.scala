@@ -24,15 +24,20 @@ import graft.functions.CrossEngine.pround
 object Similarity {
 
   private val NumPlanes = 4
+  private val MaxPlanes = 16
   private val Dims = 64
   private val ProbeCount = 10
   private val TopK = 5
   private val LshTopK = 3
 
-  /** Deterministic ±1 hyperplane entries: parity of md5("hp_<p>_<d>"). */
+  /** Deterministic ±1 hyperplane entries: parity of md5("hp_<p>_<d>").
+    * Planes 0..3 are the fixed index of the probe-bounded ann_*
+    * queries; the full-corpus near-dup scan draws from the same
+    * family up to [[MaxPlanes]], adaptively ([[embedNearDupLsh]]).
+    */
   private[operators] val planeSigns: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { p =>
+    (0 until MaxPlanes).map { p =>
       (0 until Dims).map { dd =>
         val h = md.digest(s"hp_${p}_$dd".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1 else -1
@@ -177,18 +182,34 @@ object Similarity {
     * broadcast side is unbounded at 100x; here every vector finds its
     * nearest mate WITHIN ITS SIGN-PROJECTION BUCKET via a bucket
     * equi-join (one shared exchange for both aliases) — work scales
-    * with bucket occupancy, and the bucket count grows with the
-    * plane count as the corpus grows. Vectors alone in their bucket
-    * have no candidate mate and are absent (the approximation LSH
-    * trades for boundedness — the brute variant remains the
-    * spec/oracle baseline).
+    * with bucket occupancy. Vectors alone in their bucket have no
+    * candidate mate and are absent (the approximation LSH trades for
+    * boundedness — the brute variant remains the spec/oracle
+    * baseline).
+    *
+    * The plane count ADAPTS to the corpus: a fixed bucket count
+    * makes per-bucket occupancy — and the join — quadratic in N
+    * (measured: 214× runtime for 50× vectors at 4 fixed planes,
+    * SCALE.md). nplanes = clamp(4, 16, bit_length(N div 32)) targets
+    * ~32 vectors per bucket at any N, keeping the join ~linear; the
+    * count is an integer formula (`length(bin(...))`), bit-identical
+    * in the oracle, folded in as a broadcast scalar so the plan
+    * stays lazy. Unused planes' dot products short-circuit in
+    * codegen.
     */
   def embedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val nAgg = vectors(s, d).agg(count(lit(1)).as("nvecs"))
+      .select(least(lit(MaxPlanes),
+        greatest(lit(NumPlanes),
+          length(bin(greatest(lit(1L), expr("nvecs div 32")))))).as("np"))
     val b = vectors(s, d)
+      .crossJoin(broadcast(nAgg))
       .withColumn("bucket",
-        (0 until NumPlanes).map(p =>
-          when(dot(col("v"), signArray(p)) >= 0, 1 << p).otherwise(0))
+        (0 until MaxPlanes).map(p =>
+          when(lit(p) < col("np") && dot(col("v"), signArray(p)) >= 0, 1 << p)
+            .otherwise(0))
           .reduce(_ + _))
+      .drop("np")
       .repartition(col("bucket"))
     val a = b.select(col("vec_id").as("query_id"), col("v").as("qv"),
                      col("nrm").as("qnrm"), col("bucket"))
@@ -466,6 +487,13 @@ object Similarity {
       s"(CASE WHEN list_dot_product(v, ${signSql(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
 
+  // adaptive-plane variant (np from the pp CTE), mirroring
+  // embedNearDupLsh's clamp(4, 16, bit_length(N div 32))
+  private val adaptiveBucketSql: String =
+    (0 until MaxPlanes).map(p =>
+      s"(CASE WHEN $p < np AND list_dot_product(v, ${signSql(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
   private val vecCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
@@ -640,7 +668,9 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
     "sim_near_dup_lsh" ->
       s"""WITH $vecCte,
-         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+         |pp AS (SELECT least($MaxPlanes, greatest($NumPlanes,
+         |         length(bin(greatest(1, count(*) // 32))))) AS np FROM e),
+         |b AS (SELECT vec_id, v, $adaptiveBucketSql AS bucket FROM e, pp)
          |SELECT query_id, neighbor_id, cos_sim, cos_sim >= 0.95 AS is_dup
          |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |        pround(list_cosine_similarity(q.v, c.v), 4) AS cos_sim,
