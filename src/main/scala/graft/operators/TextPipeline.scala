@@ -211,6 +211,45 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  private val ChunkTokens = 40
+  private val ChunkStride = 32
+  private val ChunkOverlap = ChunkTokens - ChunkStride
+
+  /** Fixed-window document chunking with overlap — the sequence-prep
+    * step of a pretraining pipeline: long documents become training
+    * examples of ≤ `ChunkTokens` tokens starting every `ChunkStride`
+    * (consecutive chunks share `ChunkOverlap` tokens so no context is
+    * cut at a boundary). Chunk count = max(1, ceil((n - overlap) /
+    * stride)), which always covers the final token and keeps the last
+    * chunk longer than the overlap. One map-side pass: tokens are
+    * materialized once per doc, chunks are array slices — nothing
+    * shuffles but the final sort. Output carries md5(chunk text)
+    * rather than the text (compare-friendly; a real pipeline writes
+    * the text column too, same plan).
+    *
+    * Invariant (spec-enforced): Σ n_chunk_tokens = n + overlap ×
+    * (chunks − 1) per doc — every token appears exactly once outside
+    * the shared overlap regions.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .withColumn("nchunks",
+        greatest(lit(1),
+          expr(s"(n - $ChunkOverlap + ${ChunkStride - 1}) div $ChunkStride")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("nchunks").cast("long") - 1)))
+      .withColumn("start", (col("chunk_idx") * ChunkStride + 1).cast("int"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkTokens.toLong), (col("n") - col("start") + 1).cast("long"))
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("tk"), col("start"), lit(ChunkTokens))).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private val ShardBudget = 2000L
 
   /** Token-budget shard packing — the sequence-packing step of a
@@ -298,6 +337,7 @@ object TextPipeline {
     "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
+    "txt_chunk"       -> chunkDocs _,
     "txt_pack_shards" -> packShards _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
@@ -373,6 +413,17 @@ object TextPipeline {
          |  ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_subword
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "txt_chunk" ->
+      s"""SELECT doc_id, chunk_idx,
+         |  least($ChunkTokens, n - (chunk_idx * $ChunkStride + 1) + 1) AS n_chunk_tokens,
+         |  md5(array_to_string(tk[(chunk_idx * $ChunkStride + 1):(chunk_idx * $ChunkStride + $ChunkTokens)], ' ')) AS chunk_md5
+         |FROM (SELECT doc_id, tk, n,
+         |        unnest(generate_series(0, nchunks - 1)) AS chunk_idx
+         |      FROM (SELECT doc_id, tk, len(tk) AS n,
+         |              greatest(1, (len(tk) - $ChunkOverlap + ${ChunkStride - 1}) // $ChunkStride) AS nchunks
+         |            FROM (SELECT doc_id, $tokSql AS tk FROM documents) t
+         |            WHERE len(tk) > 0) x) y
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "txt_pack_shards" ->
       s"""SELECT doc_id, n_tokens,
          |  CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
