@@ -90,14 +90,27 @@ object NearDedup {
     * pairs (doc_a < doc_b) with event time = the later document's.
     */
   def candidatePairs(stream: DataFrame,
-                     watermark: String = "10 seconds"): DataFrame = {
-    val spark = stream.sparkSession
-    import spark.implicits._
+                     watermark: String = "10 seconds"): DataFrame =
+    pairs(bandRows(stream).withWatermark("ts", watermark))
+
+  /** Same, for a stream that ALREADY carries a watermark on `ts` —
+    * a chained stateful pipeline (e.g. downstream of
+    * [[ContentDedup.firstSeen]]) must not redefine the watermark,
+    * Spark propagates it through the upstream stateful operator.
+    */
+  def candidatePairsPreWatermarked(stream: DataFrame): DataFrame =
+    pairs(bandRows(stream))
+
+  private def bandRows(stream: DataFrame): DataFrame =
     Dedup.withBandKeys(stream, "text")
       .select(col("doc_id"), explode(col("bands")).as("bs"), col("ts"))
       .select(col("doc_id"), col("bs.band").as("band"),
               col("bs.sig").as("sig"), col("ts"))
-      .withWatermark("ts", watermark)
+
+  private def pairs(banded: DataFrame): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
       .as[BandArrival]
       .groupByKey(r => (r.band, r.sig))
       .transformWithState(new Processor, "ts", OutputMode.Append())

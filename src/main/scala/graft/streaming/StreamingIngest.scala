@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed LIVE ingest pipeline — the streaming twin of the
+  * batch `pipe_clean` composition: documents arrive, low-content ones
+  * are gated out map-side, exact duplicates drop against
+  * watermark-bounded state, and the survivors stream into near-dup
+  * candidate detection. Three library operators in ONE continuous
+  * query; each stage is individually spec-proven equal to its batch
+  * twin, and StreamingIngestSpec proves the composition equals the
+  * batch composition end-to-end.
+  *
+  * Scale shape: the quality gate is a codegen'd per-row expression
+  * (no state); exact dedup keys 16-byte md5 into RocksDB
+  * ([[ContentDedup]]); near-dup detection signs survivors map-side
+  * and keeps only ids+timestamps per LSH bucket ([[NearDedup]]).
+  * Document text never enters any state store, so state is
+  * O(documents within the watermark horizon) at every stage.
+  */
+object StreamingIngest {
+
+  /** Quality gate + exact dedup: the "keep" stream of first-seen,
+    * substantive documents. stream: (doc_id, text, ts).
+    */
+  def cleanse(stream: DataFrame, minTokens: Int = 5,
+              watermark: String = "10 seconds"): DataFrame =
+    ContentDedup.firstSeen(
+      stream.filter(
+        graft.functions.ColumnShims.countTokens(col("text")) >= minTokens),
+      watermark)
+
+  /** Full ingest: near-dup candidate pairs among the cleansed
+    * survivors — what a live dedup service alerts on.
+    */
+  def ingest(stream: DataFrame, minTokens: Int = 5,
+             watermark: String = "10 seconds"): DataFrame =
+    // the cleanse stage already declared the watermark; redefining it
+    // below another stateful operator is an analysis error, so the
+    // pair stage joins the chain pre-watermarked
+    NearDedup.candidatePairsPreWatermarked(
+      cleanse(stream, minTokens, watermark)
+        .select(col("doc_id"), col("text"), col("ts")))
+}

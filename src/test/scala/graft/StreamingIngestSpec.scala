@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+/** The composed live-ingest pipeline must equal the batch
+  * composition: quality gate → exact dedup → near-dup pairs, fed
+  * incrementally, yields exactly the pairs the batch operators
+  * produce on the surviving documents.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val corpus = Seq(
+    (1L, base, 100L),
+    (2L, base, 100L),            // exact dup — dropped by the cleanse
+    (3L, "tiny", 101L),          // below the quality gate
+    // same token stream as doc 1 (punctuation only) — different md5,
+    // identical minhash signature, so a GUARANTEED candidate pair
+    (5L, base + "!!!", 102L))
+
+  test("streaming ingest equals the batch cleanse + pair composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch twin: gate, exact-dedup keeping lowest doc_id, then the
+    // batch minhash pair scan over the survivors
+    val survivors = corpus.toDF("doc_id", "text", "sec")
+      .filter(graft.functions.ColumnShims.countTokens(col("text")) >= 5)
+      .withColumn("text_md5", md5(col("text").cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text_md5")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    survivors.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val batchPairs = graft.operators.Dedup.minhashPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((1L, 5L)))
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingIngest.ingest(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      in.addData(corpus.take(3).map { case (id, t, s) => (id, t, ts(s)) })
+      q.processAllAvailable()
+      in.addData(corpus.drop(3).map { case (id, t, s) => (id, t, ts(s)) })
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_out").select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batchPairs)
+      // the exact dup and the gated doc never surface
+      assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L || p._2 == 3L))
+    } finally q.stop()
+  }
+}
