@@ -63,10 +63,35 @@ object Sampling {
               pround(col("n_sampled") / col("n_total"), 4).as("rate"))
       .orderBy(col("source"))
 
+  // per-language sampling rates in buckets-of-1000 — the data-mixing
+  // knob of a pretraining corpus (downsample the dominant language,
+  // keep more of the low-resource ones); unknown langs fall back to
+  // the default. Rates are per-stratum bucket THRESHOLDS on the same
+  // salted hash, so every stratum's sample is independently
+  // reproducible and extendable, with no per-stratum pass.
+  private val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 100, "zh" -> 500, "es" -> 500, "de" -> 500, "fr" -> 500)
+  private val StratDefault = 250
+
+  /** Stratified reproducible sample: per-language rates, one
+    * map-side pass (rows, not a summary).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val threshold = StratRates.foldRight(lit(StratDefault): org.apache.spark.sql.Column) {
+      case ((lang, rate), acc) => when(col("lang") === lang, rate).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket("strat:"))
+      .filter(col("bucket") < threshold)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
     "smp_rates"  -> sampleRates _,
+    "smp_stratified" -> stratifiedSample _,
   )
 
   private def bucketSql(prefix: String) =
@@ -87,6 +112,13 @@ object Sampling {
          |FROM documents
          |GROUP BY 1, 2
          |ORDER BY source, split""".stripMargin,
+    "smp_stratified" ->
+      s"""SELECT doc_id, lang, ${bucketSql("strat:")} AS bucket
+         |FROM documents
+         |WHERE ${bucketSql("strat:")} <
+         |  (CASE ${StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+         |        ELSE $StratDefault END)
+         |ORDER BY doc_id""".stripMargin,
     "smp_rates" ->
       s"""SELECT source, count(*) AS n_total,
          |  CAST(sum(CASE WHEN ${bucketSql("sample:")} < $SampleBuckets

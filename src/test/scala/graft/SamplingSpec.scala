@@ -39,6 +39,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(at20.count() > at10.count())
   }
 
+  test("stratified sample applies the per-language rate to each stratum") {
+    import spark.implicits._
+    val strat = Sampling.stratifiedSample(spark, sf)
+    val byLang = strat.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val totals = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // every language is present in the sample, and the dominant
+    // language's realized rate sits well below the upsampled ones
+    // (en target 10% vs 50% elsewhere; hash buckets land near target)
+    assert(totals.keySet == byLang.keySet)
+    val rates = totals.map { case (l, n) =>
+      l -> byLang(l).toDouble / n }
+    assert(rates("en") < 0.25, s"en rate ${rates("en")}")
+    (rates - "en").foreach { case (l, r) =>
+      assert(r > 0.3 && r < 0.7, s"$l rate $r outside 50% +- 20pp") }
+  }
+
   test("splits partition the corpus exactly") {
     val counts = Sampling.splitCounts(spark, sf)
       .groupBy().agg(sum(col("n")).as("total")).head().getLong(0)
