@@ -50,6 +50,26 @@ object GraftExtensions {
         "approx_top_k(str, k) - space-saving heavy-hitter summary"),
       (es: Seq[Expression]) => graft.functions.ApproxTopK(es(0),
         es(1).eval().asInstanceOf[Number].intValue)),
+    // Spark ships these two for its runtime-filter rewrite but never
+    // registers them as SQL functions; exposing them makes the
+    // engine's own Bloom machinery a first-class library surface
+    // (BloomDedup's cross-run pre-filter builds on them)
+    ("bloom_filter_agg",
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x)[, items[, bits]]) - Bloom filter sketch over LONG hashes"),
+      (es: Seq[Expression]) => es.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0))
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1))
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))
+      }),
+    ("might_contain",
+      info("might_contain",
+        "might_contain(bloom, xxhash64(x)) - Bloom membership probe (no false negatives)"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
   )
 
   /** Register into an existing session: functions plus the rewrite

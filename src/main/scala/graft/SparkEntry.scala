@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.TextPipeline.queries ++
     operators.Dedup.queries ++
+    operators.BloomDedup.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.Sampling.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     (operators.Relational.oracles ++
      operators.TextPipeline.oracles ++
      operators.Dedup.oracles ++
+     operators.BloomDedup.oracles ++
      operators.Similarity.oracles ++
      operators.Multimodal.oracles ++
      operators.Sampling.oracles ++

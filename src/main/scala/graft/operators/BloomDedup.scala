@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Cross-RUN dedup pre-filter — the pattern a 100 TB pipeline uses
+  * when today's ingest must be deduplicated against the historical
+  * corpus WITHOUT joining the historical corpus: reduce the corpus to
+  * a Bloom filter over content hashes (one aggregate, a few bits per
+  * document, broadcastable at billions of documents), probe incoming
+  * documents map-side, and run the exact verification join only on
+  * the "maybe seen" slice.
+  *
+  * The final [[newDocs]] answer is EXACT, not approximate: Bloom
+  * filters have no false negatives, so a `might_contain = false` doc
+  * is definitely new and skips the join entirely; the false-positive
+  * slice is resolved by an anti-join against the corpus. The filter
+  * only decides how much data reaches the join — correctness is
+  * oracle-checked like any other query, and the false-positive rate
+  * is measured in BloomDedupSpec.
+  *
+  * Uses Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
+  * (the expressions behind the runtime-filter rewrite), registered as
+  * SQL functions by GraftExtensions. `might_contain` requires its
+  * sketch to arrive as a constant or scalar subquery, so the
+  * aggregate plan is attached as a ScalarSubquery expression (via
+  * ColumnBridge) — built inside the plan, evaluated once at query
+  * run, job-free at plan build.
+  */
+object BloomDedup {
+
+  private val NumBits = 65536L // ~16 bits/doc at sf0.01 → fpp << 1%
+
+  private def contentKey(c: org.apache.spark.sql.Column) =
+    xxhash64(md5(c.cast("binary")))
+
+  private def scalarSubquery(df: DataFrame): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        org.apache.spark.sql.graft.ColumnBridge.analyzed(df)))
+
+  /** incoming + `maybe_seen` flag against a Bloom sketch of `corpus`
+    * (both need a text column). No false negatives; false positives
+    * at the sketch's fpp.
+    */
+  def flagSeen(corpus: DataFrame, incoming: DataFrame,
+               numBits: Long = NumBits): DataFrame = {
+    val bloom = corpus
+      .select(contentKey(col("text")).as("k"))
+      .agg(expr(s"bloom_filter_agg(k, ${numBits / 8}L, ${numBits}L)").as("bf"))
+    incoming.withColumn("maybe_seen",
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.graft.ColumnBridge.expression(scalarSubquery(bloom)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            contentKey(col("text"))))))
+  }
+
+  /** The exact set of incoming documents whose content is NOT in the
+    * corpus: Bloom-clear docs pass straight through; only the
+    * maybe-seen slice pays the anti-join.
+    */
+  def newDocs(corpus: DataFrame, incoming: DataFrame,
+              numBits: Long = NumBits): DataFrame = {
+    val flagged = flagSeen(corpus, incoming, numBits)
+    val definitelyNew = flagged.filter(!col("maybe_seen"))
+    val verified = flagged.filter(col("maybe_seen"))
+      .join(corpus.select(md5(col("text").cast("binary")).as("__cm5")).distinct(),
+            md5(col("text").cast("binary")) === col("__cm5"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  /** Driver-gate query: split `documents` into a corpus (doc_id % 3
+    * != 0) and an incoming batch (doc_id % 3 == 0); report the
+    * incoming docs whose content the corpus has never seen. The
+    * planted clone structure makes the overlap real.
+    */
+  def bloomNew(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    newDocs(corpus, incoming)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_new" -> bloomNew _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the Bloom filter is pruning only — the exact semantics is a
+    // plain anti-join, which is what DuckDB replays
+    "dedup_bloom_new" ->
+      """SELECT i.doc_id, md5(i.text) AS text_md5
+        |FROM documents i
+        |WHERE i.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
+        |ORDER BY i.doc_id""".stripMargin,
+  )
+}
