@@ -211,6 +211,40 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition scoring — the quality signal (Gopher/
+    * C4-style rules) that catches boilerplate and degenerate
+    * generation: the fraction of word-3-gram OCCURRENCES that are
+    * repeats of an earlier occurrence in the same document, plus the
+    * hottest 3-gram's count. Docs with <3 tokens carry no 3-gram and
+    * are absent (mirrored in the oracle). One tokens pass →
+    * per-(doc, gram) counts → per-doc aggregate; the heavy column
+    * (the gram string) never leaves the first aggregation's shuffle
+    * key, and at 100 TB the gram can be pre-hashed to 8 bytes with
+    * the same plan.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val tk = col("tk")
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+                           element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>")).as("ngrams"))
+      .select(col("doc_id"), explode(col("ngrams")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+           count(lit(1)).as("n_distinct"),
+           max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
+        pround(lit(1.0) - col("n_distinct") / col("n_grams"), 4).as("dup_ratio"))
+      .withColumn("flag_repetitive", col("dup_ratio") >= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   private val ChunkTokens = 40
   private val ChunkStride = 32
   private val ChunkOverlap = ChunkTokens - ChunkStride
@@ -338,6 +372,7 @@ object TextPipeline {
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
     "txt_chunk"       -> chunkDocs _,
+    "txt_repetition"  -> repetition _,
     "txt_pack_shards" -> packShards _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
@@ -412,6 +447,21 @@ object TextPipeline {
          |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS n_letter_tokens,
          |  ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_subword
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+         |        FROM toks WHERE len(tk) >= 3),
+         |ng AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         |       FROM idx),
+         |gc AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |          count(*) AS n_distinct, max(c) AS max_rep
+         |        FROM gc GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_distinct, max_rep,
+         |  pround(1.0 - n_distinct / n_grams, 4) AS dup_ratio,
+         |  pround(1.0 - n_distinct / n_grams, 4) >= 0.2 AS flag_repetitive
+         |FROM agg
          |ORDER BY doc_id""".stripMargin,
     "txt_chunk" ->
       s"""SELECT doc_id, chunk_idx,
