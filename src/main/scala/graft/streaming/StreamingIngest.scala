@@ -42,4 +42,23 @@ object StreamingIngest {
     NearDedup.candidatePairsPreWatermarked(
       cleanse(stream, minTokens, watermark)
         .select(col("doc_id"), col("text"), col("ts")))
+
+  /** Ingest health metrics: per event-time window, how many
+    * documents the cleanse ADMITTED and their token volume — the
+    * dashboard a live pipeline watches (admitted vs arrival counts
+    * gives the combined gate+dup drop rate). Windowed aggregation
+    * chains below the dedup on the propagated watermark; windows
+    * finalize (append mode) once the watermark passes them.
+    */
+  def metrics(stream: DataFrame, windowLen: String = "5 seconds",
+              minTokens: Int = 5,
+              watermark: String = "10 seconds"): DataFrame =
+    cleanse(stream, minTokens, watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(graft.functions.ColumnShims.countTokens(col("text")))
+             .as("n_tokens"))
+      .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"),
+              col("n_docs"), col("n_tokens"))
 }

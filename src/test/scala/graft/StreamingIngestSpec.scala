@@ -65,4 +65,25 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L || p._2 == 3L))
     } finally q.stop()
   }
+
+  test("ingest metrics count admitted docs per window, after gate and dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingIngest.metrics(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_metrics")
+      .outputMode("append").start()
+    try {
+      // window [100,105): 4 arrivals, 1 gated + 1 exact dup → 2 admitted
+      in.addData(corpus.map { case (id, t, s) => (id, t, ts(s)) })
+      q.processAllAvailable()
+      // advance the watermark far past the window so it finalizes
+      in.addData((9L, "late filler document to advance the watermark", ts(200)))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_metrics")
+        .select("win_start", "n_docs").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(100)) == 2L, s"admitted per window: $rows")
+    } finally q.stop()
+  }
 }
