@@ -221,29 +221,25 @@ object TextPipeline {
     * Deliberately ZERO-shuffle: the metric is a pure per-document
     * function, so it is computed entirely inside the scan stage with
     * array expressions — sizes from the (materialized) n-gram array,
-    * the hottest-gram count as a fold over the SORTED array tracking
-    * the longest equal-adjacent run. The first cut shuffled every
-    * gram occurrence into a (doc, gram) groupBy and was the most
-    * expensive query in the bench (8.0 s at sf0.1); this form
-    * measures 4.0 s (the fold is an interpreted HOF — the remaining
-    * cost is per-element boxing, not data movement), and at 100 TB
-    * it scales like the scan instead of like a 10¹¹-row string
-    * shuffle.
-    * The oracle keeps the relational unnest/GROUP BY form — same
-    * values, independent derivation.
+    * the hottest-gram count as the longest equal-adjacent run of the
+    * SORTED array via the codegen'd
+    * [[graft.functions.MaxRunLength]] expression. The first cut
+    * shuffled every gram occurrence into a (doc, gram) groupBy and
+    * was the most expensive query in the bench (8.0 s at sf0.1); the
+    * map-side form halves that (4.0 s — parity with every other
+    * shingle-chain query, where n-gram array construction dominates
+    * at this SF). The codegen'd run-length loop measured equal to an
+    * interpreted aggregate() fold HERE, but its per-element cost is
+    * the term that grows with document length, so the generated loop
+    * is the 100 TB choice. At 100 TB the whole query scales like the
+    * scan instead of like a 10¹¹-row string shuffle. The oracle
+    * keeps the relational unnest/GROUP BY form — same values,
+    * independent derivation.
     */
   def repetition(s: SparkSession, d: String): DataFrame = {
     val tk = col("tk")
-    val runState = expr(
-      """aggregate(
-        |  array_sort(ngrams),
-        |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-        |  (acc, x) -> named_struct(
-        |    'prev', x,
-        |    'run',  if(acc.prev is not null and x = acc.prev, acc.run + 1L, 1L),
-        |    'best', greatest(acc.best,
-        |              if(acc.prev is not null and x = acc.prev, acc.run + 1L, 1L))),
-        |  acc -> acc.best)""".stripMargin)
+    val runState = graft.functions.MaxRunLength.max_run_length(
+      array_sort(col("ngrams")))
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
