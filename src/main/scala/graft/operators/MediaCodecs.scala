@@ -57,6 +57,32 @@ object MediaCodecs {
       md.digest().map("%02x".format(_)).mkString)
   }
 
+  /** Real image resize: decode the PNG, nearest-neighbor-sample the
+    * pixel grid to (tw, th), re-encode as PNG. Nearest neighbor
+    * (src[x·sw/tw, y·sh/th]) is chosen over Graphics2D interpolation
+    * because it is integer arithmetic — bit-deterministic on any JVM,
+    * where bilinear float rounding is an implementation detail.
+    * Returns the thumbnail bytes plus the md5 of its decoded pixels.
+    */
+  def resizePng(bytes: Array[Byte], tw: Int, th: Int): (Array[Byte], String) = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y,
+          src.getRGB(x * src.getWidth / tw, y * src.getHeight / th) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    val png = bos.toByteArray
+    (png, decodePng(png)._3)
+  }
+
   private val SampleRate = 8000f
 
   /** Deterministic 16-bit mono PCM, wrapped as a real WAV file. */

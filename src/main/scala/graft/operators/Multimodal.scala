@@ -170,10 +170,41 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  private val ThumbW = 8
+  private val ThumbH = 8
+
+  /** Real image RESIZE end-to-end: deterministic source PNG → decode
+    * → nearest-neighbor downsample to a ThumbW×ThumbH thumbnail →
+    * re-encode → decode again for the pixel digest. All codec and
+    * pixel work happens map-side in the scan stage (mapPartitions);
+    * only the small feature rows move. Like mm_decode this is
+    * rows-only at the driver gate (DuckDB cannot resize PNGs); the
+    * exact thumbnail digests are pinned differentially in
+    * MultimodalSpec by re-sampling the decoded source with the same
+    * integer formula.
+    */
+  def resizeThumbnails(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 8 + (id % 16).toInt
+          val png = MediaCodecs.pngBytes(w, h, id)
+          val (thumb, digest) = MediaCodecs.resizePng(png, ThumbW, ThumbH)
+          (id, w, h, ThumbW, ThumbH, thumb.length, digest)
+        }
+      }
+      .toDF("media_id", "src_w", "src_h", "thumb_w", "thumb_h",
+            "thumb_bytes", "thumb_digest")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> features _,
     "mm_frames"   -> frames _,
     "mm_decode"   -> decodeRoundTrip _,
+    "mm_resize"   -> resizeThumbnails _,
   )
 
   val oracles: Map[String, String] = Map(

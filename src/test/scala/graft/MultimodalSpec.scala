@@ -110,6 +110,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.digest == md.digest().map("%02x".format(_)).mkString)
   }
 
+  test("real resize: nearest-neighbor thumbnail round trip, digest pinned") {
+    import graft.operators.MediaCodecs
+    val png = MediaCodecs.pngBytes(20, 10, seed = 42L)
+    val (thumb, digest) = MediaCodecs.resizePng(png, 8, 8)
+    // thumbnail is a real PNG with the target dimensions
+    val (tw, th, decodedDigest) = MediaCodecs.decodePng(thumb)
+    assert(tw == 8 && th == 8 && decodedDigest == digest)
+    // exact pixel pin: re-sample the decoded SOURCE with the same
+    // integer formula and digest — must equal the codec round trip
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = src.getRGB(x * 20 / 8, y * 10 / 8) & 0xFFFFFF
+      md.update((p >> 16).toByte); md.update((p >> 8).toByte); md.update(p.toByte)
+    }
+    assert(digest == md.digest().map("%02x".format(_)).mkString)
+    // deterministic across encodes
+    assert(digest == MediaCodecs.resizePng(
+      MediaCodecs.pngBytes(20, 10, seed = 42L), 8, 8)._2)
+  }
+
+  test("mm_resize emits one thumbnail row per document with pinned dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val out = Multimodal.resizeThumbnails(spark, sf)
+    assert(out.count() == graft.sources.Tables.documents(spark, sf).count())
+    val bad = out.filter(
+      $"thumb_w" =!= 8 || $"thumb_h" =!= 8 || $"thumb_bytes" <= 0 ||
+      $"src_w" =!= lit(16) + $"media_id" % 32 ||
+      $"src_h" =!= lit(8) + $"media_id" % 16)
+    assert(bad.isEmpty)
+  }
+
   test("unknown media kind fails loudly, not silently") {
     intercept[IllegalArgumentException] {
       MediaDecoder.Real.decode(0L, "hologram", Array[Byte](1, 2, 3))

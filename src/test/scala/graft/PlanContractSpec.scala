@@ -22,10 +22,11 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("every query has a DuckDB oracle unless explicitly rows-only") {
-    // rows-only queries must be justified here: mm_decode runs real
-    // JDK codecs (PNG/WAV) that DuckDB cannot mirror in SQL; its
-    // exact decoded values are pinned in MultimodalSpec instead.
-    val rowsOnly = Set("mm_decode")
+    // rows-only queries must be justified here: mm_decode and
+    // mm_resize run real JDK codecs (PNG/WAV decode, pixel resample)
+    // that DuckDB cannot mirror in SQL; their exact values are
+    // pinned in MultimodalSpec instead.
+    val rowsOnly = Set("mm_decode", "mm_resize")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
