@@ -62,6 +62,32 @@ class BpeTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: expression pieces equal the reference on random inputs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // weighted toward merge-relevant letters so chains actually fire,
+    // plus digits/punct/whitespace/unicode to stress the wrapper
+    val charGen = Gen.frequency(
+      (8, Gen.oneOf("theinganrdolsucf".toSeq)),
+      (2, Gen.oneOf('A', 'Z', '0', '9', ' ', '\n', '.', ',', '!', 'é', '中')))
+    val textGen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val texts = (1L to 60L).map(s =>
+      textGen.apply(Gen.Parameters.default, Seed(s)).get)
+    val got = texts.toDF("text")
+      .select(col("text"), BpeTokenizer.subwordCount(col("text")).as("n"),
+              BpeTokenizer.subwordPieces(col("text")).as("pieces"))
+      .collect()
+    got.foreach { r =>
+      val ref = refEncode(r.getString(0))
+      assert(r.getLong(1) == ref.length.toLong, s"count for '${r.getString(0)}'")
+      if (ref.nonEmpty) assert(r.getSeq[String](2) == ref)
+    }
+  }
+
   test("expression count equals the reference across the real corpus") {
     import spark.implicits._
     val got = graft.sources.Tables.documents(spark, sf)
