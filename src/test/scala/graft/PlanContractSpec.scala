@@ -111,6 +111,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(bhj.nonEmpty, "probe side must broadcast into a hash join")
   }
 
+  test("txt_repetition is map-side: no aggregate, no hash exchange") {
+    // the per-document metric must never shuffle gram rows — the only
+    // exchange allowed is the range partition of the output sort
+    val plan = unwrap(SparkEntry.queries("txt_repetition")(spark, sf)
+      .queryExecution.executedPlan)
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.isEmpty, s"unexpected aggregation: $aggs")
+    val hashExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty,
+      s"per-doc metric must not hash-shuffle: $hashExchanges")
+  }
+
   test("rank-filter queries plan through TopKPerGroup") {
     for (q <- Seq("q7_top_orders_per_customer", "txt_tfidf")) {
       val plan = unwrap(SparkEntry.queries(q)(spark, sf)
