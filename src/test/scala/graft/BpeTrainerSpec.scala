@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrainer
+
+/** The distributed BPE trainer vs a sequential reference: same word
+  * frequencies, same argmax tiebreak, same leftmost merge — the
+  * learned merge lists must be identical.
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Sequential reference: word-type counts → iterate (most frequent
+    * adjacent pair, ties by (a, b) ascending; merge leftmost
+    * non-overlapping everywhere).
+    */
+  private def refTrain(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val words = texts
+      .flatMap(t => "[^\\p{L}]+".r.split(t.toLowerCase).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    var state: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, n) => w.map(_.toString).toVector -> n }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (ps, n) =>
+        ps.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        out += ((a, b))
+        state = state.toSeq.map { case (ps, n) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < ps.length) {
+            if (i + 1 < ps.length && ps(i) == a && ps(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += ps(i); i += 1 }
+          }
+          merged.result() -> n
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    out.result()
+  }
+
+  test("learned merges equal the sequential reference on a small corpus") {
+    import spark.implicits._
+    val texts = Seq(
+      "the thin thing sang another anthem",
+      "in the ring the king was singing",
+      "thin things ring true in the end",
+      "sing a song of singing kings")
+    val got = BpeTrainer.train(texts.toDF("text"), nMerges = 10)
+    val want = refTrain(texts, 10)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty && got.forall { case (a, b) => (a + b).nonEmpty })
+  }
+
+  test("learned merges equal the reference on the real corpus (first 8)") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect().toSeq
+    val got = BpeTrainer.train(
+      graft.sources.Tables.documents(spark, sf), nMerges = 8)
+    val want = refTrain(texts, 8)
+    assert(got == want, s"got $got\nwant $want")
+    info(s"learned: ${got.map { case (a, b) => s"$a+$b" }.mkString(", ")}")
+  }
+
+  test("training exhausts gracefully when words fully fuse") {
+    import spark.implicits._
+    val got = BpeTrainer.train(Seq("ab ab ab").toDF("text"), nMerges = 10)
+    // "ab" fuses in one merge; nothing left after
+    assert(got == Seq(("a", "b")))
+  }
+}
