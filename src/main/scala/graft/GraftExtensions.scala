@@ -62,8 +62,13 @@ object GraftExtensions {
           .BloomFilterAggregate(es(0))
         case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(es(0), es(1))
-        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+        case 3 => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(es(0), es(1), es(2))
+        case n => throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`bloom_filter_agg`",
+              "expectedNum" -> "[1, 2, 3]", "actualNum" -> n.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
       }),
     ("might_contain",
       info("might_contain",

@@ -73,10 +73,15 @@ object BpeTokenizer {
 
   /** The subword pieces themselves, as array<string> (analysis /
     * debugging surface; the budgeting queries use [[subwordCount]]).
+    * Empty (or sentinel-only) input yields an EMPTY array, agreeing
+    * with `subwordCount = 0` — `split` alone would return `[""]`
+    * because splitting an empty string yields one empty piece.
     */
   def subwordPieces(c: Column): Column = {
-    val trimmed = regexp_replace(piecesString(c), s"^$L|$R$$", "")
-    split(trimmed, s"$R$L")
+    val s = piecesString(c)
+    val trimmed = regexp_replace(s, s"^$L|$R$$", "")
+    when(length(s) > 0, split(trimmed, s"$R$L"))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** DuckDB mirror of [[subwordCount]] applied to SQL expression `e`

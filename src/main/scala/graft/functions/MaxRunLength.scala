@@ -34,6 +34,10 @@ case class MaxRunLength(child: Expression) extends UnaryExpression {
           s"max_run_length requires array<string>, got ${other.simpleString}")
     }
 
+  // Null ELEMENTS (containsNull arrays): two adjacent nulls count as
+  // the same element (the run extends); null next to a value breaks
+  // the run — explicit in both paths so interpreted and generated
+  // code agree (getUTF8String on a null slot NPEs in generated code).
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -41,8 +45,14 @@ case class MaxRunLength(child: Expression) extends UnaryExpression {
     var run = 0L
     var i = 0
     while (i < n) {
-      if (i > 0 && arr.getUTF8String(i) == arr.getUTF8String(i - 1)) run += 1
-      else run = 1
+      val same = i > 0 && {
+        val curNull = arr.isNullAt(i)
+        val prevNull = arr.isNullAt(i - 1)
+        (curNull && prevNull) ||
+          (!curNull && !prevNull &&
+            arr.getUTF8String(i) == arr.getUTF8String(i - 1))
+      }
+      if (same) run += 1 else run = 1
       if (run > best) best = run
       i += 1
     }
@@ -55,16 +65,23 @@ case class MaxRunLength(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val run = ctx.freshName("run")
       val best = ctx.freshName("best")
+      val curNull = ctx.freshName("curNull")
+      val prevNull = ctx.freshName("prevNull")
+      val same = ctx.freshName("same")
       s"""
          |int $n = $a.numElements();
          |long $best = 0L;
          |long $run = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($i > 0 && $a.getUTF8String($i).equals($a.getUTF8String($i - 1))) {
-         |    $run += 1L;
-         |  } else {
-         |    $run = 1L;
+         |  boolean $same = false;
+         |  if ($i > 0) {
+         |    boolean $curNull = $a.isNullAt($i);
+         |    boolean $prevNull = $a.isNullAt($i - 1);
+         |    $same = ($curNull && $prevNull) ||
+         |      (!$curNull && !$prevNull &&
+         |       $a.getUTF8String($i).equals($a.getUTF8String($i - 1)));
          |  }
+         |  if ($same) { $run += 1L; } else { $run = 1L; }
          |  if ($run > $best) $best = $run;
          |}
          |${ev.value} = $best;

@@ -30,7 +30,27 @@ import graft.sources.Tables
   */
 object BloomDedup {
 
-  private val NumBits = 65536L // ~16 bits/doc at sf0.01 → fpp << 1%
+  /** Sentinel: derive the sketch size from a count of the corpus. */
+  val AutoBits = 0L
+
+  private val MinBits = 65536L        // floor: ~16 bits/doc at sf0.01
+  private val MaxBits = 1L << 30      // 128 MiB — still broadcastable
+  private val BitsPerKey = 16L        // fpp ≈ 4e-4 at the optimal k
+
+  /** Bloom size for `nKeys` distinct keys at [[BitsPerKey]] bits each,
+    * rounded up to a power of two and clamped to [64 Ki, 1 Gi] bits.
+    * A fixed size silently saturates at larger corpora (maybe_seen →
+    * all-true: still correct, but the pre-filter stops pruning), so
+    * the default path counts the corpus — a zero-column parquet count
+    * is metadata-speed — mirroring the corpus-adaptive plane count of
+    * `Similarity.embedNearDupLsh`.
+    */
+  def numBitsFor(nKeys: Long): Long =
+    if (nKeys >= MaxBits / BitsPerKey) MaxBits  // also guards overflow
+    else {
+      val want = math.max(MinBits, nKeys * BitsPerKey)
+      math.min(MaxBits, java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1)
+    }
 
   private def contentKey(c: org.apache.spark.sql.Column) =
     xxhash64(md5(c.cast("binary")))
@@ -42,13 +62,16 @@ object BloomDedup {
 
   /** incoming + `maybe_seen` flag against a Bloom sketch of `corpus`
     * (both need a text column). No false negatives; false positives
-    * at the sketch's fpp.
+    * at the sketch's fpp. `numBits = AutoBits` (the default) sizes
+    * the sketch from one cheap `corpus.count()` at plan-build; pass
+    * an explicit size to keep plan construction job-free.
     */
   def flagSeen(corpus: DataFrame, incoming: DataFrame,
-               numBits: Long = NumBits): DataFrame = {
+               numBits: Long = AutoBits): DataFrame = {
+    val bits = if (numBits == AutoBits) numBitsFor(corpus.count()) else numBits
     val bloom = corpus
       .select(contentKey(col("text")).as("k"))
-      .agg(expr(s"bloom_filter_agg(k, ${numBits / 8}L, ${numBits}L)").as("bf"))
+      .agg(expr(s"bloom_filter_agg(k, ${bits / 8}L, ${bits}L)").as("bf"))
     incoming.withColumn("maybe_seen",
       org.apache.spark.sql.graft.ColumnBridge.column(
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -62,7 +85,7 @@ object BloomDedup {
     * maybe-seen slice pays the anti-join.
     */
   def newDocs(corpus: DataFrame, incoming: DataFrame,
-              numBits: Long = NumBits): DataFrame = {
+              numBits: Long = AutoBits): DataFrame = {
     val flagged = flagSeen(corpus, incoming, numBits)
     val definitelyNew = flagged.filter(!col("maybe_seen"))
     val verified = flagged.filter(col("maybe_seen"))

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Dedup
 
@@ -27,8 +27,11 @@ import graft.operators.Dedup
   * Scale contract: state per bucket is the doc ids + timestamps of
   * the bucket's members WITHIN the watermark horizon — members whose
   * event time has fallen behind the watermark are evicted on the
-  * next touch of that bucket, so state is O(docs in horizon), never
-  * O(corpus). Documents themselves never enter state (only 8-byte
+  * next touch of that bucket, and an event-time timer (armed at 1 ms
+  * past the bucket's newest member) clears buckets that are never
+  * touched again, so state is O(docs in horizon), never O(corpus) —
+  * including on a mostly-unique stream where most buckets are seen
+  * exactly once. Documents themselves never enter state (only 8-byte
   * ids + timestamps); the pair stream is the candidate surface, and
   * exact Jaccard verification stays a batch join downstream, as in
   * `Dedup.dropList`. The standard trade applies: near-dups farther
@@ -45,10 +48,34 @@ object NearDedup {
       extends StatefulProcessor[(Long, String), BandArrival, CandidatePair] {
 
     @transient private var members: ListState[Member] = _
+    @transient private var timerAt: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Member](
         "members", Encoders.product[Member], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "timerAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** One live event-time timer per bucket, at 1 ms past the newest
+      * member — when the watermark passes it, every member is
+      * evictable and the bucket's state is CLEARED. Eviction-on-touch
+      * alone leaks state for buckets never revisited (on a
+      * mostly-unique stream, most of them): state grew O(distinct
+      * buckets ever seen) instead of the documented O(docs in
+      * horizon). An event-time timer fires on exactly the condition
+      * the on-touch path checks, so semantics are unchanged.
+      */
+    private def armTimer(kept: Vector[Member]): Unit =
+      if (kept.nonEmpty) {
+        val at = kept.map(_.tsMillis).max + 1L
+        val prev = if (timerAt.exists()) timerAt.get() else 0L
+        if (prev != at) {
+          if (prev != 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(at)
+          timerAt.update(at)
+        }
+      }
 
     override def handleInputRows(
         key: (Long, String),
@@ -77,13 +104,24 @@ object NearDedup {
         }
       }
       members.put(kept.toArray)
+      armTimer(kept)
       out.result().iterator
     }
 
     override def handleExpiredTimer(
         key: (Long, String), timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidatePair] =
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidatePair] = {
+      val horizon = timerValues.getCurrentWatermarkInMs()
+      val kept: Vector[Member] = {
+        val it = members.get()
+        val b = Vector.newBuilder[Member]
+        while (it.hasNext) { val m = it.next(); if (m.tsMillis >= horizon) b += m }
+        b.result()
+      }
+      if (kept.isEmpty) { members.clear(); timerAt.clear() }
+      else { members.put(kept.toArray); armTimer(kept) }
       Iterator.empty
+    }
   }
 
   /** stream: (doc_id, text, ts). Emits distinct near-dup candidate

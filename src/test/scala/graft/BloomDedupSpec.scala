@@ -57,6 +57,19 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(viaBloom.except(exact).isEmpty && exact.except(viaBloom).isEmpty)
   }
 
+  test("numBitsFor scales with the corpus and clamps to the broadcast cap") {
+    assert(BloomDedup.numBitsFor(0L) == 65536L)
+    assert(BloomDedup.numBitsFor(4096L) == 65536L)          // floor
+    assert(BloomDedup.numBitsFor(100000L) == 2097152L)      // next pow2 of 1.6M
+    assert(BloomDedup.numBitsFor(Long.MaxValue / 32) == (1L << 30)) // cap
+    // power of two always
+    Seq(1L, 10L, 5000L, 123456L, 10000000L).foreach { n =>
+      val b = BloomDedup.numBitsFor(n)
+      assert((b & (b - 1)) == 0L, s"$b not a power of two")
+      assert(b >= math.min(1L << 30, 16L * n))
+    }
+  }
+
   test("bloom functions are registered on the SQL surface") {
     import spark.implicits._
     spark.range(10).selectExpr("cast(id as string) as s")

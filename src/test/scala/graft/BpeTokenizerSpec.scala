@@ -57,8 +57,9 @@ class BpeTokenizerSpec extends AnyFunSuite {
       // sentinel scrub mirrors the expression's defensive clean
       val ref = refEncode(text.replace("\u0002", "").replace("\u0003", ""))
       assert(r.getLong(1) == ref.length.toLong, s"count for '$text'")
-      if (ref.nonEmpty)
-        assert(r.getSeq[String](2) == ref, s"pieces for '$text'")
+      // empty input included: pieces is an EMPTY array (not [""]),
+      // agreeing with count = 0
+      assert(r.getSeq[String](2) == ref, s"pieces for '$text'")
     }
   }
 
@@ -84,7 +85,7 @@ class BpeTokenizerSpec extends AnyFunSuite {
     got.foreach { r =>
       val ref = refEncode(r.getString(0))
       assert(r.getLong(1) == ref.length.toLong, s"count for '${r.getString(0)}'")
-      if (ref.nonEmpty) assert(r.getSeq[String](2) == ref)
+      assert(r.getSeq[String](2) == ref)
     }
   }
 

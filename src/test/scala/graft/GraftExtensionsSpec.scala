@@ -35,6 +35,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("bloom_filter_agg rejects a wrong argument count cleanly") {
+    GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bloom_filter_agg() FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("bloom_filter_agg"), e.getMessage)
+  }
+
   test("a fresh session built withExtensions gets the functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -49,6 +49,31 @@ class MaxRunLengthSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(viaExpr == viaGroup)
   }
 
+  test("null elements: adjacent nulls extend a run, null breaks a value run") {
+    import spark.implicits._
+    // codegen path (via collect) and interpreted path (via eval) must
+    // agree: null==null extends, null vs value resets
+    val got = spark.range(1)
+      .selectExpr(
+        "array('a', null, null, null, 'a', 'a') as xs1",
+        "array(null, 'b', 'b', null) as xs2",
+        "array(cast(null as string)) as xs3")
+      .select(max_run_length(col("xs1")), max_run_length(col("xs2")),
+              max_run_length(col("xs3")))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 2L, 1L)))
+    // interpreted path directly
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = graft.functions.MaxRunLength(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), null, null, null,
+      UTF8String.fromString("a"), UTF8String.fromString("a")))
+    assert(e.nullSafeEval(arr) == 3L)
+  }
+
   test("stays inside whole-stage codegen") {
     // a literal input constant-folds to a LocalTableScan; range keeps
     // the projection live so the asterisked codegen stage is visible

@@ -92,4 +92,34 @@ class NearDedupSpec extends AnyFunSuite {
         s"evicted member must not pair: $pairs")
     } finally q.stop()
   }
+
+  test("buckets never revisited are cleared by event-time timers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = NearDedup.candidatePairs(
+        in.toDF().toDF("doc_id", "text", "ts"), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("nd_ttl")
+      .outputMode("append").start()
+    try {
+      def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      in.addData((1L, "the quick brown fox jumps over the lazy dog again", ts(100)))
+      q.processAllAvailable()
+      val perDoc = stateRows
+      assert(perDoc > 0, "expected state rows for doc 1's buckets")
+      // watermark jumps to 990 s; doc 1's timers are not yet expired
+      // DURING this batch (it runs at the previous watermark)
+      in.addData((2L, "completely unrelated filler text to push the watermark", ts(1000)))
+      q.processAllAvailable()
+      // this batch runs with watermark 990 s: doc 1's bucket timers
+      // fire and clear its state even though nothing touched them
+      in.addData((3L, "more unrelated words about columnar shuffles", ts(1001)))
+      q.processAllAvailable()
+      val after = stateRows
+      info(s"state rows: one doc = $perDoc, after 3 docs + expiry = $after")
+      assert(after <= 2 * perDoc,
+        s"never-revisited buckets kept state: $after rows vs $perDoc per doc")
+    } finally q.stop()
+  }
 }
