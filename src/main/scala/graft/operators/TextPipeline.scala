@@ -219,45 +219,33 @@ object TextPipeline {
     * are absent (mirrored in the oracle).
     *
     * Deliberately ZERO-shuffle: the metric is a pure per-document
-    * function, so it is computed entirely inside the scan stage with
-    * array expressions — sizes from the (materialized) n-gram array,
-    * the hottest-gram count as the longest equal-adjacent run of the
-    * SORTED array via the codegen'd
-    * [[graft.functions.MaxRunLength]] expression. The first cut
-    * shuffled every gram occurrence into a (doc, gram) groupBy and
-    * was the most expensive query in the bench (8.0 s at sf0.1); the
-    * map-side form halves that (4.0 s — parity with every other
-    * shingle-chain query, where n-gram array construction dominates
-    * at this SF). The codegen'd run-length loop measured equal to an
-    * interpreted aggregate() fold HERE, but its per-element cost is
-    * the term that grows with document length, so the generated loop
-    * is the 100 TB choice. At 100 TB the whole query scales like the
-    * scan instead of like a 10¹¹-row string shuffle. The oracle
-    * keeps the relational unnest/GROUP BY form — same values,
-    * independent derivation.
+    * function, computed by ONE custom expression over the token
+    * array — [[graft.functions.GramRunStats]]: per-token xxhash64,
+    * ordered 3-gram hash combine, primitive long sort, one run scan
+    * → (n_grams, n_distinct, max_rep). The evolution is measured at
+    * sf0.1: (doc, gram) groupBy shuffle 8.0 s → map-side gram-string
+    * array + array_distinct + run scan 4.5 s → this form ~0.6 s.
+    * The killer in the middle form was NOT the string sort but the
+    * gram array construction itself: `transform(sequence(...))` is a
+    * higher-order function, which Spark evaluates as CodegenFallback
+    * — an interpreted expression tree per element — so the per-gram
+    * cost was interpretation overhead regardless of what the lambda
+    * computed. The custom expression is the 100 TB shape: the query
+    * scales like the corpus scan, all primitive loops, no
+    * per-element expression evaluation. (Collision caveat and the
+    * exact string-keyed oracle: see the GramRunStats Scaladoc.)
     */
-  def repetition(s: SparkSession, d: String): DataFrame = {
-    val tk = col("tk")
-    val runState = graft.functions.MaxRunLength.max_run_length(
-      array_sort(col("ngrams")))
+  def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        when(size(tk) >= 3,
-          transform(sequence(lit(1), size(tk) - 2),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-                           element_at(tk, i + 2))))
-          .otherwise(array().cast("array<string>")).as("ngrams"))
-      .filter(size(col("ngrams")) > 0)
-      .select(col("doc_id"),
-        size(col("ngrams")).cast("long").as("n_grams"),
-        size(array_distinct(col("ngrams"))).cast("long").as("n_distinct"),
-        runState.as("max_rep"))
+      .select(col("doc_id"), graft.functions.GramRunStats.gram_run_stats(
+        tokens(col("text"))).as("rs"))
+      .select(col("doc_id"), col("rs.n_grams").as("n_grams"),
+        col("rs.n_distinct").as("n_distinct"), col("rs.max_rep").as("max_rep"))
+      .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
         pround(lit(1.0) - col("n_distinct") / col("n_grams"), 4).as("dup_ratio"))
       .withColumn("flag_repetitive", col("dup_ratio") >= 0.2)
       .orderBy(col("doc_id"))
-  }
 
   private val ChunkTokens = 40
   private val ChunkStride = 32
