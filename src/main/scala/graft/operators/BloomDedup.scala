@@ -41,9 +41,8 @@ object BloomDedup {
     * rounded up to a power of two and clamped to [64 Ki, 1 Gi] bits.
     * A fixed size silently saturates at larger corpora (maybe_seen →
     * all-true: still correct, but the pre-filter stops pruning), so
-    * the default path counts the corpus — a zero-column parquet count
-    * is metadata-speed — mirroring the corpus-adaptive plane count of
-    * `Similarity.embedNearDupLsh`.
+    * the default path sizes from the corpus — mirroring the
+    * corpus-adaptive plane count of `Similarity.embedNearDupLsh`.
     */
   def numBitsFor(nKeys: Long): Long =
     if (nKeys >= MaxBits / BitsPerKey) MaxBits  // also guards overflow
@@ -51,6 +50,23 @@ object BloomDedup {
       val want = math.max(MinBits, nKeys * BitsPerKey)
       math.min(MaxBits, java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1)
     }
+
+  /** Job-free corpus-size estimate: Catalyst's `sizeInBytes` statistic
+    * (file-listing metadata for a parquet scan — computed without
+    * running anything, so the plan contract "no driver-side jobs at
+    * plan build" holds). Keys-per-byte is assumed ≥ 1/64 — documents
+    * are at least tens of bytes on disk, so this OVERestimates the
+    * key count, which only spends extra sketch bits (fpp can only be
+    * better than the [[BitsPerKey]] target). Beyond the 1 Gi-bit
+    * broadcast cap (≈ 67 M keys at 16 bits/key) the fpp degrades
+    * gracefully and correctness is unaffected — the cap is where a
+    * caller should shard the sketch or pass an explicit budget.
+    */
+  private def estimatedBits(corpus: DataFrame): Long = {
+    val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nKeys = (bytes / 64).min(BigInt(Long.MaxValue)).toLong
+    numBitsFor(math.max(1L, nKeys))
+  }
 
   private def contentKey(c: org.apache.spark.sql.Column) =
     xxhash64(md5(c.cast("binary")))
@@ -63,12 +79,12 @@ object BloomDedup {
   /** incoming + `maybe_seen` flag against a Bloom sketch of `corpus`
     * (both need a text column). No false negatives; false positives
     * at the sketch's fpp. `numBits = AutoBits` (the default) sizes
-    * the sketch from one cheap `corpus.count()` at plan-build; pass
-    * an explicit size to keep plan construction job-free.
+    * the sketch from the corpus plan's size statistics — job-free at
+    * plan build; pass an explicit size to pin the budget.
     */
   def flagSeen(corpus: DataFrame, incoming: DataFrame,
                numBits: Long = AutoBits): DataFrame = {
-    val bits = if (numBits == AutoBits) numBitsFor(corpus.count()) else numBits
+    val bits = if (numBits == AutoBits) estimatedBits(corpus) else numBits
     val bloom = corpus
       .select(contentKey(col("text")).as("k"))
       .agg(expr(s"bloom_filter_agg(k, ${bits / 8}L, ${bits}L)").as("bf"))
