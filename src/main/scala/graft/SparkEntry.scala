@@ -25,6 +25,7 @@ object SparkEntry {
     operators.TextPipeline.queries ++
     operators.Dedup.queries ++
     operators.BloomDedup.queries ++
+    operators.Decontam.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.Sampling.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
      operators.TextPipeline.oracles ++
      operators.Dedup.oracles ++
      operators.BloomDedup.oracles ++
+     operators.Decontam.oracles ++
      operators.Similarity.oracles ++
      operators.Multimodal.oracles ++
      operators.Sampling.oracles ++

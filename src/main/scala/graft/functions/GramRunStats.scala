@@ -7,10 +7,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
-/** The whole word-3-gram repetition statistic as ONE expression over
-  * the token array: per-token xxhash64, ordered 3-gram hash combine,
+/** The whole word-n-gram repetition statistic as ONE expression over
+  * the token array: per-token xxhash64, ordered n-gram hash combine,
   * primitive `long[]` sort, and a single equal-adjacent run scan
-  * yielding `(n_grams, n_distinct, max_rep)`.
+  * yielding `(n_grams, n_distinct, max_rep)`. `n = 3` is the
+  * repetition-score shape; `n = 13` gives the decontamination scan
+  * its per-document distinct-gram denominator without shuffling a
+  * single gram row.
   *
   * Why not compose it from built-ins: the gram array built with
   * `transform(sequence(...), i -> ...)` is a higher-order function —
@@ -31,10 +34,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   * (P ≈ grams² / 2⁶⁵ per doc ≈ 10⁻¹⁵) — the DuckDB oracle keeps the
   * exact string-keyed GROUP BY form and re-checks at every gate run.
   *
-  * Fewer than 3 tokens (no grams) yields (0, 0, 0); null tokens
+  * Fewer than `n` tokens (no grams) yields (0, 0, 0); null tokens
   * hash to a fixed sentinel, so they behave as one distinct value.
   */
-case class GramRunStats(child: Expression) extends UnaryExpression {
+case class GramRunStats(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram width must be >= 1, got $n")
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
@@ -55,16 +60,16 @@ case class GramRunStats(child: Expression) extends UnaryExpression {
 
   def compute(a: Object): org.apache.spark.sql.catalyst.InternalRow = {
     val arr = a.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val m = arr.numElements()
     val out = new GenericInternalRow(3)
-    if (n < 3) {
+    if (m < n) {
       out.setLong(0, 0L); out.setLong(1, 0L); out.setLong(2, 0L)
       return out
     }
-    // one hash per token, reused by the (up to) three grams it joins
-    val th = new Array[Long](n)
+    // one hash per token, reused by the (up to) n grams it joins
+    val th = new Array[Long](m)
     var i = 0
-    while (i < n) {
+    while (i < m) {
       th(i) =
         if (arr.isNullAt(i)) GramRunStats.NullToken
         else {
@@ -74,12 +79,14 @@ case class GramRunStats(child: Expression) extends UnaryExpression {
         }
       i += 1
     }
-    val g = n - 2
+    val g = m - n + 1
     val gh = new Array[Long](g)
     i = 0
     while (i < g) {
-      gh(i) = XXH64.hashLong(th(i + 2),
-        XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i), GramRunStats.Seed)))
+      var h = GramRunStats.Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      gh(i) = h
       i += 1
     }
     java.util.Arrays.sort(gh)
@@ -119,6 +126,6 @@ object GramRunStats {
   private val NullToken = -7046029254386353131L // xxhash64 of nothing at seed 42
 
   /** Column-API entry point over a token array<string>. */
-  def gram_run_stats(tokens: Column): Column =
-    ColumnBridge.column(GramRunStats(ColumnBridge.expression(tokens)))
+  def gram_run_stats(tokens: Column, n: Int = 3): Column =
+    ColumnBridge.column(GramRunStats(ColumnBridge.expression(tokens), n))
 }

@@ -62,9 +62,10 @@ object BloomDedup {
     * gracefully and correctness is unaffected — the cap is where a
     * caller should shard the sketch or pass an explicit budget.
     */
-  private def estimatedBits(corpus: DataFrame): Long = {
+  private[operators] def estimatedBits(corpus: DataFrame,
+                                       bytesPerKey: Long = 64L): Long = {
     val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nKeys = (bytes / 64).min(BigInt(Long.MaxValue)).toLong
+    val nKeys = (bytes / bytesPerKey).min(BigInt(Long.MaxValue)).toLong
     numBitsFor(math.max(1L, nKeys))
   }
 
@@ -76,6 +77,25 @@ object BloomDedup {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         org.apache.spark.sql.graft.ColumnBridge.analyzed(df)))
 
+  /** A `might_contain` probe column against a Bloom sketch of `keys`
+    * (one LONG key column named by `keyCol`), attached as a scalar
+    * subquery — the reusable core of every bloom pre-filter in the
+    * library (cross-run dedup here, eval-gram decontamination in
+    * [[Decontam]]). Build stays job-free; the sketch aggregate runs
+    * once when the enclosing query does.
+    */
+  private[operators] def probeAgainst(keys: DataFrame, keyCol: String,
+                                      numBits: Long,
+                                      probe: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bloom = keys.agg(
+      expr(s"bloom_filter_agg($keyCol, ${numBits / 8}L, ${numBits}L)").as("bf"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(scalarSubquery(bloom)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(probe)))
+  }
+
   /** incoming + `maybe_seen` flag against a Bloom sketch of `corpus`
     * (both need a text column). No false negatives; false positives
     * at the sketch's fpp. `numBits = AutoBits` (the default) sizes
@@ -85,15 +105,9 @@ object BloomDedup {
   def flagSeen(corpus: DataFrame, incoming: DataFrame,
                numBits: Long = AutoBits): DataFrame = {
     val bits = if (numBits == AutoBits) estimatedBits(corpus) else numBits
-    val bloom = corpus
-      .select(contentKey(col("text")).as("k"))
-      .agg(expr(s"bloom_filter_agg(k, ${bits / 8}L, ${bits}L)").as("bf"))
     incoming.withColumn("maybe_seen",
-      org.apache.spark.sql.graft.ColumnBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.graft.ColumnBridge.expression(scalarSubquery(bloom)),
-          org.apache.spark.sql.graft.ColumnBridge.expression(
-            contentKey(col("text"))))))
+      probeAgainst(corpus.select(contentKey(col("text")).as("k")), "k", bits,
+        contentKey(col("text"))))
   }
 
   /** The exact set of incoming documents whose content is NOT in the

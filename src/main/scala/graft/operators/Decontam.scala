@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossEngine.{pround, tokens}
+import graft.functions.GramRunStats.gram_run_stats
+import graft.functions.WordNGrams.word_ngrams
+import graft.sources.Tables
+
+/** Eval-set decontamination — the 13-gram train/test overlap scan
+  * (the GPT-3 / Gopher method) every pretraining pipeline runs before
+  * training: any corpus document sharing a 13-gram with the eval set
+  * is flagged, with its matching-gram count and contamination ratio,
+  * so it can be dropped or scrubbed before the model sees eval
+  * answers verbatim.
+  *
+  * 100 TB shape — the corpus side never shuffles a gram it doesn't
+  * have to:
+  *  - the per-document distinct-gram DENOMINATOR comes from the
+  *    fused [[graft.functions.GramRunStats]] expression (n = 13),
+  *    entirely map-side, no gram rows materialized;
+  *  - corpus grams stream out of the [[graft.functions.WordNGrams]]
+  *    generator and are probed MAP-SIDE against a Bloom sketch of
+  *    the eval set's grams (scalar subquery, no false negatives) —
+  *    only the maybe-contaminated sliver reaches the exact join, so
+  *    join input tracks the true overlap + fpp, not corpus × eval;
+  *  - the exact gram join (which removes Bloom false positives)
+  *    joins that sliver against the eval gram set — eval sets are
+  *    small by nature, so Catalyst broadcasts; if one ever didn't
+  *    fit, the shuffle join would still only move the bloom-hit
+  *    sliver.
+  * The aggregation keys are (doc_id, n_grams): only matched gram
+  * rows are ever grouped, so the wide stage is proportional to the
+  * contamination found.
+  */
+object Decontam {
+
+  /** Standard overlap width: 13 consecutive word tokens. */
+  val GramWidth = 13
+
+  /** Corpus documents sharing >= 1 `n`-gram with `evalSet`, with the
+    * matched distinct-gram count and the contaminated fraction of the
+    * document's distinct grams. Both inputs need (doc_id, text).
+    * `numBits = 0` auto-sizes the eval-gram Bloom from plan stats
+    * (grams overlap, so ~1 gram per 4 source bytes — an
+    * overestimate, which only spends bits).
+    */
+  def contaminated(corpus: DataFrame, evalSet: DataFrame,
+                   n: Int = GramWidth, numBits: Long = 0L): DataFrame = {
+    val bits =
+      if (numBits == 0L) BloomDedup.estimatedBits(evalSet, bytesPerKey = 4L)
+      else numBits
+    val evalGrams = evalSet
+      .select(tokens(col("text")).as("tk"))
+      .select(word_ngrams(col("tk"), n).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        gram_run_stats(col("tk"), n).getField("n_distinct").as("n_grams"),
+        word_ngrams(col("tk"), n).as("g"))
+    corpusGrams
+      .where(BloomDedup.probeAgainst(
+        evalGrams.select(xxhash64(col("g")).as("k")), "k", bits,
+        xxhash64(col("g"))))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        pround(col("n_matched") / col("n_grams"), 4).as("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-gate query: eval set = documents with doc_id % 10 = 7
+    * (the planted clone structure guarantees real train/eval
+    * overlap); corpus = the rest. Lists every contaminated corpus
+    * document with its overlap counts.
+    */
+  def decontamQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminated(docs.filter(col("doc_id") % 10 =!= 7),
+                 docs.filter(col("doc_id") % 10 === 7))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_decontam" -> decontamQuery _,
+  )
+
+  private val tokSql =
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    // the Bloom probe is pruning only — the exact semantics is the
+    // plain distinct-13-gram join DuckDB replays here
+    "txt_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |idx AS (SELECT doc_id, tk,
+         |          unnest(generate_series(1, len(tk) - ${GramWidth - 1})) AS i
+         |        FROM toks WHERE len(tk) >= $GramWidth),
+         |ng AS (SELECT DISTINCT doc_id,
+         |         array_to_string(tk[i:i+${GramWidth - 1}], ' ') AS g
+         |       FROM idx),
+         |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 7),
+         |cg AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 <> 7),
+         |den AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+         |SELECT cg.doc_id, den.n_grams, count(*) AS n_matched,
+         |  pround(count(*) / den.n_grams, 4) AS contam_ratio
+         |FROM cg JOIN ev ON cg.g = ev.g
+         |JOIN den ON den.doc_id = cg.doc_id
+         |GROUP BY cg.doc_id, den.n_grams
+         |ORDER BY cg.doc_id""".stripMargin,
+  )
+}
