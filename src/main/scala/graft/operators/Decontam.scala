@@ -82,26 +82,63 @@ object Decontam {
                  docs.filter(col("doc_id") % 10 === 7))
   }
 
+  /** Decontamination-aware stratified sampling — the two operators
+    * composed as ONE lazy plan, the way a pipeline ships them: the
+    * per-language reproducible sample ([[Sampling.stratifiedOf]]) is
+    * drawn from the train corpus (eval docs excluded by id), and
+    * contaminated documents are removed EXACTLY but cheaply — each
+    * sampled doc probes a Bloom sketch of the contaminated-id set
+    * map-side; Bloom-clear docs (the overwhelming majority: the
+    * contaminated set is small by construction) pass straight
+    * through, and only the maybe-contaminated sliver pays the
+    * verification anti-join that removes Bloom false positives.
+    * Same exactness argument as [[BloomDedup.newDocs]]: no false
+    * negatives, so nothing contaminated survives and nothing clean
+    * is dropped.
+    */
+  def decontamSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val excl = decontamQuery(s, d).select(col("doc_id"))
+    val flagged = Sampling.stratifiedOf(corpus)
+      .withColumn("maybe_contam",
+        BloomDedup.probeAgainst(excl.select(xxhash64(col("doc_id")).as("k")),
+          "k", 1L << 20, xxhash64(col("doc_id"))))
+    val clean = flagged.filter(!col("maybe_contam"))
+    val verified = flagged.filter(col("maybe_contam"))
+      .join(excl, Seq("doc_id"), "left_anti")
+    clean.unionByName(verified)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_decontam" -> decontamQuery _,
+    "smp_decontam" -> decontamSample _,
   )
 
   private val tokSql =
     "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
 
+  /** Shared CTE chain: distinct 13-grams per doc, split into the
+    * eval gram set and corpus gram rows.
+    */
+  private val gramCtes =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |idx AS (SELECT doc_id, tk,
+       |          unnest(generate_series(1, len(tk) - ${GramWidth - 1})) AS i
+       |        FROM toks WHERE len(tk) >= $GramWidth),
+       |ng AS (SELECT DISTINCT doc_id,
+       |         array_to_string(tk[i:i+${GramWidth - 1}], ' ') AS g
+       |       FROM idx),
+       |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 7),
+       |cg AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 <> 7)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the Bloom probe is pruning only — the exact semantics is the
     // plain distinct-13-gram join DuckDB replays here
     "txt_decontam" ->
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |idx AS (SELECT doc_id, tk,
-         |          unnest(generate_series(1, len(tk) - ${GramWidth - 1})) AS i
-         |        FROM toks WHERE len(tk) >= $GramWidth),
-         |ng AS (SELECT DISTINCT doc_id,
-         |         array_to_string(tk[i:i+${GramWidth - 1}], ' ') AS g
-         |       FROM idx),
-         |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 7),
-         |cg AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 <> 7),
+      s"""WITH $gramCtes,
          |den AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
          |SELECT cg.doc_id, den.n_grams, count(*) AS n_matched,
          |  pround(count(*) / den.n_grams, 4) AS contam_ratio
@@ -109,5 +146,16 @@ object Decontam {
          |JOIN den ON den.doc_id = cg.doc_id
          |GROUP BY cg.doc_id, den.n_grams
          |ORDER BY cg.doc_id""".stripMargin,
+    // the composed sample: stratified selection minus the exact
+    // contaminated-id set (Bloom is pruning only on the Spark side)
+    "smp_decontam" ->
+      s"""WITH $gramCtes,
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev ON cg.g = ev.g)
+         |SELECT doc_id, lang, ${Sampling.stratBucketSql} AS bucket
+         |FROM documents
+         |WHERE doc_id % 10 <> 7
+         |  AND ${Sampling.stratWhereSql}
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

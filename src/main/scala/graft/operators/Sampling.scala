@@ -73,19 +73,35 @@ object Sampling {
     Seq("en" -> 100, "zh" -> 500, "es" -> 500, "de" -> 500, "fr" -> 500)
   private val StratDefault = 250
 
-  /** Stratified reproducible sample: per-language rates, one
-    * map-side pass (rows, not a summary).
+  /** The stratified selection applied to any (doc_id, lang, …) frame
+    * — shared by [[stratifiedSample]] and the decontamination-aware
+    * composition in [[Decontam]]. Map-side; no ordering.
     */
-  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+  private[operators] def stratifiedOf(docs: DataFrame): DataFrame = {
     val threshold = StratRates.foldRight(lit(StratDefault): org.apache.spark.sql.Column) {
       case ((lang, rate), acc) => when(col("lang") === lang, rate).otherwise(acc)
     }
-    Tables.documents(s, d)
+    docs
       .withColumn("bucket", bucket("strat:"))
       .filter(col("bucket") < threshold)
       .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Stratified reproducible sample: per-language rates, one
+    * map-side pass (rows, not a summary).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** Oracle fragment: the stratified bucket predicate on `documents`
+    * rows (mirrors [[stratifiedOf]] exactly).
+    */
+  private[operators] def stratWhereSql: String =
+    s"""${bucketSql("strat:")} <
+       |  (CASE ${StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+       |        ELSE $StratDefault END)""".stripMargin
+
+  private[operators] def stratBucketSql: String = bucketSql("strat:")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_sample" -> sample _,
@@ -94,7 +110,7 @@ object Sampling {
     "smp_stratified" -> stratifiedSample _,
   )
 
-  private def bucketSql(prefix: String) =
+  private[operators] def bucketSql(prefix: String) =
     s"${portableHashSql(s"'$prefix' || CAST(doc_id AS VARCHAR)")} % $Buckets"
 
   val oracles: Map[String, String] = Map(

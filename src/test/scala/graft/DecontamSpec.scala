@@ -61,6 +61,21 @@ class DecontamSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the clone structure must produce real overlap")
   }
 
+  test("decontam-aware sample = stratified sample minus contaminated ids") {
+    import spark.implicits._
+    val contam = Decontam.decontamQuery(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val strat = graft.operators.Sampling.stratifiedSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // stratifiedSample draws from ALL docs; the composed query draws
+    // from the train corpus only (eval ids excluded) minus contam
+    val expected = strat.filter(id => id % 10 != 7 && !contam(id))
+    val got = Decontam.decontamSample(spark, sf)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSet == expected)
+    assert(got.sorted.toSeq == got.toSeq, "output must be ordered")
+  }
+
   test("plan: map-side bloom probe, equi-join only, no cartesian") {
     val plan = Decontam.decontamQuery(spark, sf)
       .queryExecution.executedPlan.toString
