@@ -68,9 +68,38 @@ object SimhashScale {
         if (sys.env.contains("SIMHASH_SCALE_SKIP_NARROW")) -1L
         else candidates(16, 4)._1
       val allPairs = n * (n - 1) / 2
+
+      // occupancy-capped volume (the dedup_simhash_capped plan): drop
+      // (blk, bv) buckets with more than `cap` members before pairing
+      def cappedCandidates(cap: Int): (Long, Long) = {
+        val blocked = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("blk"),
+                   expr(s"(simhash >> ${16 * b}) & 65535").as("bv"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("simhash"),
+                  col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+        val keep = blocked.groupBy(col("blk"), col("bv"))
+          .agg(count(lit(1)).as("occ")).filter(col("occ") <= cap)
+          .select(col("blk"), col("bv"))
+        val kept = blocked.join(keep, Seq("blk", "bv"))
+        val a = kept.select(col("doc_id").as("doc_a"),
+                            col("simhash").as("sh_a"), col("blk"), col("bv"))
+        val c = kept.select(col("doc_id").as("doc_b"),
+                            col("simhash").as("sh_b"), col("blk"), col("bv"))
+        val agg = a.join(c, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
+          .agg(count(lit(1)).as("total"),
+               count(when(expr("bit_count(sh_a ^ sh_b) <= 3"), 1)).as("matching"))
+          .head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      val (capTotal, capMatch) = cappedCandidates(50)
+
       println(f"""{"dir":"$d","n_docs":$n,"allpairs":$allPairs,""" +
         f""""wide_total":$wideTotal,"wide_matching":$wideMatch,""" +
-        f""""wide_background":${wideTotal - wideMatch},"narrow_total":$narrowTotal}""")
+        f""""wide_background":${wideTotal - wideMatch},""" +
+        f""""capped50_total":$capTotal,"capped50_matching":$capMatch,""" +
+        f""""narrow_total":$narrowTotal}""")
       sig.unpersist()
     }
     spark.stop()

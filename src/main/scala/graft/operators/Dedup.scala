@@ -276,10 +276,15 @@ object Dedup {
     * correct, asymptotically useless. SCALE.md carries the measured
     * candidate-count curve.)
     */
-  def simhashPairsBlocked(s: SparkSession, d: String): DataFrame = {
+  def simhashPairsBlocked(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(blockedTable(s, d))
+
+  /** (doc_id, simhash, blk, bv): one row per 16-bit block of each
+    * fingerprint, pre-partitioned on the (blk, bv) join key.
+    */
+  private def blockedTable(s: SparkSession, d: String): DataFrame = {
     val nBlocks = 4
-    val t = simhashTable(s, d)
-    val blocked = t.select(col("doc_id"), col("simhash"),
+    simhashTable(s, d).select(col("doc_id"), col("simhash"),
       explode(array((0 until nBlocks).map { b =>
         struct(lit(b).as("blk"),
                expr(s"(simhash >> ${16 * b}) & 65535").as("bv"))
@@ -287,6 +292,9 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
               col("bb.blk").as("blk"), col("bb.bv").as("bv"))
       .repartition(col("blk"), col("bv"))
+  }
+
+  private def simhashPairsFrom(blocked: DataFrame): DataFrame = {
     val a = blocked.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
                            col("blk"), col("bv"))
     val b = blocked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
@@ -302,6 +310,40 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Bucket-occupancy cap for the capped variant. The honest residual
+  // of blocked SimHash on a template-correlated corpus is hot
+  // (blk, bv) buckets: boilerplate drives many fingerprints to agree
+  // on a block, and one bucket of occupancy m contributes C(m,2)
+  // candidates. At sf0.01 clone clusters are ~10 docs, so 50 keeps
+  // every true near-dup reachable while bounding any bucket's
+  // contribution at C(50,2); production corpora set it from the
+  // occupancy histogram (same knob as the shingle DF cap).
+  private val OccCap = 50
+
+  /** Occupancy-capped blocked SimHash — the DF-cap analogue for the
+    * pigeonhole join: (blk, bv) buckets holding more than [[OccCap]]
+    * fingerprints are dropped from candidate generation ENTIRELY, so
+    * per-bucket join fan-out is bounded by C(OccCap, 2) no matter how
+    * template-correlated the corpus is. Documented recall trade: a
+    * pair is missed only if EVERY block it agrees on is over-occupied.
+    * Measured (SimhashScale + output diff): at sf0.001/sf0.01 no
+    * bucket exceeds the cap — output identical to the uncapped scan
+    * (DedupSpec pins sf0.001); at sf0.1 the correlated corpus makes
+    * the cap bind — candidates 191k → 74k (2.6×) at the cost of
+    * 37/312 pairs whose agreeing blocks were all hot. The oracle
+    * mirrors the cap exactly, so the gate stays hash-exact wherever
+    * it binds; the uncapped [[simhashPairsBlocked]] remains the
+    * default, this is the bounded-worst-case knob.
+    */
+  def simhashPairsCapped(s: SparkSession, d: String): DataFrame = {
+    val blocked = blockedTable(s, d)
+    val keep = blocked.groupBy(col("blk"), col("bv"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= OccCap)
+      .select(col("blk"), col("bv"))
+    simhashPairsFrom(blocked.join(keep, Seq("blk", "bv")))
   }
 
   /** Exact n-gram Jaccard over candidate pairs that share a shingle.
@@ -364,6 +406,7 @@ object Dedup {
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairsBlocked _,
+    "dedup_simhash_capped" -> simhashPairsCapped _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
   )
 
@@ -485,6 +528,24 @@ object Dedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors the BLOCKING + CAP exactly (unlike the uncapped pair
+    // oracle, which can use the all-pairs form because the blocked
+    // join is output-equivalent to it)
+    "dedup_simhash_capped" ->
+      s"""WITH $simhashCte,
+         |blocked AS (
+         |  SELECT doc_id, simhash, blk, (simhash >> (16 * blk)) & 65535 AS bv
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) blks),
+         |keep AS (SELECT blk, bv FROM blocked GROUP BY blk, bv
+         |         HAVING count(*) <= $OccCap),
+         |kept AS (SELECT blocked.* FROM blocked
+         |         JOIN keep ON blocked.blk = keep.blk AND blocked.bv = keep.bv)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM kept a JOIN kept b
+         |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->

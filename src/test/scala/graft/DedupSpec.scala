@@ -14,6 +14,18 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.except(blocked).isEmpty && blocked.except(brute).isEmpty)
   }
 
+  test("occupancy-capped simhash pairs are a subset; no bucket binds at this SF") {
+    val unc = Dedup.simhashPairsBlocked(spark, sf)
+    val cap = Dedup.simhashPairsCapped(spark, sf)
+    // capped can only DROP pairs (buckets removed, never added) …
+    assert(cap.except(unc).isEmpty)
+    // … and at sf0.001 no bucket exceeds the cap, so output is equal
+    // (at sf0.1 the cap binds: 2.6x candidate cut for 37/312 pairs —
+    // measured in SCALE.md; the oracle mirrors the cap there)
+    assert(unc.except(cap).isEmpty)
+    assert(cap.count() > 0)
+  }
+
   test("minhash candidate pairs have high true Jaccard likelihood ordering") {
     import spark.implicits._
     // every doc produces a 16-slot signature, and signatures are stable
