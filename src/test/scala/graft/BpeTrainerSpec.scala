@@ -82,4 +82,38 @@ class BpeTrainerSpec extends AnyFunSuite {
     // "ab" fuses in one merge; nothing left after
     assert(got == Seq(("a", "b")))
   }
+
+  test("batched merges are identical to sequential at every batch width") {
+    import spark.implicits._
+    val texts = Seq(
+      "the thin thing sang another anthem",
+      "in the ring the king was singing",
+      "thin things ring true in the end",
+      "sing a song of singing kings",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow")
+    val df = texts.toDF("text")
+    val (sequential, seqRounds) =
+      BpeTrainer.trainWithRounds(df, nMerges = 16, batchK = 1)
+    for (k <- Seq(4, 8, 16)) {
+      val (batched, rounds) =
+        BpeTrainer.trainWithRounds(df, nMerges = 16, batchK = k)
+      assert(batched == sequential, s"batchK=$k diverged:\n$batched\n$sequential")
+      assert(rounds <= seqRounds, s"batchK=$k took $rounds > $seqRounds rounds")
+      info(s"batchK=$k: $rounds rounds vs $seqRounds sequential")
+    }
+  }
+
+  test("batched merges equal sequential on the real corpus, in fewer rounds") {
+    val df = graft.sources.Tables.documents(spark, sf)
+    val (sequential, seqRounds) =
+      BpeTrainer.trainWithRounds(df, nMerges = 16, batchK = 1)
+    val (batched, rounds) =
+      BpeTrainer.trainWithRounds(df, nMerges = 16, batchK = 8)
+    assert(batched == sequential, s"got $batched\nwant $sequential")
+    assert(rounds < seqRounds,
+      s"batching saved nothing: $rounds vs $seqRounds rounds")
+    info(f"real corpus: $rounds rounds vs $seqRounds sequential " +
+      f"(${seqRounds.toDouble / rounds}%.1fx)")
+  }
 }
