@@ -88,12 +88,26 @@ object BpeTokenizer {
     * — generated from the same merge list, with the sentinel chars
     * embedded literally (Verify's JSON escaper handles them).
     */
-  def subwordCountSql(e: String): String = {
+  private def mergedSql(e: String): String = {
     val clean = s"replace(replace($e, '$L', ''), '$R', '')"
     val wrapped = s"regexp_replace($clean, '(.)', '$L\\1$R', 'gs')"
-    val merged = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, '$L$a$R$L$b$R', '$L$a$b$R')"
     }
+  }
+
+  def subwordCountSql(e: String): String = {
+    val merged = mergedSql(e)
     s"(length($merged) - length(replace($merged, '$L', '')))"
+  }
+
+  /** DuckDB mirror of [[subwordPieces]]: the pieces as VARCHAR[],
+    * empty input → empty list (matching the expression's guard).
+    */
+  def subwordPiecesSql(e: String): String = {
+    val merged = mergedSql(e)
+    s"""(CASE WHEN length($merged) > 0
+       | THEN string_split(regexp_replace($merged, '^$L|$R$$', '', 'g'), '$R$L')
+       | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin.replace("\n", "")
   }
 }

@@ -286,6 +286,42 @@ object TextPipeline {
           .as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  private val ChunkPieces = 80
+  private val ChunkPieceStride = 64
+  private val ChunkPieceOverlap = ChunkPieces - ChunkPieceStride
+
+  /** [[chunkDocs]] in SUBWORD PIECES — the unit an LLM context window
+    * is actually measured in, and the same unit [[packShards]]
+    * budgets with, so chunk sizes and shard budgets compose without a
+    * conversion fudge factor. Pieces come from the library's BPE
+    * tokenizer ([[graft.functions.BpeTokenizer.subwordPieces]]) and
+    * cover the WHOLE text (spaces and punctuation are pieces too), so
+    * concatenating a chunk's pieces reconstructs the exact substring
+    * — `chunk_md5` is over that reconstruction. Same map-side
+    * plan shape and the same coverage invariant as the word-token
+    * form, restated in pieces: Σ n_chunk_pieces = n + overlap ×
+    * (chunks − 1) per doc (spec-enforced).
+    */
+  def chunkDocsBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.subwordPieces(col("text")).as("pc"))
+      .withColumn("n", size(col("pc")))
+      .filter(col("n") > 0)
+      .withColumn("nchunks",
+        greatest(lit(1),
+          expr(s"(n - $ChunkPieceOverlap + ${ChunkPieceStride - 1}) div $ChunkPieceStride")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("nchunks").cast("long") - 1)))
+      .withColumn("start", (col("chunk_idx") * ChunkPieceStride + 1).cast("int"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkPieces.toLong), (col("n") - col("start") + 1).cast("long"))
+          .as("n_chunk_pieces"),
+        md5(concat_ws("",
+          slice(col("pc"), col("start"), lit(ChunkPieces))).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private val ShardBudget = 2000L
 
   /** Token-budget shard packing — the sequence-packing step of a
@@ -374,6 +410,7 @@ object TextPipeline {
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
     "txt_chunk"       -> chunkDocs _,
+    "txt_chunk_bpe"   -> chunkDocsBpe _,
     "txt_repetition"  -> repetition _,
     "txt_pack_shards" -> packShards _,
     "txt_tfidf"       -> tfidf _,
@@ -475,6 +512,19 @@ object TextPipeline {
          |              greatest(1, (len(tk) - $ChunkOverlap + ${ChunkStride - 1}) // $ChunkStride) AS nchunks
          |            FROM (SELECT doc_id, $tokSql AS tk FROM documents) t
          |            WHERE len(tk) > 0) x) y
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "txt_chunk_bpe" ->
+      s"""SELECT doc_id, chunk_idx,
+         |  least($ChunkPieces, n - (chunk_idx * $ChunkPieceStride + 1) + 1) AS n_chunk_pieces,
+         |  md5(array_to_string(pc[(chunk_idx * $ChunkPieceStride + 1):(chunk_idx * $ChunkPieceStride + $ChunkPieces)], '')) AS chunk_md5
+         |FROM (SELECT doc_id, pc, n,
+         |        unnest(generate_series(0, nchunks - 1)) AS chunk_idx
+         |      FROM (SELECT doc_id, pc, len(pc) AS n,
+         |              greatest(1, (len(pc) - $ChunkPieceOverlap + ${ChunkPieceStride - 1}) // $ChunkPieceStride) AS nchunks
+         |            FROM (SELECT doc_id,
+         |                    ${graft.functions.BpeTokenizer.subwordPiecesSql("text")} AS pc
+         |                  FROM documents) t
+         |            WHERE len(pc) > 0) x) y
          |ORDER BY doc_id, chunk_idx""".stripMargin,
     "txt_pack_shards" ->
       s"""SELECT doc_id, n_tokens,

@@ -32,6 +32,27 @@ class TextChunkSpec extends AnyFunSuite {
     assert(joined.count() == docs.count())
   }
 
+  test("piece-budgeted chunks cover every subword piece exactly once " +
+       "outside the shared overlaps") {
+    val chunks = TextPipeline.chunkDocsBpe(spark, sf)
+      .groupBy("doc_id")
+      .agg(sum(col("n_chunk_pieces")).as("pc_sum"),
+           count(lit(1)).as("nchunks"),
+           max(col("chunk_idx")).as("max_idx"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.subwordCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+    val joined = chunks.join(docs, "doc_id")
+    // Σ chunk sizes = n + overlap·(chunks−1), restated in PIECES —
+    // and the doc piece count comes from subwordCount, so chunking
+    // and budgeting provably speak the same unit
+    assert(joined.filter(col("pc_sum") =!= col("n") + lit(16) * (col("nchunks") - 1))
+      .isEmpty)
+    assert(joined.filter(col("max_idx") =!= col("nchunks") - 1).isEmpty)
+    assert(joined.count() == docs.count())
+  }
+
   test("chunk sizes are bounded and the last chunk exceeds the overlap") {
     val c = TextPipeline.chunkDocs(spark, sf)
     assert(c.filter(col("n_chunk_tokens") > 40).isEmpty)
