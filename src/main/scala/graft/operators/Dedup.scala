@@ -279,12 +279,25 @@ object Dedup {
   def simhashPairsBlocked(s: SparkSession, d: String): DataFrame =
     simhashPairsFrom(blockedTable(s, d))
 
+  /** The Manku blocked Hamming-pair join over ANY 64-bit signature
+    * table (doc_id, simhash) — the same plan `dedup_simhash_pairs`
+    * ships, reusable for other fingerprints (perceptual image dHash
+    * in [[Multimodal.imageDedup]]): pairs within Hamming ≤ 3 of each
+    * other, found via the 4×16-bit pigeonhole equi-join, never
+    * all-pairs.
+    */
+  private[operators] def hammingPairs64(sig: DataFrame): DataFrame =
+    simhashPairsFrom(blockedOf(sig))
+
+  private def blockedTable(s: SparkSession, d: String): DataFrame =
+    blockedOf(simhashTable(s, d))
+
   /** (doc_id, simhash, blk, bv): one row per 16-bit block of each
     * fingerprint, pre-partitioned on the (blk, bv) join key.
     */
-  private def blockedTable(s: SparkSession, d: String): DataFrame = {
+  private def blockedOf(sig: DataFrame): DataFrame = {
     val nBlocks = 4
-    simhashTable(s, d).select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBlocks).map { b =>
         struct(lit(b).as("blk"),
                expr(s"(simhash >> ${16 * b}) & 65535").as("bv"))

@@ -83,6 +83,61 @@ object MediaCodecs {
     (png, decodePng(png)._3)
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a PNG: decode, take
+    * a 9×8 nearest-neighbor luma sample grid, one bit per horizontally
+    * adjacent comparison. All integer arithmetic (nearest-neighbor
+    * sampling, 299/587/114 luma), so the hash is bit-deterministic on
+    * any JVM. Key invariance, used by the planted-duplicate spec:
+    * nearest-neighbor sampling at relative coordinates makes the hash
+    * EXACTLY equal across nearest-neighbor rescales (floor(floor(k·x)/k)
+    * = floor(x)), and re-encoding preserves pixels hence the hash;
+    * small perturbations flip at most the few bits whose samples they
+    * touch — which is what the Hamming-≤3 pairing tolerance absorbs.
+    */
+  def dHashPng(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(i: Int, j: Int): Int = {
+      val p = img.getRGB(i * w / 9, j * h / 8) & 0xFFFFFF
+      ((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (luma(i, j) < luma(i + 1, j)) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Decode + re-encode: fresh PNG bytes, identical pixels. */
+  def reencodePng(bytes: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val out = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_INT_RGB)
+    out.getGraphics.drawImage(img, 0, 0, null)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One-pixel perturbation: flip the mid-bits of pixel (0, 0) and
+    * re-encode — the "slightly edited copy" a perceptual hash must
+    * still catch.
+    */
+  def perturbPng(bytes: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    img.setRGB(0, 0, (img.getRGB(0, 0) ^ 0x404040) & 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private val SampleRate = 8000f
 
   /** Deterministic 16-bit mono PCM, wrapped as a real WAV file. */

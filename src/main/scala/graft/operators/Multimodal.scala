@@ -200,11 +200,53 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual image dedup end-to-end: a corpus of real PNGs with
+    * PLANTED duplicates — per decade of ids, the base image (id%10=0)
+    * plus an exact byte clone (1), a decode/re-encode copy (2), a 2×
+    * nearest-neighbor rescale (3) and a one-pixel edit (4); ids 5-9
+    * are unrelated images — hashed map-side with the integer dHash
+    * ([[MediaCodecs.dHashPng]], real PNG decode per image) and paired
+    * through the SAME Manku 4×16-bit blocked Hamming join the text
+    * SimHash ships ([[Dedup.hammingPairs64]]). Exact/re-encoded/
+    * rescaled copies hash identically (sample-grid invariance, see
+    * dHashPng), the edit flips at most the bits its pixel is sampled
+    * by, and unrelated images differ in ~32 bits — so the planted
+    * C(5,2) pairs per decade are found and nothing else is
+    * (MultimodalSpec pins the exact pair set). Rows-only at the
+    * driver gate: DuckDB cannot decode PNGs.
+    */
+  def imageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = id - (id % 10) // decade base image
+          val bw = 16 + (b % 32).toInt
+          val bh = 8 + (b % 16).toInt
+          def basePng = MediaCodecs.pngBytes(bw, bh, b)
+          val png = (id % 10) match {
+            case 1 => basePng
+            case 2 => MediaCodecs.reencodePng(basePng)
+            case 3 => MediaCodecs.resizePng(basePng, bw * 2, bh * 2)._1
+            case 4 => MediaCodecs.perturbPng(basePng)
+            case _ => MediaCodecs.pngBytes(
+              16 + (id % 32).toInt, 8 + (id % 16).toInt, id)
+          }
+          (id, MediaCodecs.dHashPng(png))
+        }
+      }.toDF("doc_id", "simhash")
+    Dedup.hammingPairs64(hashes)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+              col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> features _,
     "mm_frames"   -> frames _,
     "mm_decode"   -> decodeRoundTrip _,
     "mm_resize"   -> resizeThumbnails _,
+    "dedup_image" -> imageDedup _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -148,4 +148,41 @@ class MultimodalSpec extends AnyFunSuite {
       MediaDecoder.Real.decode(0L, "hologram", Array[Byte](1, 2, 3))
     }
   }
+
+  test("dHash invariances: re-encode and NN-rescale exact, edit within 1 bit") {
+    import graft.operators.MediaCodecs
+    val png = MediaCodecs.pngBytes(24, 12, seed = 7L)
+    val h0 = MediaCodecs.dHashPng(png)
+    assert(MediaCodecs.dHashPng(MediaCodecs.reencodePng(png)) == h0)
+    assert(MediaCodecs.dHashPng(MediaCodecs.resizePng(png, 48, 24)._1) == h0)
+    val hEdit = MediaCodecs.dHashPng(MediaCodecs.perturbPng(png))
+    assert(java.lang.Long.bitCount(h0 ^ hEdit) <= 1)
+    // unrelated images differ widely
+    val hOther = MediaCodecs.dHashPng(MediaCodecs.pngBytes(24, 12, seed = 8L))
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 10)
+  }
+
+  test("dedup_image finds exactly the planted duplicate groups") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // per decade, ids with residue 0-4 are copies of the decade base
+    val expected = ids.groupBy(id => id - id % 10).values.flatMap { g =>
+      val copies = g.filter(id => id % 10 <= 4).toSeq.sorted
+      for (a <- copies; b <- copies if a < b) yield (a, b)
+    }.toSet
+    val got = Multimodal.imageDedup(spark, sf)
+      .select("media_a", "media_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    assert(got.forall(_._3 <= 2), "planted copies must be within 2 bits")
+    assert(expected.nonEmpty)
+  }
+
+  test("dedup_image plans the blocked equi-join, not an all-pairs scan") {
+    val plan = Multimodal.imageDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+  }
 }
