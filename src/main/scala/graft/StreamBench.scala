@@ -20,7 +20,13 @@ import graft.streaming.{ContentDedup, NearDedup, StreamingIngest}
   * every 10th doc repeats an earlier text (exact-dup pressure on the
   * dedup state and pair emission).
   *
-  * Usage: runMain graft.StreamBench [nDocs] [batchSize]
+  * Each query's line also reports its final state size (rows +
+  * RocksDB memory) so throughput can be read AGAINST state growth —
+  * the scale question for a long-running stream is whether docs/s
+  * holds as the horizon grows, and `[horizonSec]` (default 10)
+  * scales the watermark to put 10× / 100× more documents in state.
+  *
+  * Usage: runMain graft.StreamBench [nDocs] [batchSize] [horizonSec]
   */
 object StreamBench {
 
@@ -46,13 +52,16 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
     val batch = if (args.length > 1) args(1).toInt else 2000
+    val horizonSec = if (args.length > 2) args(2).toInt else 10
+    val wm = s"$horizonSec seconds"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(8)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    def run(name: String, pipe: DataFrame => DataFrame): (String, Double) = {
+    def run(name: String, pipe: DataFrame => DataFrame)
+        : (String, Double, Long, Long) = {
       val in = MemoryStream[(Long, String, Timestamp)]
       val q = pipe(in.toDF().toDF("doc_id", "text", "ts"))
         .writeStream.format("noop").outputMode("append").start()
@@ -68,17 +77,20 @@ object StreamBench {
         }
         q.processAllAvailable()
         val dt = (System.nanoTime() - t0) / 1e9
-        name -> nDocs / dt
+        val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        (name, nDocs / dt,
+         ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
       } finally q.stop()
     }
 
     val results = Seq(
-      run("content_dedup", df => ContentDedup.firstSeen(df)),
-      run("near_dedup", df => NearDedup.candidatePairs(df)),
-      run("ingest_composed", df => StreamingIngest.ingest(df)))
-    val qs = results.map { case (n, v) => "\"" + n + f"\":$v%.1f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_docs_per_sec","n_docs":$nDocs,"batch":$batch,"queries":$qs}""")
+      run("content_dedup", df => ContentDedup.firstSeen(df, wm)),
+      run("near_dedup", df => NearDedup.candidatePairs(df, wm)),
+      run("ingest_composed", df => StreamingIngest.ingest(df, watermark = wm)))
+    val qs = results.map { case (n, v, rows, mem) =>
+      "\"" + n + f"""\":{"docs_per_sec":$v%.1f,"state_rows":$rows,"state_bytes":$mem}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_docs_per_sec","n_docs":$nDocs,"batch":$batch,"horizon_sec":$horizonSec,"queries":$qs}""")
     spark.stop()
   }
 }
