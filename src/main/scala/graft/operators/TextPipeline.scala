@@ -72,19 +72,21 @@ object TextPipeline {
 
   /** Quality scoring: length, stopword ratio, non-text-character ratio
     * — the standard cheap filters of a pretraining data pipeline.
+    * Entirely map-side: counts come from the TokenMembershipCounts
+    * expression, no explode/aggregation (docs with no tokens are
+    * absent, as in the unnest-based oracle).
     */
   def quality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
-              explode(tokens(col("text"))).as("word"),
-              (length(col("text")) -
-                length(regexp_replace(col("text"), "[\\p{L} ]", ""))).as("n_nonalpha"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-           min(col("n_chars")).as("n_chars"),
-           pround(sum(when(lower(col("word")).isin(stopwords: _*), 1).otherwise(0))
-                   / count(lit(1)), 4).as("stop_ratio"),
-           pround(min(col("n_nonalpha")) / min(col("n_chars")), 4).as("nonalpha_ratio"))
+        graft.functions.TokenMembershipCounts.token_membership_counts(
+          tokens(col("text")), Seq("stop_hits" -> stopwords)).as("p"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\p{L} ]", ""))).as("n_nonalpha"))
+      .filter(col("p.n_tokens") > 0)
+      .select(col("doc_id"), col("p.n_tokens").as("n_tokens"), col("n_chars"),
+        pround(col("p.stop_hits") / col("p.n_tokens"), 4).as("stop_ratio"),
+        pround(col("n_nonalpha") / col("n_chars"), 4).as("nonalpha_ratio"))
       .orderBy(col("doc_id"))
 
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -95,17 +97,20 @@ object TextPipeline {
 
   /** Language ID: stopword-profile hits per language + CJK-script char
     * count; deterministic arg-max with fixed tie order (en,es,de,fr).
+    * Map-side like [[quality]] — one expression, no explode/groupBy.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), explode(tokens(col("text"))).as("word"))
-    val hits = markers.map { case (lang, ws) =>
-      sum(when(lower(col("word")).isin(ws: _*), 1).otherwise(0)).as(s"${lang}_hits")
-    }
-    toks.groupBy(col("doc_id"))
-      .agg(hits.head, hits.tail :+
-        (min(length(col("text"))) -
-         min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TokenMembershipCounts.token_membership_counts(
+          tokens(col("text")),
+          markers.map { case (lang, ws) => (s"${lang}_hits", ws) }).as("p"))
+      .filter(col("p.n_tokens") > 0)
+      .select((col("doc_id") +:
+        markers.map { case (lang, _) =>
+          col(s"p.${lang}_hits").as(s"${lang}_hits") }) :+
+        (length(col("text")) -
+         length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))
           .cast("long").as("zh_chars"): _*)
       .withColumn("lang_guess",
         when(col("zh_chars") > 0, "zh")
@@ -356,25 +361,32 @@ object TextPipeline {
     * broadcast keep-list at this SF / shuffle join at scale).
     */
   def pipeClean(s: SparkSession, d: String): DataFrame = {
-    // quality metrics + language profile fused into ONE tokenize +
-    // groupBy pass (the separate quality/langId operators each scan
-    // and explode the corpus; composed they'd do it twice — measured
-    // ~2x of the pipeline's cost). The oracle recomputes via the
-    // independent CTE forms, so plan fusion is verified, not trusted.
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), explode(tokens(col("text"))).as("word"))
-    val hitCols = markers.map { case (lang, ws) =>
-      sum(when(lower(col("word")).isin(ws: _*), 1).otherwise(0)).as(s"${lang}_hits")
-    }
-    val aggs = Seq(
-      count(lit(1)).as("n_tokens"),
-      pround(sum(when(lower(col("word")).isin(stopwords: _*), 1).otherwise(0))
-               / count(lit(1)), 4).as("stop_ratio")) ++ hitCols :+
-      (min(length(col("text"))) -
-       min(length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))))
-        .cast("long").as("zh_chars")
-    val metrics = toks.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    // quality metrics + language profile + normalized fingerprint in
+    // ONE map-side projection: per-doc token counts come from the
+    // TokenMembershipCounts expression, so there is no explode, no
+    // aggregation, and no metrics⋈norm join left in the plan — the
+    // first shuffle is the dedup rank filter. The round-6 history:
+    // the fused explode+groupBy form measured 4.0 s at sf0.1, over
+    // half of it whole-stage-codegen COMPILATION of the generated
+    // lower(word) IN (...) aggregate; the map-side form is ~1 s.
+    // The oracle recomputes via the independent CTE forms, so the
+    // plan shape is verified, not trusted.
+    val p = graft.functions.TokenMembershipCounts.token_membership_counts(
+      tokens(col("text")),
+      ("stop_hits" -> stopwords) +:
+        markers.map { case (lang, ws) => (s"${lang}_hits", ws) })
+    val profiled = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), p.as("p"),
+        md5(graft.functions.NormalizeText.normalize_text(col("text"))
+          .cast("binary")).as("norm_md5"))
+      .select(col("doc_id"), col("norm_md5"),
+        col("p.n_tokens").as("n_tokens"),
+        pround(col("p.stop_hits") / col("p.n_tokens"), 4).as("stop_ratio"),
+        col("p.en_hits").as("en_hits"), col("p.es_hits").as("es_hits"),
+        col("p.de_hits").as("de_hits"), col("p.fr_hits").as("fr_hits"),
+        (length(col("text")) -
+         length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))
+          .cast("long").as("zh_chars"))
       .withColumn("lang_guess",
         when(col("zh_chars") > 0, "zh")
           .when(col("en_hits") === 0 && col("es_hits") === 0 &&
@@ -384,15 +396,20 @@ object TextPipeline {
           .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr"))
-    val norm = Tables.documents(s, d).select(col("doc_id"),
-      md5(graft.functions.NormalizeText.normalize_text(col("text"))
-        .cast("binary")).as("norm_md5"))
-    val filtered = metrics.join(norm, "doc_id")
+    val filtered = profiled
       .filter(col("n_tokens") >= 20 && col("lang_guess") === "en")
-    val keepIds = filtered.groupBy(col("norm_md5"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    filtered.join(keepIds, "doc_id")
+    // keep lowest doc_id per normalized content as a rank-1 filter,
+    // NOT a groupBy+self-join: the self-join form computed the whole
+    // metrics+norm chain twice (no shared exchange between a doc_id
+    // join and a norm_md5 aggregation) and was over half this query's
+    // cost (measured 4.0 s at sf0.1 → 1.5 s). The row_number form is
+    // one pass, and the library's RewriteRankFilterToTopK turns it
+    // into the map-side partial top-1 operator.
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    filtered
+      .withColumn("__rn", row_number().over(wKeep))
+      .filter(col("__rn") === 1)
       .withColumn("split",
         when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
                % 1000 < 980, "train")
