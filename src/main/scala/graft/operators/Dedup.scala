@@ -99,24 +99,24 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per document: (doc_id, g).
     *
-    * The token array is materialized in its own projection BEFORE the
-    * n-gram transform: expressions inside a lambda re-evaluate their
-    * subtree per element, so referencing `split()` directly from
-    * every `element_at` would re-run the regex O(len²) times per doc
-    * (measured 10x slowdown at sf0.01).
+    * Emitted by the [[graft.functions.WordNGrams]] custom Generator
+    * (plain-JVM loop: concat + dedup set, streamed one row at a
+    * time) rather than the `array_distinct(transform(sequence(...)))`
+    * composition this started as: higher-order functions are
+    * CodegenFallback — an interpreted expression tree PER GRAM — and
+    * switching the shingle source measured ~25% off
+    * dedup_ngram_jaccard at sf0.1 (mean-of-3: 5.4 → 4.0 s isolated
+    * runs; the remaining cost is the inverted-index join, not gram
+    * construction). WordNGramsSpec pins output equality of the two
+    * forms. The token array still materializes in its own projection
+    * so the generator's child is a bound reference, not a
+    * re-evaluated tokenizer.
     */
-  private[graft] def shingles(s: SparkSession, d: String): DataFrame = {
-    val tk = col("tk")
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        when(size(tk) >= 3,
-          transform(sequence(lit(1), size(tk) - 2),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-                           element_at(tk, i + 2))))
-          .otherwise(array().cast("array<string>")).as("ngrams"))
-      .select(col("doc_id"), explode(array_distinct(col("ngrams"))).as("g"))
-  }
+        graft.functions.WordNGrams.word_ngrams(col("tk"), 3).as("g"))
 
   /** All 16 minhash slots in ONE aggregation pass: 16 min() columns
     * over the same grouped scan, instead of exploding every shingle
