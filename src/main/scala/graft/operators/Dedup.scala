@@ -118,20 +118,23 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.WordNGrams.word_ngrams(col("tk"), 3).as("g"))
 
-  /** All 16 minhash slots in ONE aggregation pass: 16 min() columns
-    * over the same grouped scan, instead of exploding every shingle
-    * x16 (which multiplied the shuffle by k — measured 17 s at sf0.1;
-    * this shape runs in ~1 s and shuffles one row per doc).
+  /** All 16 minhash slots computed MAP-SIDE per document by the
+    * [[graft.functions.MinHashSlots]] expression — no shingle
+    * explode, no aggregation, no shuffle (the evolution, each step
+    * measured: explode×16 17 s at sf0.1 → 16-min groupBy ~1 s →
+    * this, where the signature is a projection in the scan stage and
+    * the per-gram md5 — the cross-engine contract's inherent cost —
+    * is all that remains). Bit-identity with the relational chain is
+    * spec-pinned (MinHashSlotsSpec) and oracle-gated.
     */
-  private def minhashCols(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until MinhashK).map { i =>
-      min((col("h") * (2 * i + 1) + (i * i + 7)) % MersennePrime).as(s"mh$i")
-    }
-    shingles(s, d)
-      .select(col("doc_id"), portableHash(col("g")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  private def minhashCols(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSlots.minhash_slots(col("tk")).as("sl"))
+      .filter(size(col("sl")) > 0)
+      .select(col("doc_id") +: (0 until MinhashK).map(i =>
+        element_at(col("sl"), i + 1).as(s"mh$i")): _*)
 
   /** Full 16-slot minhash signature per doc, rendered as a string. */
   def minhashSignature(s: SparkSession, d: String): DataFrame =
@@ -145,41 +148,26 @@ object Dedup {
     * any DataFrame with a text column to the same rows plus a `bands`
     * column `array<struct<band:long, sig:string>>` — bit-identical to
     * [[minhashBands]]'s (band, sig) pairs for the same text
-    * (spec-enforced), but computed entirely map-side with array
-    * expressions, so a streaming micro-batch pays no shuffle to
-    * sign its documents. Docs with <3 tokens get an empty array,
-    * mirroring the batch chain where they never produce shingles.
-    *
-    * Each intermediate array lands in its own projection: expressions
-    * referenced inside higher-order-function lambdas re-evaluate per
-    * element, so tokenizing inside the n-gram lambda would re-run the
-    * tokenizer O(len) times per doc.
+    * (spec-enforced — both forms now share the ONE MinHashSlots
+    * expression), computed entirely map-side, so a streaming
+    * micro-batch pays no shuffle to sign its documents. Docs with
+    * <3 tokens get an empty array, mirroring the batch chain where
+    * they never produce shingles.
     */
   private[graft] def withBandKeys(df: DataFrame, textCol: String): DataFrame = {
-    val tk = col("__tk")
-    val hashed = df
-      .withColumn("__tk", tokens(col(textCol)))
-      .withColumn("__gs",
-        array_distinct(when(size(tk) >= 3,
-          transform(sequence(lit(1), size(tk) - 2),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-                           element_at(tk, i + 2))))
-          .otherwise(array().cast("array<string>"))))
-      .withColumn("__hs",
-        transform(col("__gs"), g => graft.functions.CrossEngine.portableHash(g)))
+    val sl = col("__sl")
     val bands = (0 until MinhashK / BandRows).map { b =>
       struct(lit(b.toLong).as("band"),
              concat_ws(",", (0 until BandRows).map { r =>
-               val i = b * BandRows + r
-               array_min(transform(col("__hs"),
-                 h => (h * (2 * i + 1) + (i * i + 7)) % MersennePrime))
+               element_at(sl, b * BandRows + r + 1)
              }: _*).as("sig"))
     }
-    hashed
+    df.withColumn("__sl",
+        graft.functions.MinHashSlots.minhash_slots(tokens(col(textCol))))
       .withColumn("bands",
-        when(size(col("__gs")) > 0, array(bands: _*))
+        when(size(sl) > 0, array(bands: _*))
           .otherwise(array().cast("array<struct<band:bigint,sig:string>>")))
-      .drop("__tk", "__gs", "__hs")
+      .drop("__sl")
   }
 
   /** LSH band table: (doc_id, band, band-signature string). */
