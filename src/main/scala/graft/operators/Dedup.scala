@@ -201,35 +201,20 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(s, d).orderBy(col("doc_id"))
 
-  /** All 64 bit-sums in ONE aggregation pass (64 conditional-sum
-    * columns) — exploding every (doc, word) row x64 multiplied the
-    * aggregate input by the bit width for no reason. The 64 hash
-    * bits per word come from the two md5 halves (h1 = hex 1..8 →
-    * bits 32..63, h0 = hex 9..16 → bits 0..31), so one md5 per word
-    * feeds the whole fingerprint. Bit 63's literal is Long.MinValue;
-    * the bits combine with bitwise OR (each term owns one distinct
-    * bit), which is sign-safe where a sum would overflow-check.
+  /** The whole fingerprint MAP-SIDE per document via the
+    * [[graft.functions.SimHash64]] expression — no per-word explode,
+    * no (doc, word) tf aggregation, no 64-conditional-sum aggregate
+    * (each step of that relational evolution is recorded in
+    * SimHash64's Scaladoc; bit-identity is spec-pinned in
+    * SimHash64Spec and oracle-gated). What remains is one md5 per
+    * distinct word — the cross-engine hash contract's inherent cost.
     */
-  private def simhashTable(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until SimhashBits).map { b =>
-      val h = if (b < 32) "h0" else "h1"
-      sum(when(expr(s"(shiftright($h, ${b % 32}) & 1) = 1"), col("tf"))
-          .otherwise(-col("tf"))).as(s"s$b")
-    }
-    val bits = (0 until SimhashBits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
+  private def simhashTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("tf"),
-              portableHash(col("word")).as("h1"),
-              graft.functions.CrossEngine.portableHashLo(col("word")).as("h0"))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
-  }
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("tk")).as("simhash"))
 
   /** All-pairs baseline for SimHash near-dup pairs — NOT the shipped
     * query. Broadcast nested-loop over the (doc_id, simhash) signature
