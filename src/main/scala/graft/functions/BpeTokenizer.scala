@@ -65,19 +65,31 @@ object BpeTokenizer {
     }
   }
 
-  /** Subword piece count of a text column (LongType). */
-  def subwordCount(c: Column): Column = {
+  /** Subword piece count of a text column (LongType). Since round 6
+    * this rides the [[BpePieces]] JVM expression; the replace-chain
+    * form survives as [[subwordCountChain]] (the differential twin —
+    * and still the shape the DuckDB oracle runs via
+    * [[subwordCountSql]], so the gate re-proves equivalence).
+    */
+  def subwordCount(c: Column): Column =
+    size(BpePieces.bpe_pieces(c)).cast("long")
+
+  /** The subword pieces themselves, as array<string>. Empty (or
+    * sentinel-only) input yields an EMPTY array, agreeing with
+    * `subwordCount = 0`.
+    */
+  def subwordPieces(c: Column): Column = BpePieces.bpe_pieces(c)
+
+  /** The original sentinel-wrapped replace-chain count — kept as the
+    * spec's differential reference for [[subwordCount]].
+    */
+  private[graft] def subwordCountChain(c: Column): Column = {
     val s = piecesString(c)
     (length(s) - length(replace(s, lit(L), lit("")))).cast("long")
   }
 
-  /** The subword pieces themselves, as array<string> (analysis /
-    * debugging surface; the budgeting queries use [[subwordCount]]).
-    * Empty (or sentinel-only) input yields an EMPTY array, agreeing
-    * with `subwordCount = 0` — `split` alone would return `[""]`
-    * because splitting an empty string yields one empty piece.
-    */
-  def subwordPieces(c: Column): Column = {
+  /** The original replace-chain pieces — spec reference. */
+  private[graft] def subwordPiecesChain(c: Column): Column = {
     val s = piecesString(c)
     val trimmed = regexp_replace(s, s"^$L|$R$$", "")
     when(length(s) > 0, split(trimmed, s"$R$L"))

@@ -89,6 +89,18 @@ class BpeTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("JVM expression equals the replace chain across the real corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaExpr = docs.select(col("doc_id"),
+      BpeTokenizer.subwordPieces(col("text")).as("p"),
+      BpeTokenizer.subwordCount(col("text")).as("n"))
+    val viaChain = docs.select(col("doc_id"),
+      BpeTokenizer.subwordPiecesChain(col("text")).as("p"),
+      BpeTokenizer.subwordCountChain(col("text")).as("n"))
+    assert(viaExpr.except(viaChain).isEmpty && viaChain.except(viaExpr).isEmpty)
+  }
+
   test("expression count equals the reference across the real corpus") {
     import spark.implicits._
     val got = graft.sources.Tables.documents(spark, sf)
