@@ -122,8 +122,10 @@ case class GramRunStats(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object GramRunStats {
-  private val Seed = 42L
-  private val NullToken = -7046029254386353131L // xxhash64 of nothing at seed 42
+  private[functions] val Seed = 42L
+  // xxhash64 of nothing at seed 42 — shared with DistinctGramHashes
+  // so both derive the SAME gram identity for the same token tuple
+  private[functions] val NullToken = -7046029254386353131L
 
   /** Column-API entry point over a token array<string>. */
   def gram_run_stats(tokens: Column, n: Int = 3): Column =

@@ -118,6 +118,17 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.WordNGrams.word_ngrams(col("tk"), 3).as("g"))
 
+  /** (doc_id, gh, n): one row per distinct gram HASH with the doc's
+    * distinct-gram count alongside — the Jaccard join input, ONE
+    * map-side pass of the [[graft.functions.DistinctGramHashes]]
+    * generator (no gram strings, no per-doc window for the size).
+    */
+  private def gramHashRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.DistinctGramHashes.distinct_gram_hashes(col("tk"), 3))
+
   /** All 16 minhash slots computed MAP-SIDE per document by the
     * [[graft.functions.MinHashSlots]] expression — no shingle
     * explode, no aggregation, no shuffle (the evolution, each step
@@ -333,20 +344,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over candidate pairs that share a shingle.
-    * Set sizes ride along via a per-doc window instead of two extra
-    * size-joins — one less recompute of the shingle subtree per side,
-    * and the join carries (na, nb) for free through the group keys.
+    * Set sizes come MAP-SIDE from the fused GramRunStats expression
+    * (the count of distinct grams per doc — previously a per-doc
+    * window, i.e. an extra shuffle before the join), and the join
+    * keys on xxhash64 of the gram instead of the gram string: 8-byte
+    * shuffle keys for ~40-byte grams, at the usual accepted 64-bit
+    * within-join collision risk (~grams²/2⁶⁵ — the string-keyed
+    * DuckDB oracle re-checks every gate run). One shuffle total
+    * before the pair aggregation, shared by both join sides.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // explicit shuffle by g shared by both aliases of the relation —
-    // the second side reuses the first's exchange (measured 2x at
-    // sf0.1 vs two independent recomputations of the shingle chain)
-    val ngn = shingles(s, d).withColumn("n", count(lit(1)).over(wn))
-      .repartition(col("g"))
-    val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
-    val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
-    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+    val ngn = gramHashRows(s, d).repartition(col("gh"))
+    val a = ngn.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val b = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
@@ -367,13 +378,12 @@ object Dedup {
     */
   def dropList(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d)
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ngn = shingles(s, d).withColumn("n", count(lit(1)).over(wn))
-    val aSide = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
-    val bSide = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
+    val ngn = gramHashRows(s, d)
+    val aSide = ngn.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val bSide = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
     val verified = pairs
       .join(aSide, "doc_a")
-      .join(bSide, Seq("doc_b", "g"))
+      .join(bSide, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
