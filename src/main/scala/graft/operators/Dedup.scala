@@ -76,19 +76,22 @@ object Dedup {
     * shingle sets (self-consistent sizes).
     */
   def ngramJaccardCapped(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val keep = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select(col("g"))
-    val capped = sh.join(keep, "g")
+    // hashed gram rows like [[ngramJaccard]]; the per-doc size window
+    // stays because Jaccard here is over the CAPPED shingle sets, so
+    // sizes can only be counted after the df filter
+    val sh = gramHashRows(s, d).select(col("doc_id"), col("gh"))
+    val keep = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("gh"))
+    val capped = sh.join(keep, "gh")
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // one explicit shuffle by g shared by both join sides (identical
+    // one explicit shuffle by gh shared by both join sides (identical
     // subtree → the second side reuses the first's exchange instead of
-    // recomputing the whole shingle chain; measured 2x at sf0.1)
+    // recomputing the whole gram chain; measured 2x at sf0.1)
     val ngn = capped.withColumn("n", count(lit(1)).over(wn))
-      .repartition(col("g"))
-    val a = ngn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("na"))
-    val b = ngn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("nb"))
-    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .repartition(col("gh"))
+    val a = ngn.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val b = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
