@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossEngine.{pround, tokens}
-import graft.functions.GramRunStats.gram_run_stats
-import graft.functions.WordNGrams.word_ngrams
 import graft.sources.Tables
 
 /** Eval-set decontamination — the 13-gram train/test overlap scan
@@ -50,21 +48,26 @@ object Decontam {
     val bits =
       if (numBits == 0L) BloomDedup.estimatedBits(evalSet, bytesPerKey = 4L)
       else numBits
+    // both sides as 8-byte gram HASHES from the one-pass generator
+    // (graft.functions.DistinctGramHashes): the per-doc denominator
+    // rides on every corpus row, no gram string is ever built, and
+    // the Bloom probes the join key itself. Collision risk is the
+    // accepted ~grams²/2⁶⁵ class — the string-keyed DuckDB oracle
+    // re-checks the whole computation at every gate run.
     val evalGrams = evalSet
       .select(tokens(col("text")).as("tk"))
-      .select(word_ngrams(col("tk"), n).as("g"))
-      .distinct()
+      .select(graft.functions.DistinctGramHashes
+        .distinct_gram_hashes(col("tk"), n))
+      .select(col("gh")).distinct()
     val corpusGrams = corpus
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        gram_run_stats(col("tk"), n).getField("n_distinct").as("n_grams"),
-        word_ngrams(col("tk"), n).as("g"))
+      .select(col("doc_id"), graft.functions.DistinctGramHashes
+        .distinct_gram_hashes(col("tk"), n))
     corpusGrams
       .where(BloomDedup.probeAgainst(
-        evalGrams.select(xxhash64(col("g")).as("k")), "k", bits,
-        xxhash64(col("g"))))
-      .join(evalGrams, "g")
-      .groupBy(col("doc_id"), col("n_grams"))
+        evalGrams.select(col("gh").as("k")), "k", bits, col("gh")))
+      .join(evalGrams, "gh")
+      .groupBy(col("doc_id"), col("n").as("n_grams"))
       .agg(count(lit(1)).as("n_matched"))
       .select(col("doc_id"), col("n_grams"), col("n_matched"),
         pround(col("n_matched") / col("n_grams"), 4).as("contam_ratio"))
