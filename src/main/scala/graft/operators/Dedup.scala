@@ -379,25 +379,74 @@ object Dedup {
     * actually runs; the corpus contains planted near-dups at
     * J ≈ 0.99 that LSH surfaces.
     */
-  def dropList(s: SparkSession, d: String): DataFrame = {
+  def dropList(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d).groupBy(col("doc_b").as("drop_id"))
+      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("drop_id"))
+
+  /** LSH candidate pairs exact-Jaccard-verified at [[DropThreshold]]:
+    * (doc_a < doc_b, jaccard) — the near-dup edge set [[dropList]]
+    * reduces greedily and [[components]] closes transitively.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d)
     val ngn = gramHashRows(s, d)
     val aSide = ngn.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
     val bSide = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
-    val verified = pairs
+    pairs
       .join(aSide, "doc_a")
       .join(bSide, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("jaccard") >= DropThreshold)
-    verified.groupBy(col("doc_b").as("drop_id"))
-      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
-      .orderBy(col("drop_id"))
+  }
+
+  /** Label-propagation rounds for [[components]]: 4 fixed rounds find
+    * the exact min-id component label for any component of DIAMETER
+    * ≤ 4 — near-dup components are (near-)cliques by construction
+    * (every clone pair passes the Jaccard verify), so real diameters
+    * are 1-2 and the margin is ×2. The fixed count keeps the query
+    * ONE lazy plan (no driver convergence loop, per the library's
+    * plan contract) and the oracle unrolls the SAME rounds, so the
+    * gate is hash-exact by construction at any diameter. A corpus
+    * with genuinely deeper chain-shaped components needs ⌈diam/…⌉
+    * more rounds or a doubling scheme — documented bound, not a
+    * silent cap.
+    */
+  private val LabelRounds = 4
+
+  /** Connected components of the verified near-dup graph — what a
+    * pipeline actually dedups by: documents transitively linked
+    * through near-dup pairs form ONE group keeping a single
+    * representative, where the pairwise drop list can keep two docs
+    * that never shared an LSH bucket edge directly. One round is
+    * new_label(v) = min(label(v), min over neighbors' labels) —
+    * a join + aggregation over the edge list, shuffling only the
+    * (small) set of documents that appear in any verified pair.
+    */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val p = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = p.unionByName(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var lab = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to LabelRounds) {
+      val nbr = edges
+        .join(lab.select(col("v").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("lab")).as("nlab"))
+      lab = lab.join(nbr, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+    }
+    lab.select(col("v").as("doc_id"), col("lab").as("component_id"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_drop_list"     -> dropList _,
+    "dedup_components"    -> components _,
     "dedup_exact"         -> exact _,
     "dedup_norm"          -> normalized _,
     "dedup_ngram_capped"  -> ngramJaccardCapped _,
@@ -478,6 +527,42 @@ object Dedup {
          |WHERE pround(c / (na + nb - c), 4) >= $DropThreshold
          |GROUP BY doc_b
          |ORDER BY drop_id""".stripMargin,
+    // mirrors the FIXED label-propagation rounds exactly (unrolled),
+    // so Spark and DuckDB agree at any component diameter
+    "dedup_components" -> {
+      val rounds = (1 to 4).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (SELECT l.v, least(l.lab, coalesce(m.nlab, l.lab)) AS lab
+           |  FROM $prev l LEFT JOIN
+           |    (SELECT e.dst AS v, min(l.lab) AS nlab
+           |     FROM edges e JOIN $prev l ON e.src = l.v GROUP BY e.dst) m
+           |  ON m.v = l.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
+         |  FROM pairs p
+         |  JOIN ng x ON x.doc_id = p.doc_a
+         |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
+         |  JOIN sizes na ON na.doc_id = p.doc_a
+         |  JOIN sizes nb ON nb.doc_id = p.doc_b
+         |  GROUP BY 1, 2, 3, 4),
+         |vp AS (SELECT doc_a, doc_b FROM verified
+         |       WHERE pround(c / (na + nb - c), 4) >= $DropThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |          UNION ALL SELECT doc_b, doc_a FROM vp),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+         |$rounds
+         |SELECT v AS doc_id, lab AS component_id FROM l4
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents

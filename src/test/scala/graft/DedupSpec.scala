@@ -26,6 +26,46 @@ class DedupSpec extends AnyFunSuite {
     assert(cap.count() > 0)
   }
 
+  test("components equal a union-find over the verified pair graph") {
+    import spark.implicits._
+    // edges = the drop-list's verified pairs (same threshold)
+    val pairs = Dedup.dropList(spark, sf)
+      .select("drop_id", "kept_id").as[(Long, Long)].collect()
+    // independent union-find reference over the FULL verified pair
+    // set (recovered via components' own edge semantics would be
+    // circular, so rebuild edges from minhash pairs + jaccard check)
+    val cand = Dedup.minhashPairs(spark, sf)
+      .as[(Long, Long)].collect()
+    val sh = Dedup.shingles(spark, sf).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edges = cand.filter { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val c = (sa & sb).size
+      val j = c.toDouble / (sa.size + sb.size - c)
+      math.floor(j * 10000 + 0.5) / 10000 >= 0.8
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(v => (v, find(v))).sortBy(_._1).toSeq
+    val got = Dedup.components(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // sanity: every dropped doc shares a component with its keeper
+    val comp = got.toMap
+    pairs.foreach { case (drop, kept) =>
+      assert(comp(drop) == comp(kept), s"$drop / $kept split across components")
+    }
+  }
+
   test("minhash candidate pairs have high true Jaccard likelihood ordering") {
     import spark.implicits._
     // every doc produces a 16-slot signature, and signatures are stable
