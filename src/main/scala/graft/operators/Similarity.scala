@@ -426,14 +426,17 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assignToCentroids(e, cents)
+      // one groupBy(cid) with the integerized vector-mean aggregate —
+      // the posexplode + (cid, dim) agg + collect_list/sort/transform
+      // re-assembly this replaces multiplied the aggregation input by
+      // the dimension count every iteration. Identical values: the
+      // per-element floor(x·scale+0.5) terms are integers, so sums
+      // are order-exact and the mean matches the relational form and
+      // the oracle bit-for-bit (VectorMeanSpec pins it).
       val next = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg((sum(floor(col("x") * MeanScale + lit(0.5))).cast("double")
-              / count(lit(1)) / MeanScale).as("m"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
+        .agg(graft.functions.VectorMean
+          .vector_mean(col("v"), MeanScale).as("cv"))
       cents = if (checkpoint) next.localCheckpoint() else next
     }
     cents
