@@ -62,7 +62,7 @@ object BloomDedup {
     * gracefully and correctness is unaffected — the cap is where a
     * caller should shard the sketch or pass an explicit budget.
     */
-  private[operators] def estimatedBits(corpus: DataFrame,
+  private[graft] def estimatedBits(corpus: DataFrame,
                                        bytesPerKey: Long = 64L): Long = {
     val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val nKeys = (bytes / bytesPerKey).min(BigInt(Long.MaxValue)).toLong

@@ -31,6 +31,47 @@ object StreamingIngest {
         graft.functions.ColumnShims.countTokens(col("text")) >= minTokens),
       watermark)
 
+  /** Map-side decontamination gate for live ingest: documents sharing
+    * any 13-gram with `evalSet` are dropped AS THEY ARRIVE. The eval
+    * set's gram sketch is built ONCE when the pipeline starts (one
+    * batch aggregation over the eval table — the k-means build-time
+    * pattern; streaming pipelines construct once and run forever) and
+    * embedded in the plan as bytes, so the per-document check is a
+    * stateless codegen'd probe ([[graft.functions.HasGramInBloom]]) —
+    * no joins, no state, no per-batch work beyond the scan. Error
+    * direction: contaminated documents can NEVER pass (Bloom has no
+    * false negatives); a clean document is wrongly dropped at the
+    * sketch's fpp, with the exact batch `txt_decontam` scan as the
+    * reconciliation path — the right trade for a live gate.
+    */
+  def decontamGate(stream: DataFrame, evalSet: DataFrame,
+                   n: Int = graft.operators.Decontam.GramWidth,
+                   numBits: Long = 0L): DataFrame = {
+    val bits =
+      if (numBits == 0L)
+        graft.operators.BloomDedup.estimatedBits(evalSet, bytesPerKey = 4L)
+      else numBits
+    val sketch = evalSet
+      .select(graft.functions.CrossEngine.tokens(col("text")).as("tk"))
+      .select(graft.functions.DistinctGramHashes
+        .distinct_gram_hashes(col("tk"), n))
+      .select(col("gh")).distinct()
+      .agg(expr(s"bloom_filter_agg(gh, ${bits / 8}L, ${bits}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) stream // empty eval set: nothing to gate
+    else stream.filter(!graft.functions.HasGramInBloom.has_gram_in_bloom(
+      graft.functions.CrossEngine.tokens(col("text")), n, sketch))
+  }
+
+  /** [[ingest]] with the decontamination gate ahead of the quality
+    * gate — the four-stage live pipeline: decontam → quality gate →
+    * exact dedup → near-dup candidates, still ONE continuous query.
+    */
+  def ingestDecontaminated(stream: DataFrame, evalSet: DataFrame,
+                           minTokens: Int = 5,
+                           watermark: String = "10 seconds"): DataFrame =
+    ingest(decontamGate(stream, evalSet), minTokens, watermark)
+
   /** Full ingest: near-dup candidate pairs among the cleansed
     * survivors — what a live dedup service alerts on.
     */

@@ -66,6 +66,39 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontam gate drops every contaminated arrival, admits the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma"
+    val evalDf = Seq((100L, evalText)).toDF("doc_id", "text")
+    val contaminated =
+      "prefix words alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu and then a different ending here"
+    val stream = Seq(
+      (1L, base, 100L),
+      (2L, contaminated, 101L),  // shares a 13-gram with the eval set
+      (3L, "an entirely clean document about columnar execution engines " +
+           "and shuffle exchanges with enough tokens to pass the gate", 102L))
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingIngest.decontamGate(
+        in.toDF().toDF("doc_id", "text", "ts"), evalDf)
+      .writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(stream.map { case (id, t, s) => (id, t, ts(s)) })
+      q.processAllAvailable()
+      val admitted = spark.table("decontam_gate").select("doc_id")
+        .as[Long].collect().toSet
+      // Bloom has no false negatives: doc 2 can never pass
+      assert(!admitted.contains(2L), s"contaminated doc admitted: $admitted")
+      // clean docs pass (no false positive at this sketch size/corpus)
+      assert(admitted == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("ingest metrics count admitted docs per window, after gate and dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
