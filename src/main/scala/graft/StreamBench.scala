@@ -83,10 +83,20 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // static eval set for the decontamination gate: every 20th doc's
+    // text, so the gate does real dropping work (~5% + repeats)
+    val evalDf = {
+      import spark.implicits._
+      (0L until nDocs.toLong by 20L).map(i => (i, docText(i)))
+        .toDF("doc_id", "text")
+    }
+
     val results = Seq(
       run("content_dedup", df => ContentDedup.firstSeen(df, wm)),
       run("near_dedup", df => NearDedup.candidatePairs(df, wm)),
-      run("ingest_composed", df => StreamingIngest.ingest(df, watermark = wm)))
+      run("ingest_composed", df => StreamingIngest.ingest(df, watermark = wm)),
+      run("ingest_decontam", df =>
+        StreamingIngest.ingestDecontaminated(df, evalDf, watermark = wm)))
     val qs = results.map { case (n, v, rows, mem) =>
       "\"" + n + f"""\":{"docs_per_sec":$v%.1f,"state_rows":$rows,"state_bytes":$mem}"""
     }.mkString("{", ",", "}")
