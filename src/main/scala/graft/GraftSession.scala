@@ -28,12 +28,22 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS), which the vectorized
-      // parquet reader rejects; this session-level flag reads such
-      // columns as raw ns longs (Tables.events truncates to µs). Set
-      // here — a table LOADER mutating session conf as a side effect
-      // would change behavior for every other reader on the session.
+      // events.parquet has shipped as TIMESTAMP(NANOS), which the
+      // vectorized parquet reader rejects; this session-level flag
+      // reads such columns as raw ns longs (Tables.events truncates
+      // to µs, and adapts when the file is TIMESTAMP(MICROS) instead).
+      // Set here — a table LOADER mutating session conf as a side
+      // effect would change behavior for every other reader.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bloom_filter_agg silently clamps sketches to 2^26 bits / 4M
+      // items by default, which would defeat BloomDedup's
+      // 16-bits-per-key fpp sizing above ~4M keys — at 100 TB the
+      // seen-keys sketch is billions of keys, so the requested size
+      // must actually bind (2^33 bits = 1 GiB ceiling).
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 33).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        (1L << 30).toString)
       // checkpoint-file checksums deadlock RocksDB snapshot uploads in
       // local mode (every task parks in ChecksumCancellableFSDataOutput
       // Stream.close awaiting a checksum-write future that never runs);

@@ -45,6 +45,25 @@ case class HasGramInBloom(child: Expression, n: Int, bloomBytes: Array[Byte])
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
+  // The case-class defaults compare the multi-MiB sketch array by
+  // REFERENCE, so two semantically identical probes would never be
+  // semanticEquals — defeating CSE/canonicalization for an expression
+  // that is re-analyzed every streaming micro-batch. Compare content,
+  // and cache the (expensive) content hash.
+  @transient private lazy val bloomBytesHash: Int =
+    java.util.Arrays.hashCode(bloomBytes)
+
+  override def equals(other: Any): Boolean = other match {
+    case that: HasGramInBloom =>
+      n == that.n && child == that.child &&
+        java.util.Arrays.equals(bloomBytes, that.bloomBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[HasGramInBloom], child,
+      Integer.valueOf(n), Integer.valueOf(bloomBytesHash))
+
   def compute(a: Object): Boolean = {
     val arr = a.asInstanceOf[ArrayData]
     val m = arr.numElements()

@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Scale shape: used by the batch signature/pair/drop-list queries
   * AND the per-row streaming form ([[graft.operators.Dedup.withBandKeys]])
   * — one implementation, so batch ≡ stream signatures stay
-  * spec-enforced. Null tokens hash as empty strings.
+  * spec-enforced. Null tokens are skipped along with their separator,
+  * because the relational form builds grams with `concat_ws`, which
+  * drops null arguments AND the separator next to them — hashing a
+  * null as "" with the separator kept would diverge from the oracle
+  * on arrays with containsNull=true.
   */
 case class MinHashSlots(child: Expression) extends UnaryExpression {
 
@@ -53,10 +57,14 @@ case class MinHashSlots(child: Expression) extends UnaryExpression {
     var i = 0
     while (i <= m - 3) {
       md.reset()
+      var wrote = false
       var j = 0
       while (j < 3) {
-        if (j > 0) md.update(space)
-        if (!arr.isNullAt(i + j)) md.update(arr.getUTF8String(i + j).getBytes)
+        if (!arr.isNullAt(i + j)) {
+          if (wrote) md.update(space)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()

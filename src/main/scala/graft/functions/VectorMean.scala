@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Buffer: (count, sums[dim]) sized on first input; merging an empty
   * buffer is the identity. Null vectors/elements are skipped/0.
+  * Mismatched vector lengths THROW: ragged inputs are not
+  * averageable, and because the buffer dimension is set by whichever
+  * vector a partition happens to see first, silently truncating would
+  * make the result partition-order-dependent.
   */
 case class VectorMean(
     child: Expression,
@@ -45,9 +49,11 @@ case class VectorMean(
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (buf.sums == null) buf.sums = new Array[Double](n)
-      val d = math.min(n, buf.sums.length)
+      if (n != buf.sums.length)
+        throw new IllegalArgumentException(
+          s"vector_mean: dimension mismatch ($n vs ${buf.sums.length})")
       var i = 0
-      while (i < d) {
+      while (i < n) {
         if (!arr.isNullAt(i))
           buf.sums(i) += math.floor(arr.getDouble(i) * scale + 0.5)
         i += 1
@@ -61,9 +67,11 @@ case class VectorMean(
     if (b.sums != null) {
       if (a.sums == null) { a.sums = b.sums; a.count = b.count }
       else {
-        val d = math.min(a.sums.length, b.sums.length)
+        if (a.sums.length != b.sums.length)
+          throw new IllegalArgumentException(
+            s"vector_mean: dimension mismatch (${b.sums.length} vs ${a.sums.length})")
         var i = 0
-        while (i < d) { a.sums(i) += b.sums(i); i += 1 }
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
         a.count += b.count
       }
     }

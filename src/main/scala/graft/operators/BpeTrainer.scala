@@ -128,8 +128,13 @@ object BpeTrainer {
         val it = top.iterator.take(batchK)
         while (it.hasNext && stopAt.isEmpty) {
           val (a, b, n) = it.next()
-          if (used(a) || used(b)) stopAt = Some(n)
-          else { prefix += ((a, b, n)); used += a; used += b }
+          // the merged RESULT piece a+b counts as used too: a pending
+          // candidate that touches it (e.g. ('xy','z') accepted, then
+          // ('x','yz') or ('xyz', c) still in the list) has its count
+          // perturbed mid-batch, so it must feed stopAt rather than
+          // pass the disjointness check
+          if (used(a) || used(b) || used(a + b)) stopAt = Some(n)
+          else { prefix += ((a, b, n)); used += a; used += b; used += (a + b) }
         }
         val unseenBound = if (top.length > batchK) Some(top(batchK)._3) else None
         val cut = (stopAt.toSeq ++ unseenBound.toSeq).maxOption

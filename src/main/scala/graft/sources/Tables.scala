@@ -49,24 +49,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. The GraftSession builder sets
-    * `spark.sql.legacy.parquet.nanosAsLong` so the column arrives as
-    * a raw nanosecond long; here it is truncated to microseconds —
-    * the same floor conversion DuckDB applies when it loads ns into
-    * its µs timestamp, so both engines see identical instants. (No
-    * session-conf mutation here: a loader silently flipping a session
-    * flag would change behavior for every other reader. A session
-    * built without the flag fails this read loudly instead.)
+  /** `events.ts` has shipped in two parquet encodings and a
+    * production reader must accept both, so this adapts to whatever
+    * the file declares instead of legislating one protocol:
+    *
+    *  - TIMESTAMP(MICROS): arrives as TimestampType/TimestampNTZType.
+    *    NTZ is cast to TimestampType (session TZ is UTC, so the cast
+    *    is value-preserving) to keep one downstream type for every
+    *    consumer — windows, as-of joins, resample all see
+    *    TimestampType regardless of the file's isAdjustedToUTC bit.
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; the
+    *    GraftSession builder sets
+    *    `spark.sql.legacy.parquet.nanosAsLong` so the column arrives
+    *    as a raw nanosecond long, truncated here to microseconds —
+    *    the same floor conversion DuckDB applies when it loads ns
+    *    into its µs timestamp, so both engines see identical
+    *    instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(set by GraftSession.builder)")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet encoding $other " +
+          "(expected TIMESTAMP(MICROS), TIMESTAMP(NANOS) via nanosAsLong, or raw ns long)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
