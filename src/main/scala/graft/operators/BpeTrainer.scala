@@ -57,20 +57,34 @@ object BpeTrainer {
     * tiebreak) and applies the longest prefix that is PROVABLY what
     * sequential training would have chosen, one merge at a time:
     *
-    *  - accepted candidates must be pairwise piece-disjoint: merging
-    *    (a, b) can only change counts of pairs sharing a piece (a
-    *    changed occurrence overlaps the merged positions, so it
-    *    shares `a`, `b`, or `ab`), so disjoint merges do not disturb
-    *    each other's counts;
+    *  - accepted candidates must be pairwise piece-disjoint —
+    *    including the merged RESULT piece ab: merging (a, b) can only
+    *    change counts of pairs sharing a piece (a changed occurrence
+    *    overlaps the merged positions, so it shares `a`, `b`, or
+    *    `ab`), so disjoint merges do not disturb each other's counts;
     *  - every pair CREATED by an accepted merge (x + ab, ab + y)
-    *    descends from an existing overlapping pair (x, a) / (b, y) —
-    *    one occurrence each — so its count is bounded by the best
-    *    overlapping candidate's count. Acceptance therefore stops at
-    *    the first candidate that overlaps an accepted one, and the
-    *    accepted prefix is further truncated to counts STRICTLY above
-    *    both that candidate's count and the (k+1)-th candidate's
-    *    count (the bound on everything unseen, including ties that
-    *    the lexicographic tiebreak could reorder).
+    *    descends from an existing overlapping pair (x, a) / (b, y).
+    *    For a ≠ b those are DIFFERENT pairs sharing a piece, so they
+    *    are either examined earlier in count order (feeding stopAt)
+    *    or bounded by the (k+1)-th candidate's count. Acceptance
+    *    therefore stops at the first candidate that overlaps an
+    *    accepted one, and the accepted prefix is further truncated to
+    *    counts STRICTLY above both that candidate's count and the
+    *    (k+1)-th candidate's count (the bound on everything unseen,
+    *    including ties that the lexicographic tiebreak could
+    *    reorder). Two cases escape that bound and terminate the batch
+    *    at their candidate instead (sequential applies them via the
+    *    top-1 path):
+    *      - SELF-pairs (a, a): the created pair (aa, a) descends from
+    *        occurrences of (a, a) ITSELF — the accepted candidate,
+    *        whose count never feeds stopAt — and can grow to tie a
+    *        later accepted candidate ('xxx'-heavy corpora reorder);
+    *      - candidates whose result string a+b equals a piece MERGED
+    *        IN AN EARLIER ROUND (every multi-char piece is some
+    *        merge's result, so the merges-so-far set decides this
+    *        exactly): the merge then grows counts of PRE-EXISTING
+    *        pairs touching that piece, which may be below the
+    *        (k+1)-th candidate pre-merge yet above the cut after.
     *
     * If the safe prefix is empty (e.g. the top two candidates overlap
     * at equal counts), the round falls back to applying the top-1 —
@@ -100,6 +114,9 @@ object BpeTrainer {
       // same pattern as the k-means trainer's per-iteration checkpoint
       .cache()
     val merges = Seq.newBuilder[(String, String)]
+    // result strings of every merge accepted so far (across rounds) —
+    // the exact set of multi-char piece strings that can exist
+    val priorResults = scala.collection.mutable.Set.empty[String]
     var taken = 0
     var rounds = 0
     var exhausted = false
@@ -128,12 +145,18 @@ object BpeTrainer {
         val it = top.iterator.take(batchK)
         while (it.hasNext && stopAt.isEmpty) {
           val (a, b, n) = it.next()
-          // the merged RESULT piece a+b counts as used too: a pending
-          // candidate that touches it (e.g. ('xy','z') accepted, then
-          // ('x','yz') or ('xyz', c) still in the list) has its count
-          // perturbed mid-batch, so it must feed stopAt rather than
-          // pass the disjointness check
-          if (used(a) || used(b) || used(a + b)) stopAt = Some(n)
+          // stop conditions, each with its Scaladoc soundness case:
+          //  - a/b/a+b in used: a pending candidate touching an
+          //    accepted merge's pieces (e.g. ('xy','z') accepted,
+          //    then ('x','yz') or ('xyz', c) still in the list) has
+          //    its count perturbed mid-batch;
+          //  - a == b: self-chaining creates (aa, a) out of the
+          //    accepted candidate's own occurrences, unbounded by the
+          //    cut;
+          //  - a+b already a merged piece: pre-existing pairs touching
+          //    that piece GROW, escaping the pre-merge count order.
+          if (used(a) || used(b) || used(a + b) || a == b || priorResults(a + b))
+            stopAt = Some(n)
           else { prefix += ((a, b, n)); used += a; used += b; used += (a + b) }
         }
         val unseenBound = if (top.length > batchK) Some(top(batchK)._3) else None
@@ -145,7 +168,9 @@ object BpeTrainer {
         val accepted =
           (if (safe.isEmpty) top.take(1).toVector else safe)
             .take(nMerges - taken)
-        accepted.foreach { case (a, b, _) => merges += ((a, b)) }
+        accepted.foreach { case (a, b, _) =>
+          merges += ((a, b)); priorResults += (a + b)
+        }
         taken += accepted.size
         val next = state
           .withColumn("ws", accepted.foldLeft(col("ws")) {

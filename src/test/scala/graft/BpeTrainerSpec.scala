@@ -76,6 +76,36 @@ class BpeTrainerSpec extends AnyFunSuite {
     info(s"learned: ${got.map { case (a, b) => s"$a+$b" }.mkString(", ")}")
   }
 
+  /** Expand a word-frequency map into texts (one word per doc). */
+  private def corpus(words: (String, Int)*): Seq[String] =
+    words.flatMap { case (w, n) => Seq.fill(n)(w) }
+
+  test("regression: self-pair merges do not batch past their created pairs") {
+    // Adversarial corpus found by randomized search against a pure
+    // simulator of the batch rule: accepting ('x','x') creates the
+    // pair ('xx','x') out of the accepted candidate's own occurrences
+    // (count 19, tying ('z','y') and winning the lexicographic
+    // tiebreak), so a batch that accepts anything after a self-pair
+    // diverges from sequential.
+    import spark.implicits._
+    val texts = corpus("xyxy" -> 3, "xxxzy" -> 12, "zyx" -> 5,
+                       "xyz" -> 10, "xxx" -> 7, "yzy" -> 2)
+    val got = BpeTrainer.train(texts.toDF("text"), nMerges = 10, batchK = 8)
+    assert(got == refTrain(texts, 10), s"got $got\nwant ${refTrain(texts, 10)}")
+  }
+
+  test("regression: a merge recreating a prior round's piece stops the batch") {
+    // Second searched pin: here a candidate's result string equals a
+    // piece merged in an earlier round, so applying it grows counts
+    // of pre-existing pairs touching that piece — the batch must stop
+    // at it rather than accept later candidates at stale counts.
+    import spark.implicits._
+    val texts = corpus("yxyzy" -> 11, "xz" -> 3, "xzyxz" -> 11,
+                       "yyy" -> 4, "zyzzyz" -> 2, "yyxx" -> 1, "zy" -> 11)
+    val got = BpeTrainer.train(texts.toDF("text"), nMerges = 10, batchK = 4)
+    assert(got == refTrain(texts, 10), s"got $got\nwant ${refTrain(texts, 10)}")
+  }
+
   test("training exhausts gracefully when words fully fuse") {
     import spark.implicits._
     val got = BpeTrainer.train(Seq("ab ab ab").toDF("text"), nMerges = 10)

@@ -49,6 +49,34 @@ class MinHashSlotsSpec extends AnyFunSuite {
     assert(ref.count() > 0)
   }
 
+  test("null tokens are skipped with their separator (concat_ws parity)") {
+    // The relational/oracle form grams via concat_ws, which drops
+    // null arguments AND the separator next to them — the fused
+    // expression must hash the exact same gram bytes or batch and
+    // streaming signatures diverge on containsNull=true arrays.
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[String]("a", null, "b", "c")),
+      (2, Seq[String](null, "x", null, "y", "z")),
+      (3, Seq[String]("p", "q", null, "r", "s"))).toDF("id", "tk")
+    val tk = col("tk")
+    val aggs = (0 until K).map { i =>
+      min((col("h") * (2 * i + 1) + (i * i + 7)) % P).as(s"mh$i")
+    }
+    val rel = df
+      .select(col("id"), explode(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+                       element_at(tk, i + 2)))).as("g"))
+      .select(col("id"), portableHash(col("g")).as("h"))
+      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val viaExpr = df
+      .select(col("id"), minhash_slots(col("tk")).as("sl"))
+      .select(col("id") +: (0 until K).map(i =>
+        element_at(col("sl"), i + 1).as(s"mh$i")): _*)
+    assert(viaExpr.except(rel).isEmpty && rel.except(viaExpr).isEmpty)
+    assert(rel.count() == 3)
+  }
+
   test("fewer than 3 tokens yields an empty slot array") {
     import spark.implicits._
     val got = Seq("", "one", "two words", "three whole tokens")

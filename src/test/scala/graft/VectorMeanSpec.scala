@@ -39,6 +39,22 @@ class VectorMeanSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged vector dimensions throw instead of silently truncating") {
+    // The buffer dimension is set by whichever vector a partition
+    // sees first, so truncating to min length would make the result
+    // partition-order-dependent; ragged inputs must fail loudly.
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0, 2.0, 3.0)),
+                 (1, Seq(4.0, 5.0))).toDF("cid", "v")
+    val e = intercept[Exception] {
+      df.groupBy("cid").agg(vector_mean(col("v"), Scale)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("dimension mismatch"), msgs)
+  }
+
   test("partition-count invariance (order-exact integer sums)") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
