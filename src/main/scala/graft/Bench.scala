@@ -3,8 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed on
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Each query runs once UNTIMED (plan analysis, file listing, codegen,
+  * broadcast build) and then three timed runs; the JSON carries the
+  * per-query mean AND sample standard deviation, so a
+  * round-over-round swing can be adjudicated as noise or a real
+  * regression instead of guessed from a single shot. A query that
+  * throws reports -1 (and is listed in "failed") rather than its
+  * time-to-throw — a fast failure must never read as a speedup.
   */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
@@ -13,19 +23,36 @@ object Bench {
     // one warm-up action so JIT/codegen cost doesn't land on the first query
     spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop the previous query's broadcast/shuffle refs now: letting
-      // them pile up across 40 queries drives old-gen full GCs that
-      // contaminate later measurements (observed 5-20x inflation)
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      once() // warm-up, untimed
+      // drop broadcast/shuffle refs before measuring: letting them pile
+      // up across 80+ queries drives old-gen full GCs that contaminate
+      // later measurements (observed 5-20x inflation)
       System.gc()
-      name -> dt
+      val runs = Seq.fill(Runs)(once())
+      System.gc()
+      val ok = runs.filter(_ >= 0)
+      val mean = if (ok.isEmpty) -1.0 else ok.sum / ok.size
+      val sd =
+        if (ok.size < 2) 0.0
+        else math.sqrt(ok.map(x => (x - mean) * (x - mean)).sum / (ok.size - 1))
+      (name, mean, sd)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def num(d: Double): String = if (d == d.floor && d.abs < 1e15) d.toString else f"$d%.6f"
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + num(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sds = results.map { case (k, _, s) => "\"" + k + "\":" + num(s) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, m, _) if m < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+      s""""queries":$qs,"queries_sd":$sds,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
