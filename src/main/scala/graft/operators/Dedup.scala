@@ -369,6 +369,72 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Span width for substring-level exact dedup: a duplicated region
+    * must repeat at least this many consecutive tokens. 13 matches
+    * the decontamination gram width (GPT-3 appendix C / Gopher) —
+    * the corpus-size-robust "too long to repeat by chance" setting;
+    * Lee et al. (2022) use 50 BPE tokens at web scale, a config
+    * knob, not a different plan.
+    */
+  private val SubstrK = 13
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * region of ≥ [[SubstrK]] consecutive tokens that occurs more than
+    * once ANYWHERE in the corpus — across documents or repeated
+    * inside one. Doc-level dedup (exact/minhash/simhash) misses
+    * boilerplate shared between otherwise-distinct pages; this is the
+    * pass that catches it.
+    *
+    * Plan (the distributed stand-in for their suffix array, which is
+    * inherently sequential to build): every K-token window becomes an
+    * 8-byte rolling hash with its position ([[graft.functions.GramPosHashes]],
+    * one map-side generator pass — no gram strings, no window
+    * shuffle); a window is duplicated iff its hash occurs ≥ 2 times
+    * corpus-wide. One explicit repartition on gh is shared by the
+    * occurrence count and the semi-join back to positions (identical
+    * subtree → exchange reuse, the [[ngramJaccardCapped]] pattern).
+    * Duplicated windows then fold into maximal spans per document:
+    * two windows merge iff they overlap (start delta ≤ K-1), a
+    * gaps-and-islands pass partitioned BY DOCUMENT — no global
+    * window, no driver loop. Output: (doc_id, span_start, span_end,
+    * span_tokens), token positions 1-based inclusive.
+    *
+    * At 100 TB: rows shuffled are one (pos, gh) pair per token —
+    * linear, the same volume word count shuffles — and the per-doc
+    * island window is bounded by document length. The hash-keyed
+    * count accepts the usual 64-bit collision risk (~windows²/2⁶⁵;
+    * the string-keyed DuckDB oracle re-checks every gate run).
+    */
+  def substrSpans(s: SparkSession, d: String): DataFrame =
+    substrSpansOf(Tables.documents(s, d))
+
+  /** [[substrSpans]] over an explicit documents frame (spec entry). */
+  private[graft] def substrSpansOf(docs: DataFrame): DataFrame = {
+    val pg = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.GramPosHashes.gram_pos_hashes(col("tk"), SubstrK))
+      .repartition(col("gh"))
+    val dup = pg.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("gh"))
+    val dupPos = pg.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= SubstrK - 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("isl", sum(col("brk")).over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(SubstrK - 1).cast("long")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + lit(1L))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   private val DropThreshold = 0.8
 
   /** The full near-dup dedup pipeline, end to end:
@@ -456,6 +522,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsBlocked _,
     "dedup_simhash_capped" -> simhashPairsCapped _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_substr"        -> substrSpans _,
   )
 
   private val tokSql =
@@ -646,5 +713,31 @@ object Dedup {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE pround(c / (na.n + nb.n - c), 4) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // string-keyed mirror of the hash-keyed span scan: every K-window
+    // as its literal token string, duplicated iff it occurs >= 2
+    // times corpus-wide, then the identical overlap-merge island pass
+    "dedup_substr" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |pos AS (SELECT doc_id, tk,
+         |          unnest(generate_series(1, len(tk) - ${SubstrK - 1})) AS p
+         |        FROM toks),
+         |pg AS (SELECT doc_id, p,
+         |         array_to_string(tk[p:p+${SubstrK - 1}], ' ') AS g
+         |       FROM pos),
+         |dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM dup)),
+         |brk AS (SELECT doc_id, p,
+         |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |                    <= ${SubstrK - 1}
+         |               THEN 0 ELSE 1 END AS b
+         |        FROM dp),
+         |isl AS (SELECT doc_id, p,
+         |          sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |        FROM brk)
+         |SELECT doc_id, min(p) AS span_start,
+         |  max(p) + ${SubstrK - 1} AS span_end,
+         |  max(p) + ${SubstrK - 1} - min(p) + 1 AS span_tokens
+         |FROM isl GROUP BY doc_id, isl
+         |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

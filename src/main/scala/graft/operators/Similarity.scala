@@ -370,6 +370,148 @@ object Similarity {
     ivfSearch(s, d, cents, assign)
   }
 
+  // --- IVF-PQ -------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI 2011): 64-d vectors
+  // split into 4 subspaces of 16 dims; each subspace gets its own
+  // small codebook (k-means over slices — the SAME integerized
+  // VectorMean machinery as annIvfTrained, so means are order- and
+  // engine-exact). A vector is stored as 4 one-byte codeword ids —
+  // 4 bytes instead of 256, the memory design that makes 100 TB ANN
+  // fit: the compression pays for probing MORE coarse lists (nprobe
+  // 4 vs annIvf's 2) at the same memory budget, which is where the
+  // recall win comes from. Search is asymmetric distance (ADC): per
+  // probe, a 4×|codebook| distance table over the probe's EXACT
+  // subvectors; candidate distance = integer sum of 4 table entries
+  // (floor(pround(d2,6)·2²⁰+0.5) BIGINTs — order-free, cross-engine
+  // identical), then an exact-cosine re-rank of the top shortlist.
+  // PQ codes and ADC tables live in UNIT-NORMALIZED space: the search
+  // metric is cosine, and for unit vectors ||q−x||² = 2·(1−cos(q,x)) —
+  // Euclidean ADC ranking is then exactly cosine ranking. Quantizing
+  // the raw vectors instead lets norm variance swamp the angular
+  // signal (measured: recall@3 collapsed to 0.13 vs 0.57 IVF).
+  private val PqM = 4
+  private val PqSubDims = Dims / PqM
+  private val PqCodewordEvery = 16
+  private val PqIters = 2
+  private val PqNProbe = 4
+  private val PqShortlist = 50
+
+  /** (vec_id, m, sv): the m-th 16-dim slice of every vector. */
+  private def subVectors(e: DataFrame): DataFrame =
+    (0 until PqM).map { m =>
+      e.select(col("vec_id"), lit(m).as("m"),
+        slice(col("v"), m * PqSubDims + 1, PqSubDims).as("sv"))
+    }.reduce(_ unionByName _)
+
+  /** Nearest codeword per (vector, subspace): argmin of squared
+    * Euclidean distance on pround(d2, 6) with kid tiebreak — the
+    * [[assignToCentroids]] contract, per subspace. Codebooks ride a
+    * broadcast equi-join on m (≤ PqM·k rows).
+    */
+  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(pround(col("d2"), 6), col("kid"))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv"))
+          + dot(col("kv"), col("kv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("m"), col("kid"), col("sv"))
+  }
+
+  /** Per-subspace PQ codebooks: init = sampled vectors' slices
+    * (vec_id % [[PqCodewordEvery]]), then [[PqIters]] Lloyd rounds —
+    * all subspaces train in ONE plan (grouped by (m, kid)), unrolled
+    * lazily so the DuckDB oracle mirrors every round.
+    */
+  private def trainPqCodebooks(e: DataFrame): DataFrame = {
+    val sub = subVectors(e)
+    var cb = sub.filter(col("vec_id") % PqCodewordEvery === 0)
+      .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
+    for (_ <- 0 until PqIters) {
+      cb = assignCodes(sub, cb)
+        .groupBy(col("m"), col("kid"))
+        .agg(graft.functions.VectorMean.vector_mean(col("sv"), MeanScale).as("kv"))
+    }
+    cb
+  }
+
+  /** IVF-PQ search: coarse IVF lists pruned to [[PqNProbe]], PQ-code
+    * ADC ranking inside them, exact-cosine re-rank of the top
+    * [[PqShortlist]]. Output shape matches [[annIvf]] (plus the
+    * approximate distance), so recall is directly comparable.
+    *
+    * Scale shape: the only corpus-sized tables are the coarse
+    * assignment and the codes (4 small ints per vector); both stream
+    * through broadcast joins against probe-sized tables (probe lists,
+    * distance tables) — nothing corpus-sized is ever shuffled wider
+    * than its groupBy key, and raw vectors are touched again only for
+    * the |probes|·[[PqShortlist]] re-rank rows.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val en = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val cb = trainPqCodebooks(en)
+    val codes = assignCodes(subVectors(en), cb)
+      .select(col("vec_id"), col("m"), col("kid"))
+    val coarse = ivfAssignment(s, d).select(col("vec_id"), col("cid"))
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+    val probes = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("pcos"), 6).desc, col("cid"))
+    val probeLists = broadcast(probes).crossJoin(broadcast(cents))
+      .withColumn("pcos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= PqNProbe)
+      .select(col("query_id"), col("cid"))
+
+    // per-probe ADC distance table: exact NORMALIZED probe slice vs
+    // codeword (same space as the codes)
+    val dtab = subVectors(
+        probes.select(col("query_id").as("vec_id"),
+          transform(col("qv"), x => x / col("qnrm")).as("v")))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("kv"))
+          + dot(col("kv"), col("kv")))
+      .select(col("query_id"), col("m"), col("kid"),
+        floor(pround(col("d2"), 6) * lit(MeanScale) + lit(0.5)).as("pd2i"))
+
+    // candidates = codes of vectors in probed lists; ADC = integer sum
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad2"), col("neighbor_id"))
+    val shortlist = codes
+      .join(coarse, "vec_id")
+      .join(broadcast(probeLists), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtab), Seq("query_id", "m", "kid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2i")).as("ad2"))
+      .withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"), col("ad2"))
+
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(probes), "query_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        pround(col("cos"), 4).as("cos_sim"),
+        pround(col("ad2") / lit(MeanScale), 4).as("approx_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def ivfSearch(s: SparkSession, d: String,
                         cents: DataFrame, assign: DataFrame): DataFrame = {
     val e = vectors(s, d)
@@ -476,6 +618,7 @@ object Similarity {
     "ann_ivf_lists" -> ivfLists _,
     "ann_ivf"       -> annIvf _,
     "ann_ivf_trained" -> annIvfTrained _,
+    "ann_ivf_pq"    -> annIvfPq _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
@@ -539,6 +682,47 @@ object Similarity {
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
        |${(1 to TrainIters).map(lloydIterSql).mkString(",\n")}""".stripMargin
 
+  // --- IVF-PQ oracle ------------------------------------------------
+  // Mirrors annIvfPq CTE by CTE: all subspaces train jointly (grouped
+  // by (m, kid)), means integerized exactly like lloydIterSql, ADC as
+  // an integer sum of floor(pround(d2,6)·2²⁰+0.5) table entries.
+  private val pqD2 =
+    "pround(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.kv)" +
+      " + list_dot_product(c.kv, c.kv), 6)"
+
+  private def pqIterSql(k: Int): String = {
+    val prev = s"cb${k - 1}"
+    s"""pa$k AS (SELECT vec_id, m, sv, kid FROM (
+       |    SELECT s.vec_id, s.m, s.sv, c.kid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $pqD2, c.kid) AS rnk
+       |    FROM sub s JOIN $prev c ON c.m = s.m) t WHERE rnk = 1),
+       |cb$k AS (SELECT m, kid, array_agg(mn ORDER BY dim) AS kv FROM (
+       |    SELECT m, kid, dim,
+       |      CAST(sum(CAST(floor(x * $MeanScale + 0.5) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / $MeanScale AS mn
+       |    FROM (SELECT m, kid, unnest(sv) AS x,
+       |            unnest(generate_series(1, $PqSubDims)) AS dim FROM pa$k) u
+       |    GROUP BY m, kid, dim) g GROUP BY m, kid)""".stripMargin
+  }
+
+  private val pqCte: String =
+    s"""$vecCte,
+       |en AS (SELECT vec_id,
+       |         [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS v FROM e),
+       |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |sub AS (SELECT vec_id, m,
+       |          list_slice(v, m * $PqSubDims + 1, (m + 1) * $PqSubDims) AS sv
+       |        FROM en, mm),
+       |cb0 AS (SELECT m, vec_id AS kid, sv AS kv FROM sub
+       |        WHERE vec_id % $PqCodewordEvery = 0),
+       |${(1 to PqIters).map(pqIterSql).mkString(",\n")},
+       |codes AS (SELECT vec_id, m, kid FROM (
+       |    SELECT s.vec_id, s.m, c.kid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $pqD2, c.kid) AS rnk
+       |    FROM sub s JOIN cb$PqIters c ON c.m = s.m) t WHERE rnk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_trained" ->
       s"""WITH $trainedCte,
@@ -562,6 +746,50 @@ object Similarity {
          |      ORDER BY pround(list_cosine_similarity(pl.qv, a.v), 6) DESC, a.vec_id) AS rank
          |  FROM plists pl
          |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH $pqCte,
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+         |cassign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS crnk
+         |    FROM e, cents c) t WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |plists AS (SELECT query_id, cid FROM (
+         |    SELECT p.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM probes p, cents c) t
+         |  WHERE prnk <= $PqNProbe),
+         |dtab AS (SELECT s.query_id, s.m, c.kid,
+         |    CAST(floor($pqD2 * $MeanScale + 0.5) AS BIGINT) AS pd2i
+         |  FROM (SELECT p.query_id, mm.m,
+         |          list_slice([x / sqrt(list_dot_product(p.qv, p.qv)) FOR x IN p.qv],
+         |                     mm.m * $PqSubDims + 1, (mm.m + 1) * $PqSubDims) AS sv
+         |        FROM probes p, mm) s
+         |  JOIN cb$PqIters c ON c.m = s.m),
+         |adc AS (SELECT pl.query_id, k.vec_id AS neighbor_id, sum(dt.pd2i) AS ad2
+         |  FROM plists pl
+         |  JOIN cassign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id
+         |  JOIN codes k ON k.vec_id = a.vec_id
+         |  JOIN dtab dt ON dt.query_id = pl.query_id AND dt.m = k.m AND dt.kid = k.kid
+         |  GROUP BY pl.query_id, k.vec_id),
+         |short AS (SELECT query_id, neighbor_id, ad2 FROM (
+         |    SELECT query_id, neighbor_id, ad2,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ad2, neighbor_id) AS srnk
+         |    FROM adc) t WHERE srnk <= $PqShortlist)
+         |SELECT query_id, rank, neighbor_id, cos_sim, approx_d2 FROM (
+         |  SELECT s.query_id, n.vec_id AS neighbor_id,
+         |    pround(list_cosine_similarity(p.qv, n.v), 4) AS cos_sim,
+         |    pround(s.ad2 / $MeanScale, 4) AS approx_d2,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY pround(list_cosine_similarity(p.qv, n.v), 6) DESC, n.vec_id) AS rank
+         |  FROM short s
+         |  JOIN e n ON n.vec_id = s.neighbor_id
+         |  JOIN probes p ON p.query_id = s.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
     "ann_brute" ->

@@ -54,4 +54,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained >= ivf,
       s"Lloyd-trained centroids ($trained) must not lose recall vs sampled ($ivf)")
   }
+
+  test("IVF-PQ: compression-funded nprobe=4 beats the nprobe=2 IVF plateau") {
+    val brute = topSets(Similarity.annBrute(spark, sf), 3)
+    val total = brute.values.map(_.size).sum.toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df, 3)
+      brute.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum / total
+    }
+    val ivf = recallOf(Similarity.annIvf(spark, sf))
+    val pq = recallOf(Similarity.annIvfPq(spark, sf))
+    info(f"ivf recall@3 = $ivf%.3f  ivf_pq = $pq%.3f")
+    // the point of PQ: 4-byte codes let the same memory budget probe
+    // twice the lists, and the exact re-rank keeps the shortlist
+    // honest — recall must strictly beat the nprobe=2 flat index
+    assert(pq > ivf, s"IVF-PQ recall $pq does not beat IVF ($ivf)")
+    assert(pq >= 0.6, s"IVF-PQ recall $pq below floor 0.6")
+  }
 }
