@@ -124,6 +124,76 @@ object BloomDedup {
     definitelyNew.unionByName(verified)
   }
 
+  // --- persistent cross-run state ----------------------------------
+  // The sketch is the ONLY state a 100 TB pipeline carries between
+  // ingest runs (the historical corpus itself stays cold): build it
+  // once, persist it, and on the next run load + probe + union-merge
+  // with the new batch's sketch. Incremental merging is exact:
+  // a Bloom bitset is a pure OR-fold of per-key bit patterns, so
+  // sketch(A) | sketch(B) is bit-identical to sketch(A ∪ B) as long
+  // as both sides use the same (numBits, numHashFunctions) — which
+  // pinning `numBits` guarantees (BloomStateSpec proves byte
+  // equality). Serialization is Spark's public
+  // `org.apache.spark.util.sketch.BloomFilter` stream format, the
+  // same bytes `bloom_filter_agg` aggregates, so a persisted sketch
+  // and an in-plan subquery sketch are interchangeable.
+
+  /** Serialized content-key sketch of a corpus: ONE aggregate job,
+    * one row collected — a deliberate persistence action, not a
+    * hot-path collect (the sketch is ≤ 128 MiB by [[numBitsFor]]'s
+    * cap). Pass an explicit `numBits` when the sketch must merge
+    * with sketches from other runs.
+    */
+  def corpusSketch(corpus: DataFrame, numBits: Long = AutoBits): Array[Byte] = {
+    val bits = if (numBits == AutoBits) estimatedBits(corpus) else numBits
+    corpus.select(contentKey(col("text")).as("k"))
+      .agg(expr(s"bloom_filter_agg(k, ${bits / 8}L, ${bits}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Persist a sketch with its parameters (one-row parquet). */
+  def saveSketch(s: SparkSession, path: String, sketch: Array[Byte]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bf",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row(sketch)).asJava, schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadSketch(s: SparkSession, path: String): Array[Byte] =
+    s.read.parquet(path).head().getAs[Array[Byte]]("bf")
+
+  /** OR-union of two sketches. Throws `IncompatibleMergeException`
+    * when the sizes/hash counts differ — a silent mixed-parameter
+    * merge would quietly break the no-false-negative guarantee.
+    */
+  def mergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** [[flagSeen]] against a PERSISTED sketch instead of an in-plan
+    * corpus aggregate: the probe rides a binary literal, so the
+    * incoming batch never touches the historical corpus at all.
+    * Same contract: no false negatives, fpp per the sketch's sizing.
+    */
+  def flagSeenSketch(incoming: DataFrame, sketch: Array[Byte]): DataFrame =
+    incoming.withColumn("maybe_seen",
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(sketch,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            contentKey(col("text"))))))
+
   /** Driver-gate query: split `documents` into a corpus (doc_id % 3
     * != 0) and an incoming batch (doc_id % 3 == 0); report the
     * incoming docs whose content the corpus has never seen. The
