@@ -409,13 +409,21 @@ object Dedup {
   def substrSpans(s: SparkSession, d: String): DataFrame =
     substrSpansOf(Tables.documents(s, d))
 
-  /** [[substrSpans]] over an explicit documents frame (spec entry). */
+  /** [[substrSpans]] over an explicit documents frame (spec entry).
+    *
+    * No explicit repartition on gh (unlike [[ngramJaccardCapped]]):
+    * the duplicated-gram set is far smaller than the positional
+    * stream, so the semi-join broadcasts it and the only shuffles of
+    * the full stream are the occurrence-count aggregate and the
+    * per-doc island window — an explicit gh repartition measured as
+    * a third full exchange sitting uselessly above the broadcast
+    * join.
+    */
   private[graft] def substrSpansOf(docs: DataFrame): DataFrame = {
     val pg = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         graft.functions.GramPosHashes.gram_pos_hashes(col("tk"), SubstrK))
-      .repartition(col("gh"))
     val dup = pg.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("gh"))
     val dupPos = pg.join(dup, Seq("gh"), "left_semi")
