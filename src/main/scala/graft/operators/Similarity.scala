@@ -391,10 +391,24 @@ object Similarity {
   // signal (measured: recall@3 collapsed to 0.13 vs 0.57 IVF).
   private val PqM = 4
   private val PqSubDims = Dims / PqM
-  private val PqCodewordEvery = 16
+  private val PqCodewordEvery = 16   // stride floor (≈ N/16 codewords at tiny N)
+  private val PqCodebookTarget = 256 // codewords/subspace the stride converges to
   private val PqIters = 2
   private val PqNProbe = 4
   private val PqShortlist = 50
+
+  /** Codeword sampling stride, derived IN-PLAN from the corpus count
+    * (a broadcast scalar, no driver job — the [[embedNearDupLsh]]
+    * adaptive-planes pattern): stride = max(16, 2^bitlen(N/256)),
+    * so the per-subspace codebook converges to 128-256 codewords at
+    * any corpus size. A fixed stride would grow the codebook — and
+    * the N×K encode cost — linearly with the corpus; a fixed-SIZE
+    * codebook is the actual PQ design (8-bit codes at web scale).
+    */
+  private def pqStride(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("nvecs"))
+      .select(expr(s"greatest(${PqCodewordEvery}L, " +
+        s"shiftleft(1L, length(bin(nvecs div $PqCodebookTarget))))").as("stride"))
 
   /** (vec_id, m, sv): the m-th 16-dim slice of every vector. */
   private def subVectors(e: DataFrame): DataFrame =
@@ -427,7 +441,8 @@ object Similarity {
     */
   private def trainPqCodebooks(e: DataFrame): DataFrame = {
     val sub = subVectors(e)
-    var cb = sub.filter(col("vec_id") % PqCodewordEvery === 0)
+    var cb = sub.crossJoin(broadcast(pqStride(e)))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
     for (_ <- 0 until PqIters) {
       cb = assignCodes(sub, cb)
@@ -714,8 +729,9 @@ object Similarity {
        |sub AS (SELECT vec_id, m,
        |          list_slice(v, m * $PqSubDims + 1, (m + 1) * $PqSubDims) AS sv
        |        FROM en, mm),
-       |cb0 AS (SELECT m, vec_id AS kid, sv AS kv FROM sub
-       |        WHERE vec_id % $PqCodewordEvery = 0),
+       |ps AS (SELECT greatest($PqCodewordEvery, 1 << length(bin(count(*) // $PqCodebookTarget))) AS stride FROM e),
+       |cb0 AS (SELECT m, vec_id AS kid, sv AS kv FROM sub, ps
+       |        WHERE vec_id % stride = 0),
        |${(1 to PqIters).map(pqIterSql).mkString(",\n")},
        |codes AS (SELECT vec_id, m, kid FROM (
        |    SELECT s.vec_id, s.m, c.kid,
