@@ -318,6 +318,29 @@ object Similarity {
   private val CentroidEvery = 50
   private val NProbe = 2
 
+  /** Coarse-centroid sampling stride, derived IN-PLAN from the corpus
+    * count (broadcast scalar, no driver job): stride =
+    * max(50, 2^(bitlen(N)/2)) ≈ √N, so list COUNT and list SIZE both
+    * grow as √N and the assignment pass costs N^1.5 — the textbook
+    * IVF sizing the Scaladoc always promised. The fixed stride it
+    * replaces made list count linear in N, degrading assignment to
+    * N²/50: measured as the dominant term of the 50× ladder point
+    * (100k vectors → 2,000 lists → 200M ranked dot products).
+    * Identical to the fixed stride at every oracle-gated SF.
+    */
+  private def ivfStride(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("nvecs"))
+      .select(expr(s"greatest(${CentroidEvery}L, " +
+        "shiftleft(1L, cast(length(bin(nvecs)) / 2 as int)))").as("stride"))
+
+  /** Every stride-th vector — the deterministic coarse-centroid
+    * sample shared by all IVF variants. Same columns as `e`.
+    */
+  private def sampledVecs(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(ivfStride(e)))
+      .filter(col("vec_id") % col("stride") === 0)
+      .drop("stride")
+
   /** IVF index build: deterministic coarse centroids (every 50th
     * vector — the sampling stand-in for k-means), each vector assigned
     * to its nearest centroid. Centroids broadcast; one codegen'd pass
@@ -329,23 +352,33 @@ object Similarity {
               pround(col("ccos"), 4).as("centroid_cos"))
       .orderBy(col("vec_id"))
 
+  /** Nearest coarse centroid per vector: (vec_id, cid, ccos) — NARROW
+    * on purpose. The ranked stream is |corpus|×|cents| rows and the
+    * top-1 rewrite sorts it locally before the partial phase; keeping
+    * the 64-d array in those rows made the sort payload ~20× wider
+    * and was the dominant term of the 50× ladder point (ann_ivf 99 s
+    * → 13 s after narrowing). Callers that need the vector back
+    * ([[ivfSearch]]) re-join `e` on vec_id — one corpus-proportional
+    * hash join, far cheaper than sorting arrays.
+    */
   private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+    val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(pround(col("ccos"), 6).desc, col("cid"))
     e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("ccos"))
+      .select(col("vec_id"), col("cid"), col("ccos"))
   }
 
   /** IVF search: probe the nprobe nearest centroid lists only. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+    val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     ivfSearch(s, d, cents, ivfAssignment(s, d))
   }
@@ -362,11 +395,13 @@ object Similarity {
     val e = vectors(s, d)
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(pround(col("ccos"), 6).desc, col("cid"))
+    // narrow ranking, like [[ivfAssignment]] — ivfSearch re-joins v
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("crnk", row_number().over(wa))
       .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("ccos"))
+      .select(col("vec_id"), col("cid"), col("ccos"))
     ivfSearch(s, d, cents, assign)
   }
 
@@ -425,6 +460,11 @@ object Similarity {
   private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(pround(col("d2"), 6), col("kid"))
+    // the slice payload rides THROUGH the ranking here, unlike the
+    // narrow-rank-then-rejoin [[ivfAssignment]]: slices are 16-d (5×
+    // narrower than full vectors) and this assignment runs once per
+    // training round, so a rejoin's extra sub recompute + shuffle
+    // measured 2.4× WORSE at the 50× point (58 s vs 25 s)
     sub.join(broadcast(cb), Seq("m"))
       .withColumn("d2",
         dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv"))
@@ -472,7 +512,7 @@ object Similarity {
     val codes = assignCodes(subVectors(en), cb)
       .select(col("vec_id"), col("m"), col("kid"))
     val coarse = ivfAssignment(s, d).select(col("vec_id"), col("cid"))
-    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+    val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
 
     val probes = e.filter(col("vec_id") < ProbeCount)
@@ -541,8 +581,11 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qnrm"), col("cid"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
-    probeLists.join(assign.select(col("vec_id").as("neighbor_id"),
-                                  col("v"), col("nrm"), col("cid")), Seq("cid"))
+    // assign arrives narrow (vec_id, cid, ccos); vectors re-join here
+    val assignFull = assign.select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+    probeLists.join(assignFull.select(col("vec_id").as("neighbor_id"),
+                                      col("v"), col("nrm"), col("cid")), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(wr))
@@ -579,7 +622,7 @@ object Similarity {
   def trainIvfCentroids(s: SparkSession, d: String, iters: Int = TrainIters,
                         checkpoint: Boolean = true): DataFrame = {
     val e = vectors(s, d).select(col("vec_id"), col("v"))
-    var cents = e.filter(col("vec_id") % CentroidEvery === 0)
+    var cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assignToCentroids(e, cents)
@@ -612,10 +655,15 @@ object Similarity {
       .orderBy(pround(col("d2"), 6), col("cid"))
     val ev = e.withColumn("vv", dot(col("v"), col("v")))
     val cc = cents.withColumn("cc", dot(col("cv"), col("cv")))
-    ev.crossJoin(broadcast(cc))
-      .withColumn("d2", col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"))
+    // rank narrow (no v in the sorted stream — see [[ivfAssignment]]),
+    // then re-join the vectors the mean update needs
+    val top = ev.crossJoin(broadcast(cc))
+      .select(col("vec_id"), col("cid"),
+        (col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")).as("d2"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+    top.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("cid"), col("d2"))
   }
 
@@ -660,7 +708,8 @@ object Similarity {
 
   private val ivfCte =
     s"""$vecCte,
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
        |assign AS (
        |  SELECT vec_id, v, cid, ccos FROM (
        |    SELECT e.vec_id, e.v, c.cid,
@@ -694,7 +743,8 @@ object Similarity {
 
   private val trainedCte: String =
     s"""$vecCte,
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
        |${(1 to TrainIters).map(lloydIterSql).mkString(",\n")}""".stripMargin
 
   // --- IVF-PQ oracle ------------------------------------------------
@@ -766,7 +816,8 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_pq" ->
       s"""WITH $pqCte,
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+         |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
          |cassign AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
