@@ -80,6 +80,19 @@ object Tables {
           "(expected TIMESTAMP(MICROS), TIMESTAMP(NANOS) via nanosAsLong, or raw ns long)")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The events lesson, applied before it recurs: ids arrive as
+    * whatever integer width the generator last chose. Downstream code
+    * (typed collects, % arithmetic against long literals, join keys)
+    * assumes 64-bit, so normalize here — Catalyst's SimplifyCasts
+    * removes the cast when the file already says int64, leaving
+    * today's plans byte-identical.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    load(s, d, "documents").withColumn("doc_id", col("doc_id").cast("long"))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    load(s, d, "embeddings").withColumn("vec_id", col("vec_id").cast("long"))
+  }
 }

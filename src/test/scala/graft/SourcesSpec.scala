@@ -57,4 +57,26 @@ class SourcesSpec extends AnyFunSuite {
     val expected = o.filter(col("order_month") === "1995-03").count()
     assert(pruned.count() == expected && expected > 0)
   }
+
+  test("documents/embeddings readers normalize narrow ids (regen insurance)") {
+    // the events.ts lesson: the generator may regenerate a table with
+    // a different-but-equivalent physical type; id consumers assume
+    // 64-bit. Rewrite the tables with int32 ids and read them back
+    // through Tables — downstream typed access must still see longs.
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("narrow_ids").toString
+    Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf)
+      .withColumn("vec_id", col("vec_id").cast(IntegerType))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(embs.schema("vec_id").dataType === LongType)
+    // a real query runs end to end on the narrow-id files
+    assert(graft.operators.Dedup.exact(spark, dir).count() > 0)
+    assert(graft.operators.Similarity.annBrute(spark, dir).count() > 0)
+  }
 }
