@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.CrossEngine.{portableHash, portableHashSql, pround}
+import graft.functions.CrossEngine.{portableHash, portableHashSql, pround, tokens}
 
 /** Reproducible sampling and split assignment — the data-mixing ops
   * of a pretraining pipeline. Random samplers are useless at 100 TB
@@ -103,17 +103,117 @@ object Sampling {
 
   private[operators] def stratBucketSql: String = bucketSql("strat:")
 
+  // --- token-budget source mixture ----------------------------------
+  // The data-mixture computation of a pretraining run (Pile/LLaMA
+  // style): target WEIGHTS per source × a global token budget →
+  // per-source sampling rates, with an `epochs` repeat factor where a
+  // small high-quality source must be seen more than once to hit its
+  // target. All arithmetic is INTEGER (weights in millis, targets in
+  // tokens, rates in buckets-of-1000) so the plan is bit-identical
+  // across engines and partitionings. The budget derives from the
+  // corpus itself (half its tokens) so the query exercises every rate
+  // regime at any SF: dominant sources get downsampled, small ones
+  // capped at rate 1000 with epochs > 1.
+
+  /** Deterministic per-source mixture weight in millis (Σ = 1000
+    * over the 20 generator sources): head sources dominate, a
+    * mid-band, and a long tail — the shape real mixtures have.
+    */
+  private def weightMillis: org.apache.spark.sql.Column = {
+    val n = substring(col("source"), 4, 8).cast("int")
+    (when(n < 4, 150).when(n < 10, 50).otherwise(10)).cast("long")
+  }
+
+  private val MixtureDenom = 2 // budget = corpus tokens / 2
+
+  /** Per-source mixture plan: (source, n_docs, tokens_total,
+    * weight_millis, target_tokens, rate_buckets, epochs). One
+    * aggregate over per-doc token counts (map-side partials), a
+    * broadcast grand total, then pure integer arithmetic.
+    */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens_total"))
+    val grand = perSrc.agg(sum(col("tokens_total")).as("grand"))
+    perSrc.crossJoin(broadcast(grand))
+      .withColumn("weight_millis", weightMillis)
+      .withColumn("target_tokens",
+        expr(s"weight_millis * (grand div $MixtureDenom) div 1000"))
+      .withColumn("rate_buckets",
+        least(lit(1000L), expr("target_tokens * 1000 div tokens_total")))
+      .withColumn("epochs",
+        greatest(lit(1L),
+          expr("(target_tokens + tokens_total - 1) div tokens_total")))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+              col("weight_millis"), col("target_tokens"),
+              col("rate_buckets"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** One epoch of the mixture: the documents each source admits at
+    * its computed rate — rates broadcast onto the corpus, selection
+    * is the usual salted-hash bucket predicate (reproducible,
+    * extendable; a later run with a bigger budget strictly grows
+    * every source's selection). Sources with epochs > 1 repeat this
+    * whole selection per epoch downstream.
+    */
+  def mixtureDocs(s: SparkSession, d: String): DataFrame = {
+    val rates = mixturePlan(s, d).select(col("source"), col("rate_buckets"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket("mix:"))
+      .filter(col("bucket") < col("rate_buckets"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
     "smp_rates"  -> sampleRates _,
     "smp_stratified" -> stratifiedSample _,
+    "smp_mixture" -> mixturePlan _,
+    "smp_mixture_docs" -> mixtureDocs _,
   )
 
   private[operators] def bucketSql(prefix: String) =
     s"${portableHashSql(s"'$prefix' || CAST(doc_id AS VARCHAR)")} % $Buckets"
 
+  // mirrors weightMillis + the integer mixture arithmetic exactly
+  private val weightSql =
+    """CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 4 THEN 150
+      |          WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50
+      |          ELSE 10 END AS BIGINT)""".stripMargin
+  private val mixCte =
+    s"""toks AS (SELECT source,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |per AS (SELECT source, count(*) AS n_docs,
+       |          CAST(sum(ntok) AS BIGINT) AS tokens_total
+       |        FROM toks GROUP BY source),
+       |g AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS grand FROM per),
+       |mix AS (SELECT source, n_docs, tokens_total,
+       |          $weightSql AS weight_millis,
+       |          $weightSql * (grand // $MixtureDenom) // 1000 AS target_tokens,
+       |          least(1000, $weightSql * (grand // $MixtureDenom) // 1000 * 1000 // tokens_total) AS rate_buckets,
+       |          greatest(1, ($weightSql * (grand // $MixtureDenom) // 1000 + tokens_total - 1) // tokens_total) AS epochs
+       |        FROM per, g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "smp_mixture" ->
+      s"""WITH $mixCte
+         |SELECT source, n_docs, tokens_total, weight_millis,
+         |  target_tokens, rate_buckets, epochs
+         |FROM mix
+         |ORDER BY source""".stripMargin,
+    "smp_mixture_docs" ->
+      s"""WITH $mixCte
+         |SELECT d.doc_id, d.source, ${bucketSql("mix:").replace("doc_id", "d.doc_id")} AS bucket
+         |FROM documents d JOIN mix ON mix.source = d.source
+         |WHERE ${bucketSql("mix:").replace("doc_id", "d.doc_id")} < mix.rate_buckets
+         |ORDER BY d.doc_id""".stripMargin,
     "smp_sample" ->
       s"""SELECT doc_id, source, ${bucketSql("sample:")} AS bucket
          |FROM documents

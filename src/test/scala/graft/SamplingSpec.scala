@@ -62,4 +62,37 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy().agg(sum(col("n")).as("total")).head().getLong(0)
     assert(counts === graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("mixture plan: weights sum to 1000, caps and epochs are consistent") {
+    val plan = Sampling.mixturePlan(spark, "/root/testdata/sf0.01").collect()
+    assert(plan.map(_.getAs[Long]("weight_millis")).sum === 1000L)
+    plan.foreach { r =>
+      val (total, target) =
+        (r.getAs[Long]("tokens_total"), r.getAs[Long]("target_tokens"))
+      val (rate, epochs) =
+        (r.getAs[Long]("rate_buckets"), r.getAs[Long]("epochs"))
+      // rate caps at 1000 exactly when the target exceeds the source
+      assert((rate == 1000L) === (target >= total), r.toString)
+      // epochs is ceil(target/total), floored at one epoch
+      assert(epochs === math.max(1L, (target + total - 1) / total), r.toString)
+    }
+    // the derived budget must exercise BOTH regimes on this corpus
+    assert(plan.exists(_.getAs[Long]("epochs") > 1L))
+    assert(plan.exists(_.getAs[Long]("rate_buckets") < 1000L))
+  }
+
+  test("mixture docs: selection respects each source's rate; capped sources take all") {
+    val d = "/root/testdata/sf0.01"
+    val rates = Sampling.mixturePlan(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("rate_buckets"), r.getAs[Long]("n_docs"))).toMap
+    val picked = Sampling.mixtureDocs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("bucket")))
+    assert(picked.nonEmpty)
+    picked.foreach { case (_, src, b) => assert(b < rates(src)._1) }
+    val bySrc = picked.groupBy(_._2).view.mapValues(_.length).toMap
+    rates.foreach { case (src, (rate, nDocs)) =>
+      if (rate == 1000L) assert(bySrc.getOrElse(src, 0) === nDocs.toInt,
+        s"capped source $src must select every document")
+    }
+  }
 }
