@@ -76,9 +76,21 @@ object ReplicatedLog {
   /** Render the sink table in the reference's checkpoint format —
     * one JSON object mapping id -> line (`<nodeid>-replication.json`,
     * replication.go:463-494) — for interop with reference tooling.
+    *
+    * This is a DELIBERATE driver-side materialization (the reference
+    * format is one JSON document), so it carries an explicit size
+    * guard: beyond `maxRows` the call fails loudly instead of
+    * OOM-ing the driver on a sink that outgrew the interop format.
+    * Large sinks should ship as parquet/JSONL (`Formats`), not as
+    * one JSON object.
     */
-  def checkpointJson(sink: DataFrame): String = {
+  def checkpointJson(sink: DataFrame, maxRows: Long = 1000000L): String = {
     import org.apache.spark.sql.functions.{col, collect_list, map_from_arrays, to_json}
+    val n = sink.count()
+    require(n <= maxRows,
+      s"checkpointJson renders the whole sink as ONE driver-side JSON " +
+        s"document; sink has $n rows > maxRows=$maxRows. Use " +
+        s"Formats.writeJsonl for sinks beyond the interop format's size.")
     sink.select(col("id").cast("string").as("k"), col("value").as("v"))
       .orderBy(col("id").cast("long"))
       .agg(to_json(map_from_arrays(collect_list(col("k")), collect_list(col("v")))))

@@ -79,6 +79,15 @@ class ReplicatedLogSpec extends AnyFunSuite {
     assert(json == """{"1":"a 1","2":"b 2"}""")
   }
 
+  test("checkpointJson refuses sinks beyond the driver-side size guard") {
+    import spark.implicits._
+    val sink = Seq((1L, "a 1"), (2L, "b 2"), (3L, "c 3")).toDF("id", "value")
+    val e = intercept[IllegalArgumentException] {
+      ReplicatedLog.checkpointJson(sink, maxRows = 2)
+    }
+    assert(e.getMessage.contains("writeJsonl"))
+  }
+
   test("checkpointed sink resumes without loss or dupes (W5/W7)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
