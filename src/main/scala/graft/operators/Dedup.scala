@@ -443,6 +443,29 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Per-document duplicated-token fraction — the quality signal a
+    * pipeline filters on ("how much of this doc is boilerplate"):
+    * total tokens inside [[substrSpans]] spans over total tokens.
+    * Spans are disjoint by construction (overlapping windows merged),
+    * so the sum is exact. Docs with no duplicated span are reported
+    * with dup_tokens = 0 — the join is a broadcast-friendly LEFT
+    * join of the (small) span summary onto the map-side token count.
+    */
+  def substrStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nTok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val dup = substrSpansOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    nTok.join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        pround(col("dup_tokens") / greatest(col("n_tokens"), lit(1L)), 4))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   private val DropThreshold = 0.8
 
   /** The full near-dup dedup pipeline, end to end:
@@ -531,6 +554,7 @@ object Dedup {
     "dedup_simhash_capped" -> simhashPairsCapped _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_substr"        -> substrSpans _,
+    "dedup_substr_stats"  -> substrStats _,
   )
 
   private val tokSql =
@@ -725,27 +749,44 @@ object Dedup {
     // as its literal token string, duplicated iff it occurs >= 2
     // times corpus-wide, then the identical overlap-merge island pass
     "dedup_substr" ->
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |pos AS (SELECT doc_id, tk,
-         |          unnest(generate_series(1, len(tk) - ${SubstrK - 1})) AS p
-         |        FROM toks),
-         |pg AS (SELECT doc_id, p,
-         |         array_to_string(tk[p:p+${SubstrK - 1}], ' ') AS g
-         |       FROM pos),
-         |dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
-         |dp AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM dup)),
-         |brk AS (SELECT doc_id, p,
-         |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-         |                    <= ${SubstrK - 1}
-         |               THEN 0 ELSE 1 END AS b
-         |        FROM dp),
-         |isl AS (SELECT doc_id, p,
-         |          sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS isl
-         |        FROM brk)
-         |SELECT doc_id, min(p) AS span_start,
-         |  max(p) + ${SubstrK - 1} AS span_end,
-         |  max(p) + ${SubstrK - 1} - min(p) + 1 AS span_tokens
-         |FROM isl GROUP BY doc_id, isl
+      s"""WITH $substrCte
+         |SELECT doc_id, span_start, span_end, span_tokens FROM spans
          |ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substr_stats" ->
+      s"""WITH $substrCte,
+         |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |ds AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |       FROM spans GROUP BY doc_id)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  coalesce(ds.dup_tokens, 0) AS dup_tokens,
+         |  pround(coalesce(ds.dup_tokens, 0) / greatest(nt.n_tokens, 1), 4) AS dup_frac
+         |FROM nt LEFT JOIN ds ON ds.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
   )
+
+  /** Shared CTE chain for the substring-span family: toks → windows →
+    * duplicated positions → overlap-merged `spans`.
+    */
+  private def substrCte: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk,
+       |          unnest(generate_series(1, len(tk) - ${SubstrK - 1})) AS p
+       |        FROM toks),
+       |pg AS (SELECT doc_id, p,
+       |         array_to_string(tk[p:p+${SubstrK - 1}], ' ') AS g
+       |       FROM pos),
+       |dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM dup)),
+       |brk AS (SELECT doc_id, p,
+       |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |                    <= ${SubstrK - 1}
+       |               THEN 0 ELSE 1 END AS b
+       |        FROM dp),
+       |isl AS (SELECT doc_id, p,
+       |          sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |        FROM brk),
+       |spans AS (SELECT doc_id, min(p) AS span_start,
+       |            max(p) + ${SubstrK - 1} AS span_end,
+       |            max(p) + ${SubstrK - 1} - min(p) + 1 AS span_tokens
+       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
 }
