@@ -479,15 +479,23 @@ object Similarity {
     * all subspaces train in ONE plan (grouped by (m, kid)), unrolled
     * lazily so the DuckDB oracle mirrors every round.
     */
-  private def trainPqCodebooks(e: DataFrame): DataFrame = {
+  /** `checkpoint = true` (the programmatic/scale entry, mirroring
+    * [[trainIvfCentroids]]) cuts lineage per round with
+    * `localCheckpoint()`; the registered `ann_ivf_pq` query passes
+    * `false` so its unrolled plan stays one lazy, oracle-mirrorable
+    * tree.
+    */
+  private[operators] def trainPqCodebooks(e: DataFrame,
+                                          checkpoint: Boolean = false): DataFrame = {
     val sub = subVectors(e)
     var cb = sub.crossJoin(broadcast(pqStride(e)))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
     for (_ <- 0 until PqIters) {
-      cb = assignCodes(sub, cb)
+      val next = assignCodes(sub, cb)
         .groupBy(col("m"), col("kid"))
         .agg(graft.functions.VectorMean.vector_mean(col("sv"), MeanScale).as("kv"))
+      cb = if (checkpoint) next.localCheckpoint() else next
     }
     cb
   }
