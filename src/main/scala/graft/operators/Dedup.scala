@@ -503,13 +503,14 @@ object Dedup {
     * the exact min-id component label for any component of DIAMETER
     * ≤ 4 — near-dup components are (near-)cliques by construction
     * (every clone pair passes the Jaccard verify), so real diameters
-    * are 1-2 and the margin is ×2. The fixed count keeps the query
-    * ONE lazy plan (no driver convergence loop, per the library's
-    * plan contract) and the oracle unrolls the SAME rounds, so the
-    * gate is hash-exact by construction at any diameter. A corpus
-    * with genuinely deeper chain-shaped components needs ⌈diam/…⌉
-    * more rounds or a doubling scheme — documented bound, not a
-    * silent cap.
+    * are 1-2. With the SHORTCUT step each round (see [[componentsOf]])
+    * the exact-reach bound is ~2^rounds rather than `rounds`, so 4
+    * rounds cover chain-shaped components to diameter ~16 — far past
+    * anything a near-dup graph produces. The fixed count keeps the
+    * query ONE lazy plan (no driver convergence loop, per the
+    * library's plan contract) and the oracle unrolls the SAME
+    * rounds, so the gate is hash-exact by construction at any
+    * diameter.
     */
   private val LabelRounds = 4
 
@@ -517,15 +518,29 @@ object Dedup {
     * pipeline actually dedups by: documents transitively linked
     * through near-dup pairs form ONE group keeping a single
     * representative, where the pairwise drop list can keep two docs
-    * that never shared an LSH bucket edge directly. One round is
-    * new_label(v) = min(label(v), min over neighbors' labels) —
-    * a join + aggregation over the edge list, shuffling only the
-    * (small) set of documents that appear in any verified pair.
+    * that never shared an LSH bucket edge directly.
     */
-  def components(s: SparkSession, d: String): DataFrame = {
-    val p = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = p.unionByName(
-      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def components(s: SparkSession, d: String): DataFrame =
+    componentsOf(verifiedPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Min-label propagation with SHORTCUTTING over an undirected pair
+    * list (Shiloach-Vishkin style). One round is
+    *   relax:    lab(v) ← min(lab(v), min over neighbors' labels)
+    *   shortcut: lab(v) ← lab(lab(v))
+    * — the shortcut is sound because labels are vertex ids with
+    * lab(u) ≤ u invariant (init lab=v, min-only updates), so
+    * lab(lab(v)) labels a vertex of the SAME component and can only
+    * be smaller; it forwards information along the label graph, which
+    * is what turns linear reach into ~doubling per round. Each round
+    * is two joins + one aggregation over the (small) set of paired
+    * documents; DedupSpec proves equality with a driver union-find
+    * and pins a diameter-15 chain that plain 4-round relax gets
+    * wrong.
+    */
+  private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     var lab = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
@@ -533,12 +548,16 @@ object Dedup {
       val nbr = edges
         .join(lab.select(col("v").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("v")).agg(min(col("lab")).as("nlab"))
-      lab = lab.join(nbr, Seq("v"), "left")
+      val relaxed = lab.join(nbr, Seq("v"), "left")
         .select(col("v"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      lab = relaxed.join(
+          relaxed.select(col("v").as("lab"), col("lab").as("jlab")),
+          Seq("lab"), "left")
+        .select(col("v"),
+          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
     }
     lab.select(col("v").as("doc_id"), col("lab").as("component_id"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -629,13 +648,19 @@ object Dedup {
     // mirrors the FIXED label-propagation rounds exactly (unrolled),
     // so Spark and DuckDB agree at any component diameter
     "dedup_components" -> {
+      // relax + shortcut per round, mirroring componentsOf exactly
       val rounds = (1 to 4).map { i =>
         val prev = s"l${i - 1}"
-        s"""l$i AS (SELECT l.v, least(l.lab, coalesce(m.nlab, l.lab)) AS lab
+        // AS MATERIALIZED: each round references its predecessor
+        // twice (relax join + shortcut self-join); inlining would
+        // re-evaluate the whole upstream chain exponentially
+        s"""r$i AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(m.nlab, l.lab)) AS lab
            |  FROM $prev l LEFT JOIN
            |    (SELECT e.dst AS v, min(l.lab) AS nlab
            |     FROM edges e JOIN $prev l ON e.src = l.v GROUP BY e.dst) m
-           |  ON m.v = l.v)""".stripMargin
+           |  ON m.v = l.v),
+           |l$i AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(j.lab, l.lab)) AS lab
+           |  FROM r$i l LEFT JOIN r$i j ON j.v = l.lab)""".stripMargin
       }.mkString(",\n")
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
@@ -655,9 +680,9 @@ object Dedup {
          |  GROUP BY 1, 2, 3, 4),
          |vp AS (SELECT doc_a, doc_b FROM verified
          |       WHERE pround(c / (na + nb - c), 4) >= $DropThreshold),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
          |          UNION ALL SELECT doc_b, doc_a FROM vp),
-         |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
          |$rounds
          |SELECT v AS doc_id, lab AS component_id FROM l4
          |ORDER BY doc_id""".stripMargin
