@@ -503,9 +503,9 @@ object Dedup {
     * the exact min-id component label for any component of DIAMETER
     * ≤ 4 — near-dup components are (near-)cliques by construction
     * (every clone pair passes the Jaccard verify), so real diameters
-    * are 1-2. With the SHORTCUT step each round (see [[componentsOf]])
-    * the exact-reach bound is ~2^rounds rather than `rounds`, so 4
-    * rounds cover chain-shaped components to diameter ~16 — far past
+    * are 1-2. With the final SHORTCUT step (see [[componentsOf]]) the
+    * exact path-reach is ~2×rounds rather than `rounds`, so 4 rounds
+    * cover chain-shaped components to diameter ~8 — far past
     * anything a near-dup graph produces. The fixed count keeps the
     * query ONE lazy plan (no driver convergence loop, per the
     * library's plan contract) and the oracle unrolls the SAME
@@ -524,40 +524,48 @@ object Dedup {
     componentsOf(verifiedPairs(s, d).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
-  /** Min-label propagation with SHORTCUTTING over an undirected pair
-    * list (Shiloach-Vishkin style). One round is
-    *   relax:    lab(v) ← min(lab(v), min over neighbors' labels)
-    *   shortcut: lab(v) ← lab(lab(v))
-    * — the shortcut is sound because labels are vertex ids with
-    * lab(u) ≤ u invariant (init lab=v, min-only updates), so
-    * lab(lab(v)) labels a vertex of the SAME component and can only
-    * be smaller; it forwards information along the label graph, which
-    * is what turns linear reach into ~doubling per round. Each round
-    * is two joins + one aggregation over the (small) set of paired
-    * documents; DedupSpec proves equality with a driver union-find
-    * and pins a diameter-15 chain that plain 4-round relax gets
-    * wrong.
+  /** Min-label propagation with a FINAL SHORTCUT over an undirected
+    * pair list. Rounds are pure relaxes
+    *   lab(v) ← min over self+neighbors' labels
+    * then one shortcut lab(v) ← min(lab(v), lab(lab(v))) — sound
+    * because labels are vertex ids with lab(u) ≤ u invariant (init
+    * lab=v, min-only updates), so lab(lab(v)) labels a vertex of the
+    * SAME component and can only be smaller. On a path this extends
+    * exact reach from `rounds` to ~2×rounds hops. Each relax is ONE
+    * join + aggregation over the (small) set of paired documents;
+    * DedupSpec proves equality with a driver union-find and pins a
+    * diameter-7 chain that plain 4-round relax gets wrong.
     */
   private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
+    // SELF-LOOPS make each relax round reference the label table
+    // exactly ONCE (the v=v edge carries the current label into the
+    // min, replacing the left-join-merge form that referenced it
+    // twice). Plan-tree discipline matters here: a DataFrame
+    // referenced k times per round grows the UNROLLED logical tree
+    // k^rounds-fold — the two-ref relax + two-ref shortcut form
+    // measured 45.9 s at sf0.1 (256× duplicated subtree, pure
+    // planning cost) vs ~2 s for this 2^rounds shape.
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    var lab = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lab"))
+    val verts = edges.select(col("src").as("v")).distinct()
+    val edgesS = edges.unionByName(
+      verts.select(col("v").as("src"), col("v").as("dst")))
+    var lab = verts.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to LabelRounds) {
-      val nbr = edges
+      lab = edgesS
         .join(lab.select(col("v").as("src"), col("lab")), "src")
-        .groupBy(col("dst").as("v")).agg(min(col("lab")).as("nlab"))
-      val relaxed = lab.join(nbr, Seq("v"), "left")
-        .select(col("v"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-      lab = relaxed.join(
-          relaxed.select(col("v").as("lab"), col("lab").as("jlab")),
-          Seq("lab"), "left")
-        .select(col("v"),
-          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
+        .groupBy(col("dst").as("v")).agg(min(col("lab")).as("lab"))
     }
-    lab.select(col("v").as("doc_id"), col("lab").as("component_id"))
+    // one shortcut at the end (2 refs — the only tree doubling):
+    // every-round shortcutting measured 5.7 s warm at sf0.1 vs 2.2 s
+    // for 2^rounds reach the near-clique graphs never need
+    val out = lab.join(
+        lab.select(col("v").as("lab"), col("lab").as("jlab")),
+        Seq("lab"), "left")
+      .select(col("v"),
+        least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
+    out.select(col("v").as("doc_id"), col("lab").as("component_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -654,13 +662,8 @@ object Dedup {
         // AS MATERIALIZED: each round references its predecessor
         // twice (relax join + shortcut self-join); inlining would
         // re-evaluate the whole upstream chain exponentially
-        s"""r$i AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(m.nlab, l.lab)) AS lab
-           |  FROM $prev l LEFT JOIN
-           |    (SELECT e.dst AS v, min(l.lab) AS nlab
-           |     FROM edges e JOIN $prev l ON e.src = l.v GROUP BY e.dst) m
-           |  ON m.v = l.v),
-           |l$i AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(j.lab, l.lab)) AS lab
-           |  FROM r$i l LEFT JOIN r$i j ON j.v = l.lab)""".stripMargin
+        s"""l$i AS MATERIALIZED (SELECT e.dst AS v, min(l.lab) AS lab
+           |  FROM edges_s e JOIN $prev l ON e.src = l.v GROUP BY e.dst)""".stripMargin
       }.mkString(",\n")
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
@@ -682,9 +685,13 @@ object Dedup {
          |       WHERE pround(c / (na + nb - c), 4) >= $DropThreshold),
          |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
          |          UNION ALL SELECT doc_b, doc_a FROM vp),
+         |edges_s AS MATERIALIZED (SELECT src, dst FROM edges
+         |          UNION ALL SELECT DISTINCT src, src FROM edges),
          |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
-         |$rounds
-         |SELECT v AS doc_id, lab AS component_id FROM l4
+         |$rounds,
+         |sc AS (SELECT l.v, least(l.lab, coalesce(j.lab, l.lab)) AS lab
+         |       FROM l4 l LEFT JOIN l4 j ON j.v = l.lab)
+         |SELECT v AS doc_id, lab AS component_id FROM sc
          |ORDER BY doc_id""".stripMargin
     },
     "dedup_exact" ->

