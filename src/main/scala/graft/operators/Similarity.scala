@@ -681,6 +681,59 @@ object Similarity {
     assignToCentroids(e, cents).agg(sum(col("d2"))).head().getDouble(0)
   }
 
+  // --- Semantic dedup ----------------------------------------------
+  /** Cosine threshold above which two same-cluster embeddings count
+    * as semantic duplicates. SemDeDup's 1−ε is a per-corpus knob
+    * (the paper tunes ε against downstream loss); real duplicated
+    * corpora sit at 0.95+, but the synthetic test embeddings are
+    * near-isotropic (max pairwise cosine ≈ 0.52 — the AnnRecallSpec
+    * observation), so the registered gate runs at the relaxed 0.40
+    * where the corpus has a non-trivial duplicate tail (17/22/132
+    * dropped docs at sf0.001/0.01/0.1) and the whole
+    * cluster→pairwise→greedy-reduce path is exercised for real.
+    */
+  private[graft] val SemDupThreshold = 0.40
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-SPACE dedup — catches paraphrases
+    * and re-encodings that share no n-grams, the duplicate family
+    * every lexical pass (exact/minhash/simhash/Jaccard) is blind to.
+    *
+    * Plan: each vector is assigned to its nearest coarse centroid
+    * (the shared [[ivfAssignment]] — broadcast argmin, narrow
+    * ranking); pairwise exact cosine runs WITHIN clusters only, via
+    * a cid equi-join — never all-pairs. Pairs at or above
+    * [[SemDupThreshold]] reduce greedily to a drop list exactly like
+    * the lexical `dedup_drop_list`: for every droppable doc, the
+    * minimum same-cluster mate is the kept representative (the
+    * deterministic stand-in for the paper's keep-one-per-group rule).
+    *
+    * At 100 TB: cluster count grows as √N (the [[ivfStride]]
+    * formula), so expected occupancy is √N and the within-cluster
+    * pairwise term is Σ occ² ≈ N^1.5 — the same order as the
+    * family's assignment pass, and the reason SemDeDup clusters
+    * FIRST instead of comparing the corpus quadratically. Both sides
+    * of the pair join share one exchange on cid (identical subtree);
+    * only (cid, id, v) rows shuffle.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val m = ivfAssignment(s, d)
+      .join(vectors(s, d), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val a = m.select(col("cid"), col("vec_id").as("doc_a"),
+                     col("v").as("av"), col("nrm").as("anrm"))
+    val b = m.select(col("cid"), col("vec_id").as("doc_b"),
+                     col("v").as("bv"), col("nrm").as("bnrm"))
+    a.join(b, Seq("cid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos",
+        pround(dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 4))
+      .filter(col("cos") >= SemDupThreshold)
+      .groupBy(col("doc_b").as("drop_id"))
+      .agg(min(col("doc_a")).as("kept_id"), max(col("cos")).as("max_cos"))
+      .orderBy(col("drop_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,
@@ -694,6 +747,7 @@ object Similarity {
     "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
     "sim_project"   -> projectEmbeddings _,
+    "dedup_semantic" -> semanticDedup _,
   )
 
   private def signSql(p: Int): String =
@@ -914,6 +968,18 @@ object Similarity {
          |SELECT vec_id, cid, pround(ccos, 4) AS centroid_cos
          |FROM assign
          |ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $ivfCte,
+         |sempairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    pround(list_cosine_similarity(a.v, b.v), 4) AS cos
+         |  FROM assign a
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT doc_b AS drop_id, min(doc_a) AS kept_id, max(cos) AS max_cos
+         |FROM sempairs
+         |WHERE cos >= $SemDupThreshold
+         |GROUP BY doc_b
+         |ORDER BY drop_id""".stripMargin,
     "ann_ivf" ->
       s"""WITH $ivfCte,
          |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),

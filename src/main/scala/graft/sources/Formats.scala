@@ -38,4 +38,17 @@ object Formats {
       .option("multiLine", "true")
       .option("escape", "\"")
       .csv(path)
+
+  /** ORC — the second columnar interchange format (warehouse-side
+    * tables are as often ORC as parquet). Columnar + compressed +
+    * predicate-pushdown-capable, so unlike the text formats it keeps
+    * the scan-side pruning contracts (`PushedFilters`/narrow
+    * ReadSchema) the parquet paths rely on. Schema pinned on read for
+    * the same no-inference-scan reason as JSONL/CSV.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -36,4 +36,26 @@ class FormatsSpec extends AnyFunSuite {
     val back = Formats.readCsv(spark, path, li.schema)
     assert(li.except(back).isEmpty && back.except(li).isEmpty)
   }
+
+  test("documents and lineitem survive an ORC round trip") {
+    for ((df, name) <- Seq((docs, "docs"), (Tables.lineitem(spark, sf), "lineitem"))) {
+      val path = s"target/fmt_test/${name}_orc"
+      Formats.writeOrc(df, path)
+      val back = Formats.readOrc(spark, path, df.schema)
+      assert(df.except(back).isEmpty && back.except(df).isEmpty, name)
+    }
+  }
+
+  test("ORC scans keep predicate pushdown and column pruning") {
+    val path = "target/fmt_test/lineitem_orc_push"
+    Formats.writeOrc(Tables.lineitem(spark, sf), path)
+    val back = Formats.readOrc(spark, path, Tables.lineitem(spark, sf).schema)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"no pushed filter in ORC scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      s"ORC scan reads more than the projected columns:\n$scan")
+  }
 }
