@@ -428,6 +428,7 @@ object Similarity {
   private val PqSubDims = Dims / PqM
   private val PqCodewordEvery = 16   // stride floor (≈ N/16 codewords at tiny N)
   private val PqCodebookTarget = 256 // codewords/subspace the stride converges to
+  private val PqTrainTarget = 2048   // vectors the training sample converges to
   private val PqIters = 2
   private val PqNProbe = 4
   private val PqShortlist = 50
@@ -444,6 +445,21 @@ object Similarity {
     e.agg(count(lit(1)).as("nvecs"))
       .select(expr(s"greatest(${PqCodewordEvery}L, " +
         s"shiftleft(1L, length(bin(nvecs div $PqCodebookTarget))))").as("stride"))
+
+  /** Training-sample stride: 2^floor(log2(N / [[PqTrainTarget]])),
+    * 1 while the corpus is within the target — so codebook TRAINING
+    * cost is O(sample × codebook), independent of corpus size, which
+    * is the actual web-scale PQ protocol (codebooks train on a fixed
+    * ~100k sample; only the one-pass ENCODE touches all N). Power of
+    * two, so the [[pqStride]] init centroids (stride ≥ 16× larger,
+    * also a power of two) are always inside the sample and round-0
+    * codebooks are unchanged. Identity (stride 1) at every
+    * oracle-gated SF — sampling changes nothing below 2× the target.
+    */
+  private def pqTrainStride(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("nvecs"))
+      .select(expr(
+        s"shiftleft(1L, length(bin(nvecs div $PqTrainTarget)) - 1)").as("tstride"))
 
   /** (vec_id, m, sv): the m-th 16-dim slice of every vector. */
   private def subVectors(e: DataFrame): DataFrame =
@@ -477,7 +493,10 @@ object Similarity {
   /** Per-subspace PQ codebooks: init = sampled vectors' slices
     * (vec_id % [[PqCodewordEvery]]), then [[PqIters]] Lloyd rounds —
     * all subspaces train in ONE plan (grouped by (m, kid)), unrolled
-    * lazily so the DuckDB oracle mirrors every round.
+    * lazily so the DuckDB oracle mirrors every round. Rounds scan
+    * only the [[pqTrainStride]] sample (identity below 2× the
+    * [[PqTrainTarget]]), so training cost stops growing with the
+    * corpus; the full-corpus pass is the single encode.
     */
   /** `checkpoint = true` (the programmatic/scale entry, mirroring
     * [[trainIvfCentroids]]) cuts lineage per round with
@@ -485,9 +504,14 @@ object Similarity {
     * `false` so its unrolled plan stays one lazy, oracle-mirrorable
     * tree.
     */
-  private[operators] def trainPqCodebooks(e: DataFrame,
+  private[graft] def trainPqCodebooks(e: DataFrame,
                                           checkpoint: Boolean = false): DataFrame = {
-    val sub = subVectors(e)
+    // training reads only the bounded sample; callers encode all of
+    // `e` against the returned codebooks in one separate pass
+    val sub = subVectors(
+      e.crossJoin(broadcast(pqTrainStride(e)))
+        .filter(col("vec_id") % col("tstride") === 0)
+        .drop("tstride"))
     var cb = sub.crossJoin(broadcast(pqStride(e)))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
@@ -823,7 +847,7 @@ object Similarity {
        |    SELECT s.vec_id, s.m, s.sv, c.kid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY $pqD2, c.kid) AS rnk
-       |    FROM sub s JOIN $prev c ON c.m = s.m) t WHERE rnk = 1),
+       |    FROM tsub s JOIN $prev c ON c.m = s.m) t WHERE rnk = 1),
        |cb$k AS (SELECT m, kid, array_agg(mn ORDER BY dim) AS kv FROM (
        |    SELECT m, kid, dim,
        |      CAST(sum(CAST(floor(x * $MeanScale + 0.5) AS BIGINT)) AS DOUBLE)
@@ -841,6 +865,8 @@ object Similarity {
        |sub AS (SELECT vec_id, m,
        |          list_slice(v, m * $PqSubDims + 1, (m + 1) * $PqSubDims) AS sv
        |        FROM en, mm),
+       |ts AS (SELECT 1 << (length(bin(count(*) // $PqTrainTarget)) - 1) AS tstride FROM e),
+       |tsub AS (SELECT s.* FROM sub s, ts WHERE s.vec_id % tstride = 0),
        |ps AS (SELECT greatest($PqCodewordEvery, 1 << length(bin(count(*) // $PqCodebookTarget))) AS stride FROM e),
        |cb0 AS (SELECT m, vec_id AS kid, sv AS kv FROM sub, ps
        |        WHERE vec_id % stride = 0),
