@@ -421,8 +421,58 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM fluency scoring (the CCNet/RefinedWeb "perplexity
+    * filter" shape): train a bigram language model ON the corpus
+    * itself — c(w1,w2) and context counts c(w1·) from one occurrence
+    * stream — and score every document by its mean bigram log
+    * probability Σ ln(c12/c1) / n. Word-salad and boilerplate score
+    * low; text made of common transitions scores high. Self-scoring
+    * means every bigram has c12 ≥ 1 — no OOV smoothing needed.
+    *
+    * Determinism: each term integerizes BEFORE the sum
+    * (floor((ln c12 − ln c1)·10⁶ + 0.5) — the q31_corr
+    * integer-sufficient-statistics trick), so the per-doc aggregate
+    * is an order-free BIGINT sum and the only float ops are two
+    * single-rounded ln calls on identical integers in both engines.
+    *
+    * Scale shape: the occurrence stream is one row per token (word
+    * count's volume); bigram/context counts are two map-side-partial
+    * groupBys; the score join shuffles on the bigram key. All terms
+    * linear in corpus size — this is how LM filtering runs at 100 TB
+    * (CCNet hashes its LM the same way). Bigrams build from
+    * arrays_zip(slice, slice) — no higher-order-function lambdas in
+    * the hot path (the round-6 CodegenFallback lesson).
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.documents(s, d))
+
+  /** [[lmScore]] over an explicit documents frame (spec entry). */
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val n = size(col("tk"))
+    val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(n >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(col("tk"), lit(1), n - 1).as("w1"),
+                           slice(col("tk"), lit(2), n - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    occ
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor((log(col("c12").cast("double")) - log(col("c1").cast("double")))
+          * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        pround(sum(col("qi")) / count(lit(1)) / lit(1000000d), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
+    "txt_lm_score"     -> lmScore _,
     "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
     "txt_token_counts" -> tokenCounts _,
@@ -484,6 +534,23 @@ object TextPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |        FROM (SELECT doc_id, tk,
+         |                unnest(generate_series(1, len(tk) - 1)) AS i
+         |              FROM toks)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+         |terms AS (SELECT o.doc_id,
+         |    CAST(floor((ln(b.c12) - ln(u.c1)) * 1000000 + 0.5) AS BIGINT) AS qi
+         |  FROM occ o
+         |  JOIN c12 b ON b.w1 = o.w1 AND b.w2 = o.w2
+         |  JOIN c1 u ON u.w1 = o.w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
+         |FROM terms GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "txt_scrub" -> {
       val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
       s"""SELECT doc_id,

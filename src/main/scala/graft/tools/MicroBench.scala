@@ -20,10 +20,14 @@ object MicroBench {
       System.gc()
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // driver-side: analyze + optimize + plan
+        val t1 = System.nanoTime()
+        df.count()
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       }
-      println(f"$name%-20s ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      println(f"$name%-20s " +
+        ts.map { case (p, e) => f"plan $p%.2f + exec $e%.2f" }.mkString(" | "))
     }
     spark.stop()
   }
