@@ -451,6 +451,47 @@ object Dedup {
     * with dup_tokens = 0 — the join is a broadcast-friendly LEFT
     * join of the (small) span summary onto the map-side token count.
     */
+  /** The ACTION step of substring dedup (Lee et al. 2022 drop the
+    * duplicated span, keeping the surrounding text): every token
+    * inside a duplicated span is removed and the remainder re-joined
+    * with single spaces (token-normalized output — original
+    * whitespace/punctuation between kept tokens is not preserved,
+    * which is exactly what a tokenizer-bound training pipeline
+    * consumes). Output: per-doc kept-token count and the md5 of the
+    * cleaned text (null when nothing survives), alongside the
+    * original token count.
+    *
+    * Shape: the token stream left-anti-joins the tiny span table on
+    * (doc_id, pos ∈ [start, end]) — doc_id is the equi key, the
+    * range is a residual predicate over the handful of spans a
+    * document has. Reconstruction sorts each document's kept tokens
+    * once (a per-doc array sort, not a global window).
+    */
+  def substrStrip(s: SparkSession, d: String): DataFrame =
+    substrStripOf(Tables.documents(s, d))
+
+  private[graft] def substrStripOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val nTok = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+    val spans = substrSpansOf(docs)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val kept = tokPos.join(spans,
+      col("doc_id") === col("s_doc") &&
+        col("pos").between(col("span_start"), col("span_end")), "left_anti")
+    val ka = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        expr("md5(array_join(transform(sort_array(collect_list(struct(pos, w))), x -> x.w), ' '))")
+          .as("clean_md5"))
+    nTok.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def substrStats(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nTok = docs.select(col("doc_id"),
@@ -582,6 +623,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_substr"        -> substrSpans _,
     "dedup_substr_stats"  -> substrStats _,
+    "dedup_substr_strip"  -> substrStrip _,
   )
 
   private val tokSql =
@@ -793,6 +835,24 @@ object Dedup {
          |  coalesce(ds.dup_tokens, 0) AS dup_tokens,
          |  pround(coalesce(ds.dup_tokens, 0) / greatest(nt.n_tokens, 1), 4) AS dup_frac
          |FROM nt LEFT JOIN ds ON ds.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
+    "dedup_substr_strip" ->
+      s"""WITH $substrCte,
+         |tp AS (SELECT doc_id, tk,
+         |         unnest(generate_series(1, len(tk))) AS p
+         |       FROM toks),
+         |tw AS (SELECT doc_id, p, tk[p] AS w FROM tp),
+         |kept AS (SELECT t.doc_id, t.p, t.w FROM tw t
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |            WHERE s.doc_id = t.doc_id
+         |              AND t.p BETWEEN s.span_start AND s.span_end)),
+         |ka AS (SELECT doc_id, count(*) AS kept_tokens,
+         |         md5(string_agg(w, ' ' ORDER BY p)) AS clean_md5
+         |       FROM kept GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  coalesce(ka.kept_tokens, 0) AS kept_tokens, ka.clean_md5 AS clean_md5
+         |FROM nt LEFT JOIN ka ON ka.doc_id = nt.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
   )
 

@@ -78,4 +78,23 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(spans === Seq(
       (1L, 1L, 13L, 13L), (2L, 2L, 14L, 13L), (3L, 3L, 15L, 13L)))
   }
+
+  test("strip removes exactly the duplicated spans and keeps the rest in order") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> s"alpha beta gamma $boiler delta epsilon zeta",
+      2L -> s"one two $boiler three four five six seven",
+      3L -> boiler) // nothing survives
+    val df = spark.createDataset(docs).toDF("doc_id", "text")
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = graft.operators.Dedup.substrStripOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (1L, 19L, 6L, Some(md5("alpha beta gamma delta epsilon zeta"))),
+      (2L, 20L, 7L, Some(md5("one two three four five six seven"))),
+      (3L, 13L, 0L, None)))
+  }
 }
