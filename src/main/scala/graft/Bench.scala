@@ -11,6 +11,18 @@ import org.apache.spark.sql.SparkSession
   * regression instead of guessed from a single shot. A query that
   * throws reports -1 (and is listed in "failed") rather than its
   * time-to-throw — a fast failure must never read as a speedup.
+  *
+  * Two timings per query:
+  *  - `queries` (count-based, the protocol since round 1, kept for
+  *    round-over-round comparability): `df.count()` lets Catalyst
+  *    prune unused aggregate expressions, eliminate final sorts and
+  *    even drop row-preserving left joins — it measures the query's
+  *    SHAPE cost, not its full expression work.
+  *  - `queries_full` (one run, noop-sink): `write.format("noop")`
+  *    materializes every output row and column, so expression-heavy
+  *    or join-crowned queries can't read as fake-fast (observed:
+  *    a left-join-crowned query benched 20× under its real cost
+  *    because count() eliminated the join).
   */
 object Bench {
   private val Runs = 3
@@ -29,30 +41,42 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
+      def fullOnce(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       once() // warm-up, untimed
       // drop broadcast/shuffle refs before measuring: letting them pile
       // up across 80+ queries drives old-gen full GCs that contaminate
       // later measurements (observed 5-20x inflation)
       System.gc()
       val runs = Seq.fill(Runs)(once())
+      val full = fullOnce()
       System.gc()
       val ok = runs.filter(_ >= 0)
       val mean = if (ok.isEmpty) -1.0 else ok.sum / ok.size
       val sd =
         if (ok.size < 2) 0.0
         else math.sqrt(ok.map(x => (x - mean) * (x - mean)).sum / (ok.size - 1))
-      (name, mean, sd)
+      (name, mean, sd, full)
     }
     def num(d: Double): String = if (d == d.floor && d.abs < 1e15) d.toString else f"$d%.6f"
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + num(m) }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + num(m) }
       .mkString("{", ",", "}")
-    val sds = results.map { case (k, _, s) => "\"" + k + "\":" + num(s) }
+    val sds = results.map { case (k, _, s, _) => "\"" + k + "\":" + num(s) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, m, _) if m < 0 => "\"" + k + "\"" }
+    val fulls = results.map { case (k, _, _, f) => "\"" + k + "\":" + num(f) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    val total = results.collect { case (_, m, _, _) if m >= 0 => m }.sum
+    val totalFull = results.collect { case (_, _, _, f) if f >= 0 => f }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
-      s""""queries":$qs,"queries_sd":$sds,"failed":$failed,"sf":"$sfDir"}""")
+      s""""total_full":${num(totalFull)},""" +
+      s""""queries":$qs,"queries_sd":$sds,"queries_full":$fulls,""" +
+      s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
