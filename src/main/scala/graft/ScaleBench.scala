@@ -70,18 +70,32 @@ object ScaleBench {
     }
 
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // count-based (ladder-comparable) AND noop-sink full evaluation —
+    // same two-protocol rationale as [[Bench]]: count() lets the
+    // optimizer prune expression work and even whole joins, so a
+    // ladder rung can read fake-flat while the real cost grows
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => querySet(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, out).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc()
-      name -> dt
+      val t1 = System.nanoTime()
+      try {
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+      val dtf = (System.nanoTime() - t1) / 1e9
+      System.gc()
+      (name, dt, dtf)
     }
-    val qs = results.map { case (n, v) => "\"" + n + "\":" + v }
+    val qs = results.map { case (n, v, _) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    val fulls = results.map { case (n, _, f) => "\"" + n + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
+    val totalFull = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_full":$totalFull,""" +
+      s""""queries":$qs,"queries_full":$fulls,"sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
     spark.stop()
   }
 }
