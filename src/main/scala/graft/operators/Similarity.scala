@@ -740,10 +740,53 @@ object Similarity {
     * of the pair join share one exchange on cid (identical subtree);
     * only (cid, id, v) rows shuffle.
     */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val m = ivfAssignment(s, d)
-      .join(vectors(s, d), Seq("vec_id"))
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticPairsToDropList(
+      ivfAssignment(s, d)
+        .join(vectors(s, d), Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm")))
+
+  /** Per-cluster pairwise ceiling for [[semanticDedupCapped]]: at most
+    * C(cap, 2) comparisons per cluster regardless of occupancy.
+    */
+  private[graft] val SemCap = 512
+
+  /** Occupancy-capped [[semanticDedup]] — the safety valve for
+    * DEGENERATE clusters. Clone-heavy corpora collapse the coarse
+    * clustering: identical vectors share a nearest centroid, so a
+    * corpus with a large clone family piles it into one cluster and
+    * the within-cluster pairwise goes clone²-quadratic (measured:
+    * the 50× mechanically-replicated ladder corpus — 50 identical
+    * copies of everything — degenerates to ~8 clusters of ~12.5k
+    * members = 625 M cosine pairs, 80-160 s; the cap bounds it at
+    * C(512, 2)·k). Only each cluster's [[SemCap]] members NEAREST
+    * THE CENTROID pair up (rank by (ccos desc, vec_id) — the
+    * deterministic [[dedup_simhash_capped]] recipe); overflow
+    * members keep their cluster but skip pairing, trading recall on
+    * clusters that exceed the cap for a hard fan-out bound. Output
+    * is identical to the uncapped pass whenever every cluster fits
+    * (all oracle-gated SFs).
+    */
+  def semanticDedupCapped(s: SparkSession, d: String): DataFrame =
+    semanticDedupCappedOf(
+      ivfAssignment(s, d).join(vectors(s, d), Seq("vec_id")), SemCap)
+
+  private[graft] def semanticDedupCappedOf(assigned: DataFrame,
+                                           cap: Int): DataFrame = {
+    val wc = Window.partitionBy(col("cid"))
+      .orderBy(pround(col("ccos"), 6).desc, col("vec_id"))
+    semanticPairsToDropList(
+      assigned
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= cap)
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm")))
+  }
+
+  /** Shared tail of the semantic-dedup family: within-cluster
+    * pairwise cosine at [[SemDupThreshold]], greedily reduced to the
+    * drop-list shape. `m` must carry (cid, vec_id, v, nrm).
+    */
+  private def semanticPairsToDropList(m: DataFrame): DataFrame = {
     val a = m.select(col("cid"), col("vec_id").as("doc_a"),
                      col("v").as("av"), col("nrm").as("anrm"))
     val b = m.select(col("cid"), col("vec_id").as("doc_b"),
@@ -772,6 +815,7 @@ object Similarity {
     "sim_quantized" -> quantizedSearch _,
     "sim_project"   -> projectEmbeddings _,
     "dedup_semantic" -> semanticDedup _,
+    "dedup_semantic_capped" -> semanticDedupCapped _,
   )
 
   private def signSql(p: Int): String =
@@ -1001,6 +1045,23 @@ object Similarity {
          |    pround(list_cosine_similarity(a.v, b.v), 4) AS cos
          |  FROM assign a
          |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT doc_b AS drop_id, min(doc_a) AS kept_id, max(cos) AS max_cos
+         |FROM sempairs
+         |WHERE cos >= $SemDupThreshold
+         |GROUP BY doc_b
+         |ORDER BY drop_id""".stripMargin,
+    "dedup_semantic_capped" ->
+      s"""WITH $ivfCte,
+         |cm AS (SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY cid
+         |        ORDER BY pround(ccos, 6) DESC, vec_id) AS crk
+         |    FROM assign) t WHERE crk <= $SemCap),
+         |sempairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    pround(list_cosine_similarity(a.v, b.v), 4) AS cos
+         |  FROM cm a
+         |  JOIN cm b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT doc_b AS drop_id, min(doc_a) AS kept_id, max(cos) AS max_cos
          |FROM sempairs
          |WHERE cos >= $SemDupThreshold

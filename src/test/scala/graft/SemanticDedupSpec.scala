@@ -72,4 +72,30 @@ class SemanticDedupSpec extends AnyFunSuite {
       assert(kept < drop && c >= Similarity.SemDupThreshold)
     }
   }
+
+  test("capped pass equals uncapped when clusters fit, restricts pairing when not") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val assigned = {
+      // reuse the real corpus assignment via the public query path:
+      // join the registered assignment columns back together
+      val e = graft.sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.expr(
+            "transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+          graft.functions.DotProduct.dot_product(col("v"), col("v"))))
+      val lists = Similarity.queries("ann_ivf_lists")(spark, sf)
+        .select(col("vec_id"), col("cid"), col("centroid_cos").as("ccos"))
+      lists.join(e, Seq("vec_id"))
+    }
+    def dropSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("drop_id"), col("kept_id")).as[(Long, Long)].collect().toSet
+    // cap far above any cluster's occupancy: identical to uncapped
+    val uncapped = dropSet(Similarity.semanticDedup(spark, sf))
+    val wide = dropSet(Similarity.semanticDedupCappedOf(assigned, 10000))
+    assert(wide === uncapped)
+    // cap 1: one member per cluster pairs with nobody — empty output
+    assert(dropSet(Similarity.semanticDedupCappedOf(assigned, 1)).isEmpty)
+  }
 }
