@@ -392,18 +392,72 @@ object Similarity {
   def annIvfTrained(s: SparkSession, d: String): DataFrame = {
     val cents = trainIvfCentroids(s, d, iters = TrainIters, checkpoint = false)
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
-    val e = vectors(s, d)
+    ivfSearch(s, d, cents, assignAgainst(vectors(s, d), cents))
+  }
+
+  /** Nearest-centroid assignment of an arbitrary vector frame against
+    * an EXPLICIT centroid table (cid, cv, cnrm) — narrow ranking,
+    * like [[ivfAssignment]]; callers re-join vectors as needed.
+    * Stateless per vector, so incremental batches compose exactly
+    * (IvfStateSpec pins slice == full-assignment restriction).
+    */
+  private def assignAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(pround(col("ccos"), 6).desc, col("cid"))
-    // narrow ranking, like [[ivfAssignment]] — ivfSearch re-joins v
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("crnk", row_number().over(wa))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
-    ivfSearch(s, d, cents, assign)
   }
+
+  // --- Persistent index state ---------------------------------------
+  // The BloomDedup-state design applied to the ANN family: the INDEX
+  // (trained centroids, PQ codebooks — a few KB) is the only state
+  // carried between runs; the corpus never is. Train once on a
+  // sample, persist, then every later ingest batch assigns/encodes
+  // against the frozen index — assignment is stateless per vector,
+  // so incremental batches compose exactly with a one-shot build.
+
+  /** Persist trained coarse centroids (cid, cv) as parquet. */
+  def saveCentroids(cents: DataFrame, path: String): Unit =
+    cents.select(col("cid"), col("cv")).write.mode("overwrite").parquet(path)
+
+  /** Load persisted centroids with the schema pinned (no inference). */
+  def loadCentroids(s: SparkSession, path: String): DataFrame =
+    s.read.schema("cid BIGINT, cv ARRAY<DOUBLE>").parquet(path)
+
+  /** IVF search against a persisted centroid table — identical plan
+    * shape to [[annIvfTrained]], only the centroid source differs.
+    */
+  def annIvfWithCentroids(s: SparkSession, d: String,
+                          cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    ivfSearch(s, d, c, assignAgainst(vectors(s, d), c))
+  }
+
+  /** Assignment of an explicit vector frame (vec_id, v, nrm) against
+    * persisted centroids — the incremental-ingest encode step.
+    */
+  def assignWithCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    assignAgainst(e,
+      cents.withColumn("cnrm", sqrt(dot(col("cv"), col("cv")))))
+
+  /** Persist per-subspace PQ codebooks (m, kid, kv) as parquet. */
+  def savePqCodebooks(cb: DataFrame, path: String): Unit =
+    cb.select(col("m"), col("kid"), col("kv")).write.mode("overwrite").parquet(path)
+
+  def loadPqCodebooks(s: SparkSession, path: String): DataFrame =
+    s.read.schema("m INT, kid BIGINT, kv ARRAY<DOUBLE>").parquet(path)
+
+  /** PQ-encode an explicit unit-normalized vector frame (vec_id, v)
+    * against persisted codebooks: (vec_id, m, kid) — 4 bytes per
+    * vector, the incremental encode of a frozen PQ index.
+    */
+  def pqEncodeWith(en: DataFrame, cb: DataFrame): DataFrame =
+    assignCodes(subVectors(en), cb)
+      .select(col("vec_id"), col("m"), col("kid"))
 
   // --- IVF-PQ -------------------------------------------------------
   // Product quantization (Jégou et al., TPAMI 2011): 64-d vectors
