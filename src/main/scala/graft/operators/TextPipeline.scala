@@ -421,6 +421,73 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher document-level rule set (Rae et al. 2021, §A1.1) —
+    * the published heuristic filter every large English pretraining
+    * corpus runs before model-based scoring. Per document: word count
+    * in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio (# and …) < 0.1, < 90% of lines bullet-started, < 30% of
+    * lines ellipsis-ended, ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 distinct members of the required-stopword
+    * set present. All seven metrics AND the verdict in one row.
+    *
+    * Entirely map-side (regexp counts + one token-array scan — the
+    * same zero-shuffle shape as [[quality]]): at 100 TB the rule
+    * pass is a single corpus scan, and its selectivity is exactly
+    * what the later (expensive) stages are budgeted on. Words here
+    * are WHITESPACE tokens — the rule set measures raw text, so the
+    * letter-run tokenizer would hide precisely the symbol noise the
+    * rules exist to catch. The synthetic corpus is single-line, so
+    * the two line-shape fractions are structurally exercised at 0
+    * (the [[scrub]] URL-counter precedent); planted multi-line docs
+    * pin their arithmetic in the spec.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, d))
+
+  /** Gopher's "must contain ≥2 of" stopword list — not [[stopwords]]
+    * (that is the generic ratio list; the rule set names these 8).
+    */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** [[gopherRules]] over an explicit documents frame (spec entry). */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val raw = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_wchars"),
+      ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))))
+        .cast("long").as("n_symbols"),
+      size(regexp_extract_all(col("text"), lit("\\S*\\p{L}\\S*"), lit(0)))
+        .cast("long").as("n_alpha_words"),
+      size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+      size(regexp_extract_all(col("text"), lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+        .cast("long").as("n_bullet_lines"),
+      size(regexp_extract_all(col("text"), lit("(?m)(\\.\\.\\.|…)[ \\t]*$"), lit(0)))
+        .cast("long").as("n_ellipsis_lines"),
+      GopherStops.map(w => when(array_contains(tk, w), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop_kinds"))
+    raw.filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"),
+        pround(col("n_wchars") / col("n_words"), 4).as("mean_word_len"),
+        pround(col("n_symbols") / col("n_words"), 4).as("symbol_ratio"),
+        pround(col("n_alpha_words") / col("n_words"), 4).as("alpha_word_frac"),
+        pround(col("n_bullet_lines") / col("n_lines"), 4).as("bullet_line_frac"),
+        pround(col("n_ellipsis_lines") / col("n_lines"), 4).as("ellipsis_line_frac"),
+        col("n_stop_kinds"))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_line_frac") < 0.9 &&
+        col("ellipsis_line_frac") < 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_stop_kinds") >= 2L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM fluency scoring (the CCNet/RefinedWeb "perplexity
     * filter" shape): train a bigram language model ON the corpus
     * itself — c(w1,w2) and context counts c(w1·) from one occurrence
@@ -472,6 +539,7 @@ object TextPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
+    "txt_gopher_rules" -> gopherRules _,
     "txt_lm_score"     -> lmScore _,
     "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
@@ -534,6 +602,41 @@ object TextPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_gopher_rules" -> {
+      val lowTok =
+        "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+      val stopKinds = GopherStops
+        .map(w => s"(CASE WHEN list_contains($lowTok, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
+         |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$')) AS BIGINT) AS n_ellipsis_lines,
+         |  CAST($stopKinds AS BIGINT) AS n_stop_kinds
+         |FROM documents),
+         |r AS (SELECT doc_id, n_words,
+         |  pround(n_wchars / n_words, 4) AS mean_word_len,
+         |  pround(n_symbols / n_words, 4) AS symbol_ratio,
+         |  pround(n_alpha_words / n_words, 4) AS alpha_word_frac,
+         |  pround(n_bullet_lines / n_lines, 4) AS bullet_line_frac,
+         |  pround(n_ellipsis_lines / n_lines, 4) AS ellipsis_line_frac,
+         |  n_stop_kinds
+         |FROM m WHERE n_words > 0)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+         |  bullet_line_frac, ellipsis_line_frac, n_stop_kinds,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio < 0.1 AND bullet_line_frac < 0.9
+         |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
+         |   AND n_stop_kinds >= 2) AS gopher_pass
+         |FROM r
+         |ORDER BY doc_id""".stripMargin
+    },
     "txt_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
