@@ -169,7 +169,68 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  // --- DSIR importance resampling -----------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw document by how much more likely its tokens are under a
+  // TARGET distribution than under the raw-corpus distribution, using
+  // hashed unigram features — the published cheap alternative to
+  // model-based quality scoring. Target here = the corpus's docs with
+  // lang = 'en' (a metadata-defined target set, the DSIR setup of
+  // "wiki+books vs raw web"); features = portable-hash(word) mod 64
+  // buckets with add-1 smoothing. Per-doc weight = mean over tokens of
+  // ln(p_target(b)/p_raw(b)).
+  //
+  // Determinism: the per-BUCKET term ln(ct+1) − ln(cr+1) integerizes
+  // once (64 rows), the corpus-constant ln(R+B) − ln(T+B) integerizes
+  // once, and the per-doc aggregate is then an order-free BIGINT sum —
+  // the txt_lm_score integerization applied to DSIR.
+  //
+  // Scale shape: token stream → two bucket-count groupBys (64 rows
+  // out, map-side partials do all the work), the bucket table and the
+  // corpus constant ride back as broadcasts, one per-doc aggregate.
+  // Everything is linear in token count — the same budget word count
+  // runs at. The synthetic corpus's lang column is content-
+  // uncorrelated, so gate weights sit near 0 (structurally exercised,
+  // the scrub-counter precedent); a planted bimodal corpus pins the
+  // real selection behavior in DsirSpec.
+  private val DsirBuckets = 64
+  private val DsirTargetLang = "en"
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(Tables.documents(s, d))
+
+  /** [[dsirWeights]] over an explicit documents frame (spec entry). */
+  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .withColumn("b", portableHash(col("word")) % DsirBuckets)
+    val cr = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ct = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val buckets = cr.join(ct, Seq("b"), "left")
+      .select(col("b"),
+        floor((log(coalesce(col("ct"), lit(0L)) + lit(1.0)) -
+               log(col("cr") + lit(1.0)))
+          * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
+    val kc = toks
+      .agg(count(lit(1)).as("r"),
+           sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+      .select(floor((log(col("r") + lit(DsirBuckets.toDouble)) -
+                     log(col("t") + lit(DsirBuckets.toDouble)))
+        * lit(1000000d) + lit(0.5)).cast("long").as("kc"))
+    toks.join(broadcast(buckets), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qi")).as("sq"))
+      .crossJoin(broadcast(kc))
+      .select(col("doc_id"), col("n_tokens"),
+        pround((col("sq") + col("n_tokens") * col("kc"))
+          / col("n_tokens") / lit(1000000d), 4).as("avg_logratio"))
+      .withColumn("selected", col("avg_logratio") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_dsir" -> dsirWeights _,
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
     "smp_rates"  -> sampleRates _,
@@ -202,6 +263,31 @@ object Sampling {
        |        FROM per, g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "smp_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang, word,
+         |    ${portableHashSql("word")} % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+         |        FROM documents) u
+         |  WHERE word <> ''),
+         |cr AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM toks
+         |       WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |bk AS (SELECT cr.b,
+         |    CAST(floor((ln(coalesce(ct.ct, 0) + 1.0) - ln(cr.cr + 1.0))
+         |           * 1000000 + 0.5) AS BIGINT) AS qi
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+         |kc AS (SELECT CAST(floor((ln(count(*) + $DsirBuckets.0)
+         |    - ln(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+         |         + $DsirBuckets.0)) * 1000000 + 0.5) AS BIGINT) AS kc
+         |  FROM toks),
+         |per AS (SELECT doc_id, count(*) AS n_tokens, sum(qi) AS sq
+         |  FROM toks JOIN bk ON toks.b = bk.b GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  pround((sq + n_tokens * kc) / n_tokens / 1000000, 4) AS avg_logratio,
+         |  pround((sq + n_tokens * kc) / n_tokens / 1000000, 4) > 0.0 AS selected
+         |FROM per, kc
+         |ORDER BY doc_id""".stripMargin,
     "smp_mixture" ->
       s"""WITH $mixCte
          |SELECT source, n_docs, tokens_total, weight_millis,
