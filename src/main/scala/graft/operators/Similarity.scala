@@ -361,8 +361,10 @@ object Similarity {
     * ([[ivfSearch]]) re-join `e` on vec_id — one corpus-proportional
     * hash join, far cheaper than sorting arrays.
     */
-  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d)
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame =
+    ivfAssignmentOf(vectors(s, d))
+
+  private def ivfAssignmentOf(e: DataFrame): DataFrame = {
     val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id"))
@@ -590,14 +592,19 @@ object Similarity {
     * than its groupBy key, and raw vectors are touched again only for
     * the |probes|·[[PqShortlist]] re-rank rows.
     */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d)
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPqOf(vectors(s, d))
+
+  /** [[annIvfPq]] over an explicit vector frame (vec_id, v, nrm) —
+    * the spec entry for corpora with planted cluster structure.
+    */
+  private[graft] def annIvfPqOf(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val cb = trainPqCodebooks(en)
     val codes = assignCodes(subVectors(en), cb)
       .select(col("vec_id"), col("m"), col("kid"))
-    val coarse = ivfAssignment(s, d).select(col("vec_id"), col("cid"))
+    val coarse = ivfAssignmentOf(e).select(col("vec_id"), col("cid"))
     val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
 
@@ -644,6 +651,112 @@ object Similarity {
       .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
         "neighbor_id")
       .join(broadcast(probes), "query_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        pround(col("cos"), 4).as("cos_sim"),
+        pround(col("ad2") / lit(MeanScale), 4).as("approx_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ over RESIDUALS (IVFADC proper, Jégou et al. 2011 §III):
+    * vectors are PQ-coded as (v_unit − c_unit) for their assigned
+    * coarse centroid, not as raw positions. Residuals concentrate
+    * near 0 with far smaller variance than positions WHEN the coarse
+    * quantizer explains the data, so the same 4-byte code budget
+    * quantizes finer — the published recall lever on top of
+    * [[annIvfPq]] at identical memory. The caveat is the flip side of
+    * the same identity: mean ‖residual‖² = 2·(1 − mean best-centroid
+    * cos), so on a corpus the coarse lists DON'T explain, residuals
+    * are LARGER than positions and coding them costs recall. Both
+    * regimes are measured in AnnRecallSpec: the near-isotropic
+    * driver corpus (best-centroid cos ≈ 0.5 ⇒ residual variance
+    * 1.99× position; recall 0.33 vs 0.60) and a planted clustered
+    * corpus (the case IVFADC is built for) where residual coding
+    * must not lose. Production guidance: pick position-PQ vs
+    * residual-PQ from the measured mean centroid cosine of the
+    * corpus — the number the coarse-assignment pass already yields
+    * for free. ADC becomes per-LIST: for each probed list the
+    * query's residual against THAT centroid is tabled, and since
+    * ‖q−x‖² = ‖(q−c) − (x−c)‖², ranking residual distances per list
+    * is exactly ranking unit-space distances — no approximation is
+    * added by the residual transform itself.
+    *
+    * Scale shape: identical to [[annIvfPq]] except the ADC table
+    * grows by the nprobe factor (probes × nprobe × M × K rows —
+    * still KBs, still broadcast) and the residual construction is
+    * one map-side zip_with against broadcast centroids. Codebooks
+    * still train on the bounded [[pqTrainStride]] sample.
+    */
+  def annIvfPqRes(s: SparkSession, d: String): DataFrame =
+    annIvfPqResOf(vectors(s, d))
+
+  /** [[annIvfPqRes]] over an explicit vector frame (spec entry). */
+  private[graft] def annIvfPqResOf(e: DataFrame): DataFrame = {
+    val en = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val coarse = ivfAssignmentOf(e).select(col("vec_id"), col("cid"))
+    val cents = sampledVecs(e)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centsN = cents.select(col("cid"),
+      transform(col("cv"), x => x / col("cnrm")).as("cvn"))
+
+    // residuals in unit space: one map-side pass, centroids broadcast
+    val resid = en.join(coarse, "vec_id").join(broadcast(centsN), "cid")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cvn"), (a, b) => a - b).as("v"))
+    val cb = trainPqCodebooks(resid)
+    val codes = assignCodes(subVectors(resid), cb)
+      .select(col("vec_id"), col("m"), col("kid"))
+
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("pcos"), 6).desc, col("cid"))
+    val probesRaw = e.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probeLists = broadcast(probesRaw).crossJoin(broadcast(cents))
+      .withColumn("pcos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= PqNProbe)
+      .select(col("query_id"), col("cid"))
+
+    // per-(probe, list) residual ADC table: the query's residual
+    // against THAT list's centroid, sliced per subspace
+    val rq = broadcast(probeLists).join(broadcast(centsN), "cid")
+      .join(broadcast(probesRaw), "query_id")
+      .select(col("query_id"), col("cid"),
+        zip_with(transform(col("qv"), x => x / col("qnrm")), col("cvn"),
+          (a, b) => a - b).as("rv"))
+    val dtab = (0 until PqM).map { m =>
+        rq.select(col("query_id"), col("cid"), lit(m).as("m"),
+          slice(col("rv"), m * PqSubDims + 1, PqSubDims).as("qsv"))
+      }.reduce(_ unionByName _)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("kv"))
+          + dot(col("kv"), col("kv")))
+      .select(col("query_id"), col("cid"), col("m"), col("kid"),
+        floor(pround(col("d2"), 6) * lit(MeanScale) + lit(0.5)).as("pd2i"))
+
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad2"), col("neighbor_id"))
+    val shortlist = codes
+      .join(coarse, "vec_id")
+      .join(broadcast(probeLists), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtab), Seq("query_id", "cid", "m", "kid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2i")).as("ad2"))
+      .withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"), col("ad2"))
+
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(pround(col("cos"), 6).desc, col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(probesRaw), "query_id")
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= LshTopK)
@@ -864,6 +977,7 @@ object Similarity {
     "ann_ivf"       -> annIvf _,
     "ann_ivf_trained" -> annIvfTrained _,
     "ann_ivf_pq"    -> annIvfPq _,
+    "ann_ivf_pq_res" -> annIvfPqRes _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
@@ -955,6 +1069,41 @@ object Similarity {
        |    GROUP BY m, kid, dim) g GROUP BY m, kid)""".stripMargin
   }
 
+  // Residual-PQ (IVFADC) oracle preamble: coarse assignment first,
+  // then the SAME training/coding chain as pqCte, but over residual
+  // vectors en = v_unit − c_unit (so pqIterSql and the codes CTE
+  // apply unchanged — they only reference `en`-derived names).
+  private val pqResCte: String =
+    s"""$vecCte,
+       |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
+       |cassign AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS crnk
+       |    FROM e, cents c) t WHERE crnk = 1),
+       |cnorm AS (SELECT cid, [x / sqrt(list_dot_product(cv, cv)) FOR x IN cv] AS cvn FROM cents),
+       |un AS (SELECT vec_id, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS v FROM e),
+       |en AS (SELECT u.vec_id,
+       |         list_transform(generate_series(1, $Dims), i -> u.v[i] - cn.cvn[i]) AS v
+       |       FROM un u JOIN cassign ca ON ca.vec_id = u.vec_id
+       |       JOIN cnorm cn ON cn.cid = ca.cid),
+       |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |sub AS (SELECT vec_id, m,
+       |          list_slice(v, m * $PqSubDims + 1, (m + 1) * $PqSubDims) AS sv
+       |        FROM en, mm),
+       |ts AS (SELECT 1 << (length(bin(count(*) // $PqTrainTarget)) - 1) AS tstride FROM e),
+       |tsub AS (SELECT s.* FROM sub s, ts WHERE s.vec_id % tstride = 0),
+       |ps AS (SELECT greatest($PqCodewordEvery, 1 << length(bin(count(*) // $PqCodebookTarget))) AS stride FROM e),
+       |cb0 AS (SELECT m, vec_id AS kid, sv AS kv FROM sub, ps
+       |        WHERE vec_id % stride = 0),
+       |${(1 to PqIters).map(pqIterSql).mkString(",\n")},
+       |codes AS (SELECT vec_id, m, kid FROM (
+       |    SELECT s.vec_id, s.m, c.kid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $pqD2, c.kid) AS rnk
+       |    FROM sub s JOIN cb$PqIters c ON c.m = s.m) t WHERE rnk = 1)""".stripMargin
+
   private val pqCte: String =
     s"""$vecCte,
        |en AS (SELECT vec_id,
@@ -1028,6 +1177,50 @@ object Similarity {
          |  JOIN cassign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id
          |  JOIN codes k ON k.vec_id = a.vec_id
          |  JOIN dtab dt ON dt.query_id = pl.query_id AND dt.m = k.m AND dt.kid = k.kid
+         |  GROUP BY pl.query_id, k.vec_id),
+         |short AS (SELECT query_id, neighbor_id, ad2 FROM (
+         |    SELECT query_id, neighbor_id, ad2,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ad2, neighbor_id) AS srnk
+         |    FROM adc) t WHERE srnk <= $PqShortlist)
+         |SELECT query_id, rank, neighbor_id, cos_sim, approx_d2 FROM (
+         |  SELECT s.query_id, n.vec_id AS neighbor_id,
+         |    pround(list_cosine_similarity(p.qv, n.v), 4) AS cos_sim,
+         |    pround(s.ad2 / $MeanScale, 4) AS approx_d2,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY pround(list_cosine_similarity(p.qv, n.v), 6) DESC, n.vec_id) AS rank
+         |  FROM short s
+         |  JOIN e n ON n.vec_id = s.neighbor_id
+         |  JOIN probes p ON p.query_id = s.query_id) t
+         |WHERE rank <= $LshTopK
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_pq_res" ->
+      s"""WITH $pqResCte,
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |plists AS (SELECT query_id, cid FROM (
+         |    SELECT p.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM probes p, cents c) t
+         |  WHERE prnk <= $PqNProbe),
+         |rq AS (SELECT pl.query_id, pl.cid,
+         |         list_transform(generate_series(1, $Dims),
+         |           i -> p.qv[i] / sqrt(list_dot_product(p.qv, p.qv)) - cn.cvn[i]) AS rv
+         |       FROM plists pl
+         |       JOIN cnorm cn ON cn.cid = pl.cid
+         |       JOIN probes p ON p.query_id = pl.query_id),
+         |dtab AS (SELECT s.query_id, s.cid, s.m, c.kid,
+         |    CAST(floor($pqD2 * $MeanScale + 0.5) AS BIGINT) AS pd2i
+         |  FROM (SELECT query_id, cid, mm.m,
+         |          list_slice(rv, mm.m * $PqSubDims + 1, (mm.m + 1) * $PqSubDims) AS sv
+         |        FROM rq, mm) s
+         |  JOIN cb$PqIters c ON c.m = s.m),
+         |adc AS (SELECT pl.query_id, k.vec_id AS neighbor_id, sum(dt.pd2i) AS ad2
+         |  FROM plists pl
+         |  JOIN cassign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id
+         |  JOIN codes k ON k.vec_id = a.vec_id
+         |  JOIN dtab dt ON dt.query_id = pl.query_id AND dt.cid = pl.cid
+         |              AND dt.m = k.m AND dt.kid = k.kid
          |  GROUP BY pl.query_id, k.vec_id),
          |short AS (SELECT query_id, neighbor_id, ad2 FROM (
          |    SELECT query_id, neighbor_id, ad2,

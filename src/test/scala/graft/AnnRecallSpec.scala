@@ -74,4 +74,73 @@ class AnnRecallSpec extends AnyFunSuite {
     // must assert structure, not pin this corpus's exact number
     assert(pq >= 0.5, s"IVF-PQ recall $pq below floor 0.5")
   }
+
+  /** Clustered corpus: 4 Gaussian centers, 200 members each with
+    * small noise (blocks of consecutive ids, so the stride-50 coarse
+    * sampling lands 4 centroids inside every cluster). This is the
+    * data IVFADC is designed for — the coarse quantizer explains most
+    * of the variance, residuals are tiny — AND each cluster is 4× the
+    * exact-re-rank shortlist, so the ADC ranking itself (not the
+    * re-rank) decides recall.
+    */
+  private def clusteredVectors(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4, 64)(rnd.nextGaussian())
+    val rows = (0 until 800).map { i =>
+      val c = centers(i / 200)
+      (i.toLong, c.map(_ + 0.35 * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+    df.withColumn("nrm",
+      org.apache.spark.sql.functions.sqrt(
+        graft.functions.DotProduct.dot_product(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("v"))))
+  }
+
+  test("residual PQ (IVFADC): wins where the coarse lists explain the data; measured honestly where they don't") {
+    // regime 1 — the near-isotropic driver corpus: best-centroid
+    // cos ≈ 0.5, so residual variance ≈ 2× position variance
+    // (2·(1−cos)); coding residuals COSTS recall here (measured 0.33
+    // vs 0.60) and the spec pins only the structural floor. This is
+    // the documented production guidance: choose position vs residual
+    // coding from the corpus's mean centroid cosine.
+    val brute = topSets(Similarity.annBrute(spark, sf), 3)
+    val total = brute.values.map(_.size).sum.toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df, 3)
+      brute.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum / total
+    }
+    val res = recallOf(Similarity.annIvfPqRes(spark, sf))
+    info(f"isotropic corpus: ivf_pq_res recall@3 = $res%.3f (position pq: 0.600)")
+    assert(res >= 0.2, s"residual-PQ recall $res below structural floor 0.2")
+
+    // regime 2 — clustered corpus: residual coding must strictly win
+    // (measured 0.733 vs 0.567 — the Jégou et al. gap, visible here
+    // because clusters exceed the shortlist so ADC ranking decides)
+    import spark.implicits._
+    val e = clusteredVectors()
+    val vecs = e.select($"vec_id", $"v").as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-math.floor(cos(vecs(q), vecs(n)) * 1e6), n))
+        .take(3).toSet
+    }.toMap
+    def recallC(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df, 3)
+      exact.map { case (q, s) => (got.getOrElse(q, Set.empty) & s).size }.sum / 30.0
+    }
+    val pqC = recallC(Similarity.annIvfPqOf(e))
+    val resC = recallC(Similarity.annIvfPqResOf(e))
+    info(f"clustered corpus: ivf_pq recall@3 = $pqC%.3f  ivf_pq_res = $resC%.3f")
+    assert(resC > pqC,
+      s"residual-PQ ($resC) did not beat position-PQ ($pqC) on clustered data")
+    // floor below the measured 0.733 (structure, not corpus pinning)
+    assert(resC >= 0.65, s"residual-PQ clustered recall $resC below 0.65")
+  }
 }
