@@ -60,4 +60,47 @@ object EventAnalytics {
       .select(col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"))
+
+  private def pairSides(views: DataFrame, clicks: DataFrame,
+                        lateness: Option[String]) = {
+    val v0 = views.select(col("user_id"), col("ts").as("view_ts"))
+    val c0 = clicks.select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+    lateness match {
+      case Some(l) => (v0.withWatermark("view_ts", l),
+                       c0.withWatermark("click_ts", l))
+      case None    => (v0, c0)
+    }
+  }
+
+  private def joinPairs(v: DataFrame, c: DataFrame,
+                        horizonMinutes: Int): DataFrame =
+    v.join(c, col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"),
+        ((unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts"))))
+          .as("delay_sec"))
+
+  /** Stream-stream interval join — the attribution correlation of a
+    * live event pipeline (the streaming twin of the batch
+    * q27_range_join): every click joins same-user views from the
+    * preceding `horizonMinutes`. BOTH sides carry watermarks and the
+    * join condition bounds both event times, so the engine can size
+    * and evict join state on each side (state ≈ lateness + horizon of
+    * input per side — bounded at any stream length, the only shape a
+    * stream-stream join survives at scale). Inner join ⇒ append mode.
+    */
+  def attributedPairs(views: DataFrame, clicks: DataFrame,
+                      horizonMinutes: Int = 30,
+                      lateness: String = "10 minutes"): DataFrame = {
+    val (v, c) = pairSides(views, clicks, Some(lateness))
+    joinPairs(v, c, horizonMinutes)
+  }
+
+  /** Batch twin of [[attributedPairs]] for the equivalence spec. */
+  def attributedPairsBatch(views: DataFrame, clicks: DataFrame,
+                           horizonMinutes: Int = 30): DataFrame = {
+    val (v, c) = pairSides(views, clicks, None)
+    joinPairs(v, c, horizonMinutes)
+  }
 }

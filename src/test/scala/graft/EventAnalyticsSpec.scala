@@ -39,6 +39,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // views at 0,10,100 for user 1 and 5 for user 2; clicks at 15
+    // (matches views 0 and 10 within 30 min), 50 (matches nothing),
+    // 110 (matches view 100), and user-2 click at 200 (nothing).
+    // Times sit a day past the epoch: the join's state watermark is
+    // clamped at 0, so an event AT exactly epoch 0 is evicted as
+    // already-expired — a test-data artifact, not pipeline behavior
+    def t2(min: Long) = ts(min + 1440)
+    val views = Seq(UEv(t2(0), 1L), UEv(t2(10), 1L), UEv(t2(100), 1L),
+                    UEv(t2(5), 2L))
+    val clicks = Seq(UEv(t2(15), 1L), UEv(t2(50), 1L), UEv(t2(110), 1L),
+                     UEv(t2(200), 2L))
+    val vIn = MemoryStream[UEv]
+    val cIn = MemoryStream[UEv]
+    val q = EventAnalytics.attributedPairs(vIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // views arrive a batch BEFORE their clicks — the join must hold
+      // view state across micro-batches to emit these pairs
+      vIn.addData(views: _*)
+      q.processAllAvailable()
+      cIn.addData(clicks: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("attr_out")
+        .orderBy("user_id", "view_ts", "click_ts")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventAnalytics.attributedPairsBatch(views.toDF(), clicks.toDF())
+        .orderBy("user_id", "view_ts", "click_ts")
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+      // exactly the 3 in-horizon pairs, with exact delays
+      assert(batch.map(r => (r(0), r(3))) ===
+        Seq((1L, 900L), (1L, 300L), (1L, 600L)))
+    } finally q.stop()
+  }
+
   test("session windows merge on activity and close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
