@@ -199,10 +199,21 @@ object Sampling {
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirWeightsOf(Tables.documents(s, d))
 
-  /** [[dsirWeights]] over an explicit documents frame (spec entry). */
-  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
+  private def dsirToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .withColumn("b", portableHash(col("word")) % DsirBuckets)
+
+  /** The trained DSIR "model": per-bucket integerized log-ratio rows
+    * (b ≥ 0, qi) plus the corpus constant as the b = −1 row — a
+    * ≤ 65-row table, the ONLY state scoring needs. The
+    * BloomDedup/ANN-state design applied to DSIR: train once on the
+    * raw+target corpus, persist, score any later ingest batch against
+    * the frozen model (scoring is stateless per document, so
+    * incremental batches compose exactly).
+    */
+  private[graft] def dsirModelOf(docs: DataFrame): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
       .withColumn("b", portableHash(col("word")) % DsirBuckets)
     val cr = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val ct = toks.filter(col("lang") === DsirTargetLang)
@@ -215,10 +226,36 @@ object Sampling {
     val kc = toks
       .agg(count(lit(1)).as("r"),
            sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
-      .select(floor((log(col("r") + lit(DsirBuckets.toDouble)) -
-                     log(col("t") + lit(DsirBuckets.toDouble)))
-        * lit(1000000d) + lit(0.5)).cast("long").as("kc"))
-    toks.join(broadcast(buckets), Seq("b"))
+      .select(lit(-1L).as("b"),
+        floor((log(col("r") + lit(DsirBuckets.toDouble)) -
+               log(col("t") + lit(DsirBuckets.toDouble)))
+          * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
+    buckets.unionByName(kc)
+  }
+
+  /** Persist a DSIR model (a few dozen rows) as parquet. */
+  def saveDsirModel(docs: DataFrame, path: String): Unit =
+    dsirModelOf(docs).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted DSIR model with the schema pinned. */
+  def loadDsirModel(s: SparkSession, path: String): DataFrame =
+    s.read.schema("b BIGINT, qi BIGINT").parquet(path)
+
+  /** Score an arbitrary (doc_id, text) frame against an explicit
+    * model — the incremental-ingest entry. Tokens hitting a bucket
+    * the model never saw (possible only for models trained on a
+    * DIFFERENT corpus) take the smoothing-faithful qi = 0: unseen in
+    * both distributions means ln((0+1)/(0+1)), uninformative — they
+    * still count toward n_tokens. Identical to an inner join whenever
+    * the model covers every bucket (always true for same-corpus
+    * models, so the registered smp_dsir gate is unchanged).
+    */
+  def dsirScoreWith(docs: DataFrame, model: DataFrame): DataFrame = {
+    val buckets = model.filter(col("b") >= 0)
+    val kc = model.filter(col("b") === -1L).select(col("qi").as("kc"))
+    dsirToks(docs)
+      .join(broadcast(buckets), Seq("b"), "left")
+      .withColumn("qi", coalesce(col("qi"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("qi")).as("sq"))
       .crossJoin(broadcast(kc))
@@ -228,6 +265,12 @@ object Sampling {
       .withColumn("selected", col("avg_logratio") > 0.0)
       .orderBy(col("doc_id"))
   }
+
+  /** [[dsirWeights]] over an explicit documents frame (spec entry) —
+    * model build + scoring composed as ONE lazy plan.
+    */
+  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame =
+    dsirScoreWith(docs, dsirModelOf(docs))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_dsir" -> dsirWeights _,

@@ -63,6 +63,26 @@ class DsirSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("persisted model scores bit-identically; incremental slices compose exactly") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Sampling.saveDsirModel(docs, s"$dir/m")
+    val loaded = Sampling.loadDsirModel(spark, s"$dir/m")
+    // model is tiny and self-describing: populated buckets (≤ 64 —
+    // the sf0.001 vocabulary hashes into ~26 of them) + the constant
+    assert(loaded.count() <= 65 && loaded.filter($"b" === -1L).count() === 1)
+    val full = Sampling.dsirWeights(spark, sf).collect().map(_.toSeq).toSeq
+    val viaLoaded = Sampling.dsirScoreWith(docs, loaded)
+      .collect().map(_.toSeq).toSeq
+    assert(viaLoaded === full, "persisted-model scoring differs from in-plan model")
+    // scoring is stateless per document: a slice scored against the
+    // frozen model equals the full scoring restricted to the slice
+    val slice = Sampling.dsirScoreWith(docs.filter($"doc_id" % 7 === 0), loaded)
+      .collect().map(_.toSeq).toSeq
+    assert(slice === full.filter(r => r.head.asInstanceOf[Long] % 7 == 0))
+  }
+
   test("target-like documents are selected, raw-only ones are not") {
     import spark.implicits._
     // target (en) docs speak one vocabulary, raw (xx) docs another;
