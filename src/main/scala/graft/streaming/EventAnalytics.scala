@@ -73,10 +73,12 @@ object EventAnalytics {
   }
 
   private def joinPairs(v: DataFrame, c: DataFrame,
-                        horizonMinutes: Int): DataFrame =
+                        horizonMinutes: Int,
+                        joinType: String = "inner"): DataFrame =
     v.join(c, col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("user_id"), col("view_ts"), col("click_ts"),
         ((unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts"))))
           .as("delay_sec"))
@@ -102,5 +104,28 @@ object EventAnalytics {
                            horizonMinutes: Int = 30): DataFrame = {
     val (v, c) = pairSides(views, clicks, None)
     joinPairs(v, c, horizonMinutes)
+  }
+
+  /** [[attributedPairs]] as a LEFT OUTER stream-stream join: views
+    * that attract no click inside the horizon are emitted too, with
+    * null click columns — the conversion-funnel form (every
+    * impression gets an outcome row). The engine can only emit an
+    * unmatched view once the watermark proves no matching click can
+    * still arrive (view_ts + horizon + lateness), so null rows trail
+    * the watermark — exactly the cost a funnel report pays for
+    * exactness. Same bounded per-side state as the inner form.
+    */
+  def attributionOutcomes(views: DataFrame, clicks: DataFrame,
+                          horizonMinutes: Int = 30,
+                          lateness: String = "10 minutes"): DataFrame = {
+    val (v, c) = pairSides(views, clicks, Some(lateness))
+    joinPairs(v, c, horizonMinutes, "left_outer")
+  }
+
+  /** Batch twin of [[attributionOutcomes]]. */
+  def attributionOutcomesBatch(views: DataFrame, clicks: DataFrame,
+                               horizonMinutes: Int = 30): DataFrame = {
+    val (v, c) = pairSides(views, clicks, None)
+    joinPairs(v, c, horizonMinutes, "left_outer")
   }
 }

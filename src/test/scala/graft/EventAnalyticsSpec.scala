@@ -78,6 +78,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unmatched views once the watermark expires them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t2(min: Long) = ts(min + 1440)
+    // user 1's view converts; user 2's view gets no click; the late
+    // sentinel click (no match — wrong horizon AND user 99) exists
+    // only to push the watermark past every view's horizon so the
+    // engine can PROVE the u2 view unmatched and emit its null row
+    val views = Seq(UEv(t2(10), 1L), UEv(t2(20), 2L))
+    val clicks = Seq(UEv(t2(25), 1L), UEv(t2(1000), 99L))
+    val vIn = MemoryStream[UEv]
+    val cIn = MemoryStream[UEv]
+    val q = EventAnalytics.attributionOutcomes(vIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("outcome_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vIn.addData(views: _*)
+      q.processAllAvailable()
+      cIn.addData(clicks: _*)
+      q.processAllAvailable()
+      // one more empty-input cycle lets the advanced watermark flush
+      // the proven-unmatched view from state as a null-click row
+      vIn.addData(UEv(t2(1001), 1L))
+      q.processAllAvailable()
+      val streaming = spark.table("outcome_out")
+        .filter($"view_ts" < t2(1001))
+        .orderBy("user_id", "view_ts")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventAnalytics.attributionOutcomesBatch(views.toDF(), clicks.toDF())
+        .orderBy("user_id", "view_ts")
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+      assert(batch.map(r => (r(0), r(3))) === Seq((1L, 900L), (2L, null)))
+    } finally q.stop()
+  }
+
   test("session windows merge on activity and close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
