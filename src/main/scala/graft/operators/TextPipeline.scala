@@ -216,6 +216,48 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** PII categories and their engine-portable patterns (kept to
+    * syntax RE2 and java.util.regex agree on: no lookarounds, no
+    * backrefs). Redaction applies them IN THIS ORDER; counts are
+    * per-pattern on the original (lowercased) text.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email"   -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "ssn"     -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "ipv4"    -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone"   -> "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "longnum" -> "\\b[0-9]{13,19}\\b")
+
+  /** PII detection + redaction — the privacy pass of a pretraining
+    * pipeline (emails, SSN-shaped ids, IPv4 addresses, separator-form
+    * phone numbers, 13-19-digit card-like runs): per-category counts
+    * plus the md5 of the text with every match replaced by `<PII>`,
+    * applied in a fixed order mirrored exactly by the oracle. One
+    * narrow map-side pass, like [[scrub]] — redaction never shuffles,
+    * so the pass costs one corpus scan at any scale. The synthetic
+    * corpus carries no PII (counters structurally exercised at 0, the
+    * scrub precedent); planted documents pin every category's count
+    * and the redacted fingerprint in PiiScrubSpec.
+    */
+  def pii(s: SparkSession, d: String): DataFrame =
+    piiOf(Tables.documents(s, d))
+
+  /** [[pii]] over an explicit documents frame (spec entry). */
+  private[graft] def piiOf(docs: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    val redacted = PiiPatterns.foldLeft(low) { case (acc, (_, p)) =>
+      regexp_replace(acc, p, "<PII>")
+    }
+    val counts = PiiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(low, lit(p), lit(0))).cast("long").as(s"n_$name")
+    }
+    docs.select((col("doc_id") +: counts) :+
+        md5(redacted.cast("binary")).as("pii_md5"): _*)
+      .withColumn("n_pii",
+        PiiPatterns.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
+      .orderBy(col("doc_id"))
+  }
+
   /** Intra-document repetition scoring — the quality signal (Gopher/
     * C4-style rules) that catches boilerplate and degenerate
     * generation: the fraction of word-3-gram OCCURRENCES that are
@@ -540,6 +582,7 @@ object TextPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
     "txt_gopher_rules" -> gopherRules _,
+    "txt_pii"          -> pii _,
     "txt_lm_score"     -> lmScore _,
     "wc_heavy_hitters" -> wcHeavyHitters _,
     "txt_scrub"        -> scrub _,
@@ -635,6 +678,24 @@ object TextPipeline {
          |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
          |   AND n_stop_kinds >= 2) AS gopher_pass
          |FROM r
+         |ORDER BY doc_id""".stripMargin
+    },
+    "txt_pii" -> {
+      // patterns embed VERBATIM (the Scala values already hold the
+      // single-backslash regex text RE2 expects)
+      val counts = PiiPatterns.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n  ")
+      val red = PiiPatterns.foldLeft("lower(text)") { case (acc, (_, p)) =>
+        s"regexp_replace($acc, '$p', '<PII>', 'g')"
+      }
+      val names = PiiPatterns.map { case (n, _) => s"n_$n" }
+      s"""SELECT doc_id, ${names.mkString(", ")}, pii_md5,
+         |  ${names.mkString(" + ")} AS n_pii
+         |FROM (SELECT doc_id,
+         |  $counts,
+         |  md5($red) AS pii_md5
+         |FROM documents) t
          |ORDER BY doc_id""".stripMargin
     },
     "txt_lm_score" ->
