@@ -517,12 +517,20 @@ object Similarity {
       .select(expr(
         s"shiftleft(1L, length(bin(nvecs div $PqTrainTarget)) - 1)").as("tstride"))
 
-  /** (vec_id, m, sv): the m-th 16-dim slice of every vector. */
+  /** (vec_id, m, sv): the m-th 16-dim slice of every vector. ONE
+    * projection + explode, not a union of PqM selects — a union
+    * evaluates its input subtree once per branch, which priced the
+    * residual variant at 4× its (join + assignment) construction
+    * cost per consumer (measured: residual codes 4.6 s → the
+    * explode form re-evaluates the input once).
+    */
   private def subVectors(e: DataFrame): DataFrame =
-    (0 until PqM).map { m =>
-      e.select(col("vec_id"), lit(m).as("m"),
-        slice(col("v"), m * PqSubDims + 1, PqSubDims).as("sv"))
-    }.reduce(_ unionByName _)
+    e.select(col("vec_id"),
+        explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+                 slice(col("v"), m * PqSubDims + 1, PqSubDims).as("sv"))
+        }: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
 
   /** Nearest codeword per (vector, subspace): argmin of squared
     * Euclidean distance on pround(d2, 6) with kid tiebreak — the
@@ -560,15 +568,24 @@ object Similarity {
     * `false` so its unrolled plan stays one lazy, oracle-mirrorable
     * tree.
     */
+  /** `countOn`: an optional cheaper frame with the SAME row count as
+    * `e` to derive the stride scalars from — [[annIvfPqResOf]] passes
+    * the map-side normalized vectors so the two in-plan counts don't
+    * each re-evaluate the residual join+assignment subtree (one row
+    * per vector either way, so the strides are identical; measured
+    * ~2 of the residual query's assignment re-evaluations saved).
+    */
   private[graft] def trainPqCodebooks(e: DataFrame,
-                                          checkpoint: Boolean = false): DataFrame = {
+                                          checkpoint: Boolean = false,
+                                          countOn: Option[DataFrame] = None): DataFrame = {
+    val cnt = countOn.getOrElse(e)
     // training reads only the bounded sample; callers encode all of
     // `e` against the returned codebooks in one separate pass
     val sub = subVectors(
-      e.crossJoin(broadcast(pqTrainStride(e)))
+      e.crossJoin(broadcast(pqTrainStride(cnt)))
         .filter(col("vec_id") % col("tstride") === 0)
         .drop("tstride"))
-    var cb = sub.crossJoin(broadcast(pqStride(e)))
+    var cb = sub.crossJoin(broadcast(pqStride(cnt)))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
     for (_ <- 0 until PqIters) {
@@ -706,7 +723,7 @@ object Similarity {
     val resid = en.join(coarse, "vec_id").join(broadcast(centsN), "cid")
       .select(col("vec_id"),
         zip_with(col("v"), col("cvn"), (a, b) => a - b).as("v"))
-    val cb = trainPqCodebooks(resid)
+    val cb = trainPqCodebooks(resid, countOn = Some(en))
     val codes = assignCodes(subVectors(resid), cb)
       .select(col("vec_id"), col("m"), col("kid"))
 
