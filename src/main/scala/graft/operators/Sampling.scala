@@ -250,7 +250,15 @@ object Sampling {
     * the model covers every bucket (always true for same-corpus
     * models, so the registered smp_dsir gate is unchanged).
     */
-  def dsirScoreWith(docs: DataFrame, model: DataFrame): DataFrame = {
+  def dsirScoreWith(docs: DataFrame, model: DataFrame): DataFrame =
+    dsirScoresUnsorted(docs, model).orderBy(col("doc_id"))
+
+  /** [[dsirScoreWith]] without the final sort — the composition entry
+    * ([[TextPipeline.pipeModern]] joins it mid-plan, where an
+    * intermediate global sort would be pure waste).
+    */
+  private[operators] def dsirScoresUnsorted(docs: DataFrame,
+                                            model: DataFrame): DataFrame = {
     val buckets = model.filter(col("b") >= 0)
     val kc = model.filter(col("b") === -1L).select(col("qi").as("kc"))
     dsirToks(docs)
@@ -263,7 +271,6 @@ object Sampling {
         pround((col("sq") + col("n_tokens") * col("kc"))
           / col("n_tokens") / lit(1000000d), 4).as("avg_logratio"))
       .withColumn("selected", col("avg_logratio") > 0.0)
-      .orderBy(col("doc_id"))
   }
 
   /** [[dsirWeights]] over an explicit documents frame (spec entry) —
@@ -305,25 +312,32 @@ object Sampling {
        |          greatest(1, ($weightSql * (grand // $MixtureDenom) // 1000 + tokens_total - 1) // tokens_total) AS epochs
        |        FROM per, g)""".stripMargin
 
+  /** The DSIR model+score CTE chain (toks, cr, ct, bk, kc) — reused
+    * verbatim by the smp_dsir oracle and by TextPipeline's composed
+    * pipe_modern oracle.
+    */
+  private[operators] val DsirCteSql: String =
+    s"""toks AS (SELECT doc_id, lang, word,
+       |    ${portableHashSql("word")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+       |        FROM documents) u
+       |  WHERE word <> ''),
+       |cr AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+       |ct AS (SELECT b, count(*) AS ct FROM toks
+       |       WHERE lang = '$DsirTargetLang' GROUP BY b),
+       |bk AS (SELECT cr.b,
+       |    CAST(floor((ln(coalesce(ct.ct, 0) + 1.0) - ln(cr.cr + 1.0))
+       |           * 1000000 + 0.5) AS BIGINT) AS qi
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+       |kc AS (SELECT CAST(floor((ln(count(*) + $DsirBuckets.0)
+       |    - ln(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |         + $DsirBuckets.0)) * 1000000 + 0.5) AS BIGINT) AS kc
+       |  FROM toks)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "smp_dsir" ->
-      s"""WITH toks AS (SELECT doc_id, lang, word,
-         |    ${portableHashSql("word")} % $DsirBuckets AS b
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
-         |        FROM documents) u
-         |  WHERE word <> ''),
-         |cr AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
-         |ct AS (SELECT b, count(*) AS ct FROM toks
-         |       WHERE lang = '$DsirTargetLang' GROUP BY b),
-         |bk AS (SELECT cr.b,
-         |    CAST(floor((ln(coalesce(ct.ct, 0) + 1.0) - ln(cr.cr + 1.0))
-         |           * 1000000 + 0.5) AS BIGINT) AS qi
-         |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
-         |kc AS (SELECT CAST(floor((ln(count(*) + $DsirBuckets.0)
-         |    - ln(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
-         |         + $DsirBuckets.0)) * 1000000 + 0.5) AS BIGINT) AS kc
-         |  FROM toks),
+      s"""WITH $DsirCteSql,
          |per AS (SELECT doc_id, count(*) AS n_tokens, sum(qi) AS sq
          |  FROM toks JOIN bk ON toks.b = bk.b GROUP BY doc_id)
          |SELECT doc_id, n_tokens,

@@ -530,6 +530,84 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** pipe_modern's required-stopword-kinds threshold. The published
+    * Gopher rule wants ≥ 2, which admits ZERO synthetic docs (the
+    * generator vocabulary carries only "the" of the 8 required
+    * stopwords) — so the COMPOSED pipeline runs the corpus-tuned ≥ 1
+    * (251 of 500 docs pass at sf0.01), the dedup_semantic
+    * ε-threshold precedent; the faithful ≥ 2 rule set remains
+    * untouched in [[gopherRules]].
+    */
+  private val ModernStopKinds = 1L
+
+  /** The modern pretraining cleanse, composed end-to-end in ONE lazy
+    * plan from this round's operators: Gopher quality gate (corpus-
+    * tuned, see [[ModernStopKinds]]) → PII count ([[pii]]'s patterns)
+    * → normalized dedup (keep lowest doc_id, the rank-1 /
+    * TopKPerGroup shape) → DSIR selection (model trained on the RAW
+    * corpus — the published setup — scores computed only for gate
+    * survivors) → split assignment. Line-shape rules are omitted
+    * from the gate (single-line corpus; they live in
+    * [[gopherRules]]).
+    *
+    * Scale shape: stage 1 is one map-side projection (gopher metrics
+    * + PII counts + normalized fingerprint share a single scan); the
+    * dedup rank-1 is the partial TopKPerGroup; DSIR is two 64-row
+    * aggregates over the raw token stream plus one aggregate over
+    * survivors' tokens (semi-join pushes the gate below the explode).
+    * Every stage is linear; the whole composition is 3 corpus scans
+    * in one plan — the multi-pass shape CCNet-class pipelines run.
+    */
+  def pipeModern(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tk = tokens(lower(col("text")))
+    val low = lower(col("text"))
+    val piiCount = PiiPatterns.map { case (_, p) =>
+      size(regexp_extract_all(low, lit(p), lit(0))).cast("long")
+    }.reduce(_ + _)
+    val raw = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_wchars"),
+      ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))))
+        .cast("long").as("n_symbols"),
+      size(regexp_extract_all(col("text"), lit("\\S*\\p{L}\\S*"), lit(0)))
+        .cast("long").as("n_alpha_words"),
+      GopherStops.map(w => when(array_contains(tk, w), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop_kinds"),
+      piiCount.as("n_pii"),
+      md5(graft.functions.NormalizeText.normalize_text(col("text"))
+        .cast("binary")).as("norm_md5"))
+    val passed = raw.filter(col("n_words") > 0)
+      .withColumn("mean_word_len", pround(col("n_wchars") / col("n_words"), 4))
+      .withColumn("symbol_ratio", pround(col("n_symbols") / col("n_words"), 4))
+      .withColumn("alpha_frac", pround(col("n_alpha_words") / col("n_words"), 4))
+      .filter(col("n_words").between(50L, 100000L) &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 && col("alpha_frac") >= 0.8 &&
+        col("n_stop_kinds") >= ModernStopKinds)
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    val kept = passed
+      .withColumn("__rn", row_number().over(wKeep))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("n_words"), col("n_pii"))
+    val scored = Sampling.dsirScoresUnsorted(
+      docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      Sampling.dsirModelOf(docs))
+    kept.join(scored, Seq("doc_id"))
+      .withColumn("split",
+        when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+               % 1000 < 980, "train")
+          .when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+               % 1000 < 990, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("n_words"), col("n_pii"),
+              col("avg_logratio"), col("selected"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM fluency scoring (the CCNet/RefinedWeb "perplexity
     * filter" shape): train a bigram language model ON the corpus
     * itself — c(w1,w2) and context counts c(w1·) from one occurrence
@@ -581,6 +659,7 @@ object TextPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
+    "pipe_modern"      -> pipeModern _,
     "txt_gopher_rules" -> gopherRules _,
     "txt_pii"          -> pii _,
     "txt_lm_score"     -> lmScore _,
@@ -645,6 +724,54 @@ object TextPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipe_modern" -> {
+      val piiSum = PiiPatterns
+        .map { case (_, p) => s"len(regexp_extract_all(lower(text), '$p'))" }
+        .mkString(" + ")
+      val lowTok =
+        "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+      val stopKinds = GopherStops
+        .map(w => s"(CASE WHEN list_contains($lowTok, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val splitHash = graft.functions.CrossEngine.portableHashSql(
+        "'split:' || CAST(p.doc_id AS VARCHAR)")
+      s"""WITH ${Sampling.DsirCteSql},
+         |pm AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST($stopKinds AS BIGINT) AS n_stop_kinds,
+         |  CAST($piiSum AS BIGINT) AS n_pii,
+         |  md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS norm_md5
+         |FROM documents),
+         |passed AS (SELECT doc_id, n_words, n_pii, norm_md5
+         |  FROM pm
+         |  WHERE n_words > 0
+         |    AND n_words BETWEEN 50 AND 100000
+         |    AND pround(n_wchars / n_words, 4) >= 3.0
+         |    AND pround(n_wchars / n_words, 4) <= 10.0
+         |    AND pround(n_symbols / n_words, 4) < 0.1
+         |    AND pround(n_alpha_words / n_words, 4) >= 0.8
+         |    AND n_stop_kinds >= 1),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY norm_md5),
+         |per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(qi) AS sq
+         |  FROM toks t
+         |  JOIN bk ON t.b = bk.b
+         |  JOIN keep k ON k.doc_id = t.doc_id
+         |  GROUP BY t.doc_id)
+         |SELECT p.doc_id, p.n_words, p.n_pii,
+         |  pround((sq + n_tokens * kc) / n_tokens / 1000000, 4) AS avg_logratio,
+         |  pround((sq + n_tokens * kc) / n_tokens / 1000000, 4) > 0.0 AS selected,
+         |  CASE WHEN $splitHash % 1000 < 980 THEN 'train'
+         |       WHEN $splitHash % 1000 < 990 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM passed p
+         |JOIN keep k ON k.doc_id = p.doc_id
+         |JOIN per ON per.doc_id = p.doc_id, kc
+         |ORDER BY p.doc_id""".stripMargin
+    },
     "txt_gopher_rules" -> {
       val lowTok =
         "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
