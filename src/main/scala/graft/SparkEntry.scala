@@ -12,12 +12,13 @@ import graft.sources.Tables
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The composed pretraining cleanse exercises tokenizer,
-    * quality metrics, language ID, normalized dedup and split
-    * assignment in one plan (428 rows at sf0.001).
+    * rows>0. The composed MODERN cleanse (round 8) chains the Gopher
+    * quality gate, PII counting, normalized dedup, DSIR selection and
+    * split assignment in one lazy plan (non-empty at every gate SF —
+    * 251 rows at sf0.01; PipeModernSpec pins sf0.001 non-emptiness).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("pipe_clean")(spark, "/root/testdata/sf0.001")
+    queries("pipe_modern")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
