@@ -51,4 +51,31 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Hive-style partitioned parquet layout — the directory design
+    * every 100 TB corpus ships with (`.../source=src3/lang=en/...`):
+    * a filter on a partition column prunes whole directories at
+    * PLANNING time (`PartitionFilters` in the scan, zero I/O for
+    * excluded partitions), where an unpartitioned layout pays a
+    * footer read per file. Partition columns should be low-
+    * cardinality (source, lang, date); high-cardinality keys belong
+    * in `ScaleOps.writeBucketed` buckets instead — millions of tiny
+    * directories are their own scale bug. `maxRecordsPerFile` guards
+    * the other failure mode (one giant file per partition).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read a partitioned layout. Partition-column types are pinned
+    * via `schema` like every other reader (partition-value inference
+    * has the same drift problem as data inference).
+    */
+  def readPartitioned(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }

@@ -46,6 +46,39 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout round-trips and prunes partitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val path = "target/fmt_test/docs_part"
+    Formats.writePartitioned(docs, path, Seq("lang"))
+    val back = Formats.readPartitioned(spark, path, docs.schema)
+    // partitionBy moves the partition column last in the physical
+    // layout; compare column-order-insensitively
+    val cols = docs.columns.sorted.map(col).toSeq
+    assert(docs.select(cols: _*).except(back.select(cols: _*)).isEmpty &&
+           back.select(cols: _*).except(docs.select(cols: _*)).isEmpty)
+    // a lang filter must become a PartitionFilter (planning-time
+    // directory pruning), NOT a PushedFilter (per-file evaluation)
+    val filtered = back.filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters:") &&
+           scan.replaceAll("(?s).*PartitionFilters:", "").contains("lang"),
+      s"lang filter did not become a partition filter:\n$scan")
+    // pruning effectiveness: the pruned scan's numFiles metric must
+    // be strictly below the full scan's (only the lang=en directory).
+    // collect() executes the DataFrame's OWN queryExecution — count()
+    // would build a separate one and leave these metrics untouched
+    assert(filtered.collect().length ===
+      docs.filter(col("lang") === "en").count())
+    val fullScan = back.select(col("doc_id"), col("lang"))
+    fullScan.collect()
+    val filesF = filtered.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    val filesAll = fullScan.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    assert(filesF > 0 && filesF < filesAll,
+      s"partition pruning ineffective: $filesF of $filesAll files scanned")
+  }
+
   test("ORC scans keep predicate pushdown and column pruning") {
     val path = "target/fmt_test/lineitem_orc_push"
     Formats.writeOrc(Tables.lineitem(spark, sf), path)
