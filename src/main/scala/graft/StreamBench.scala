@@ -83,6 +83,38 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // stream-stream attribution join: views on one stream, clicks
+    // (every 3rd event, +5 s, same user) on the other; same event-time
+    // cadence, 1-minute horizon. Times sit a day past the epoch (the
+    // state-watermark zero-clamp evicts an event AT exactly epoch 0).
+    def runJoin(name: String): (String, Double, Long, Long) = {
+      val dayMs = 86400000L
+      val vIn = MemoryStream[(Timestamp, Long)]
+      val cIn = MemoryStream[(Timestamp, Long)]
+      val q = graft.streaming.EventAnalytics.attributedPairs(
+          vIn.toDF().toDF("ts", "user_id"),
+          cIn.toDF().toDF("ts", "user_id"),
+          horizonMinutes = 1, lateness = wm)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        var i = 0L
+        while (i < nDocs) {
+          val hi = math.min(i + batch, nDocs)
+          vIn.addData((i until hi).map(j =>
+            (new Timestamp(dayMs + j * 10L), j % 500)))
+          cIn.addData((i until hi by 3).map(j =>
+            (new Timestamp(dayMs + j * 10L + 5000L), j % 500)))
+          i += batch
+        }
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        (name, nDocs / dt,
+         ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+      } finally q.stop()
+    }
+
     // static eval set for the decontamination gate: every 20th doc's
     // text, so the gate does real dropping work (~5% + repeats)
     val evalDf = {
@@ -96,7 +128,8 @@ object StreamBench {
       run("near_dedup", df => NearDedup.candidatePairs(df, wm)),
       run("ingest_composed", df => StreamingIngest.ingest(df, watermark = wm)),
       run("ingest_decontam", df =>
-        StreamingIngest.ingestDecontaminated(df, evalDf, watermark = wm)))
+        StreamingIngest.ingestDecontaminated(df, evalDf, watermark = wm)),
+      runJoin("attribution_join"))
     val qs = results.map { case (n, v, rows, mem) =>
       "\"" + n + f"""\":{"docs_per_sec":$v%.1f,"state_rows":$rows,"state_bytes":$mem}"""
     }.mkString("{", ",", "}")
