@@ -199,38 +199,59 @@ object Sampling {
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirWeightsOf(Tables.documents(s, d))
 
+  // The explicit isNotNull below is semantically a no-op (b is a hash
+  // of a non-null token) but load-bearing for plan reuse: the scoring
+  // join INFERS isnotnull(b) onto its model branch, and exchange reuse
+  // compares subtrees verbatim — carrying the same filter on every
+  // consumer keeps the heavy token aggregate canonically identical
+  // across branches so it is computed once (spec-asserted).
   private def dsirToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .withColumn("b", portableHash(col("word")) % DsirBuckets)
+      .filter(col("b").isNotNull)
 
-  /** The trained DSIR "model": per-bucket integerized log-ratio rows
-    * (b ≥ 0, qi) plus the corpus constant as the b = −1 row — a
-    * ≤ 65-row table, the ONLY state scoring needs. The
+  /** The trained DSIR "model": one row per populated bucket —
+    * (b, qi, kc) with the corpus constant kc REPEATED on every row
+    * (≤ 64 rows total, the ONLY state scoring needs). The
     * BloomDedup/ANN-state design applied to DSIR: train once on the
     * raw+target corpus, persist, score any later ingest batch against
     * the frozen model (scoring is stateless per document, so
     * incremental batches compose exactly).
+    *
+    * Shape matters here: kc rides as a COLUMN, not a separate row or
+    * frame, so scoring consumes the model through ONE broadcast join
+    * — no per-branch filters whose pushdown would de-duplicate-proof
+    * the plan. And the model itself derives from ONE heavy
+    * aggregation (`bc`): both consumers below read the identical
+    * unfiltered aggregate, so the physical planner reuses its
+    * exchange and the token explode + per-token md5 run ONCE. The
+    * previous 3-aggregate + union(-1 row) form ran that 20M-token
+    * pass three times at the 50× ladder point and was the bulk of
+    * pipe_modern's full-evaluation cost there.
     */
   private[graft] def dsirModelOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
       .withColumn("b", portableHash(col("word")) % DsirBuckets)
-    val cr = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val ct = toks.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val buckets = cr.join(ct, Seq("b"), "left")
-      .select(col("b"),
-        floor((log(coalesce(col("ct"), lit(0L)) + lit(1.0)) -
-               log(col("cr") + lit(1.0)))
-          * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
-    val kc = toks
-      .agg(count(lit(1)).as("r"),
-           sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
-      .select(lit(-1L).as("b"),
-        floor((log(col("r") + lit(DsirBuckets.toDouble)) -
-               log(col("t") + lit(DsirBuckets.toDouble)))
-          * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
-    buckets.unionByName(kc)
+      .filter(col("b").isNotNull) // no-op; see dsirToks — reuse parity
+    val bc = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    // qi references cr BEFORE ct on purpose: each consumer branch's
+    // physical aggregate orders its function list by first downstream
+    // reference, and exchange reuse compares those lists verbatim —
+    // referencing (cr, ct) here matches the kc branch's (sum(cr),
+    // sum(ct)) order, so the two branches canonicalize equal and the
+    // heavy exchange is computed once. (0 − ln(cr+1)) + ln(ct+1) is
+    // bit-identical to ln(ct+1) − ln(cr+1) in IEEE arithmetic.
+    val buckets = bc.select(col("b"),
+      floor((lit(0.0) - log(col("cr") + lit(1.0)) + log(col("ct") + lit(1.0)))
+        * lit(1000000d) + lit(0.5)).cast("long").as("qi"))
+    val kc = bc.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+      .select(floor((log(col("r") + lit(DsirBuckets.toDouble)) -
+                     log(col("t") + lit(DsirBuckets.toDouble)))
+        * lit(1000000d) + lit(0.5)).cast("long").as("kc"))
+    buckets.crossJoin(broadcast(kc))
   }
 
   /** Persist a DSIR model (a few dozen rows) as parquet. */
@@ -239,39 +260,40 @@ object Sampling {
 
   /** Load a persisted DSIR model with the schema pinned. */
   def loadDsirModel(s: SparkSession, path: String): DataFrame =
-    s.read.schema("b BIGINT, qi BIGINT").parquet(path)
+    s.read.schema("b BIGINT, qi BIGINT, kc BIGINT").parquet(path)
 
   /** Score an arbitrary (doc_id, text) frame against an explicit
     * model — the incremental-ingest entry. Tokens hitting a bucket
     * the model never saw (possible only for models trained on a
     * DIFFERENT corpus) take the smoothing-faithful qi = 0: unseen in
     * both distributions means ln((0+1)/(0+1)), uninformative — they
-    * still count toward n_tokens. Identical to an inner join whenever
-    * the model covers every bucket (always true for same-corpus
-    * models, so the registered smp_dsir gate is unchanged).
+    * still count toward n_tokens (and a document NONE of whose tokens
+    * hit the model scores a neutral 0, unselected). Identical to an
+    * inner join whenever the model covers every bucket (always true
+    * for same-corpus models, so the registered smp_dsir gate is
+    * unchanged).
     */
   def dsirScoreWith(docs: DataFrame, model: DataFrame): DataFrame =
     dsirScoresUnsorted(docs, model).orderBy(col("doc_id"))
 
   /** [[dsirScoreWith]] without the final sort — the composition entry
     * ([[TextPipeline.pipeModern]] joins it mid-plan, where an
-    * intermediate global sort would be pure waste).
+    * intermediate global sort would be pure waste). ONE broadcast
+    * join against the (b, qi, kc) model — see [[dsirModelOf]] for why
+    * the shape is reuse-friendly.
     */
   private[operators] def dsirScoresUnsorted(docs: DataFrame,
-                                            model: DataFrame): DataFrame = {
-    val buckets = model.filter(col("b") >= 0)
-    val kc = model.filter(col("b") === -1L).select(col("qi").as("kc"))
+                                            model: DataFrame): DataFrame =
     dsirToks(docs)
-      .join(broadcast(buckets), Seq("b"), "left")
+      .join(broadcast(model), Seq("b"), "left")
       .withColumn("qi", coalesce(col("qi"), lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("qi")).as("sq"))
-      .crossJoin(broadcast(kc))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qi")).as("sq"),
+           coalesce(max(col("kc")), lit(0L)).as("kc"))
       .select(col("doc_id"), col("n_tokens"),
         pround((col("sq") + col("n_tokens") * col("kc"))
           / col("n_tokens") / lit(1000000d), 4).as("avg_logratio"))
       .withColumn("selected", col("avg_logratio") > 0.0)
-  }
 
   /** [[dsirWeights]] over an explicit documents frame (spec entry) —
     * model build + scoring composed as ONE lazy plan.

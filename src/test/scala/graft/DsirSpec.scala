@@ -69,9 +69,10 @@ class DsirSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
     Sampling.saveDsirModel(docs, s"$dir/m")
     val loaded = Sampling.loadDsirModel(spark, s"$dir/m")
-    // model is tiny and self-describing: populated buckets (≤ 64 —
-    // the sf0.001 vocabulary hashes into ~26 of them) + the constant
-    assert(loaded.count() <= 65 && loaded.filter($"b" === -1L).count() === 1)
+    // model is tiny and self-describing: one row per populated bucket
+    // (≤ 64 — the sf0.001 vocabulary hashes into ~26 of them) with
+    // the corpus constant kc identical on every row
+    assert(loaded.count() <= 64 && loaded.select($"kc").distinct().count() === 1)
     val full = Sampling.dsirWeights(spark, sf).collect().map(_.toSeq).toSeq
     val viaLoaded = Sampling.dsirScoreWith(docs, loaded)
       .collect().map(_.toSeq).toSeq
@@ -81,6 +82,15 @@ class DsirSpec extends AnyFunSuite {
     val slice = Sampling.dsirScoreWith(docs.filter($"doc_id" % 7 === 0), loaded)
       .collect().map(_.toSeq).toSeq
     assert(slice === full.filter(r => r.head.asInstanceOf[Long] % 7 == 0))
+  }
+
+  test("the model's bucket and constant branches share one exchange (token pass runs once)") {
+    val df = Sampling.dsirWeights(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      s"kc branch recomputes the token aggregate instead of reusing its exchange:\n" +
+        plan.split("\n").take(40).mkString("\n"))
   }
 
   test("target-like documents are selected, raw-only ones are not") {
