@@ -150,8 +150,10 @@ object TextPipeline {
     val tokd = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val tf = tokd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tokd.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // document frequencies derive from tf (one row per (doc, word)
+    // already), not a second distinct pass over the token stream —
+    // same derivable-consumer rule as txt_lm_score's context counts
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // corpus size folded in as a broadcast scalar — the query is one
     // lazy plan instead of a driver-side .count() job plus the query
     val n = Tables.documents(s, d)
@@ -644,7 +646,13 @@ object TextPipeline {
                            slice(col("tk"), lit(2), n - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts derive from the BIGRAM table, not a second pass
+    // over the occurrence stream: c(w1·) = Σ_w2 c(w1,w2) exactly, and
+    // the re-aggregation runs over distinct bigrams (≪ occurrences) —
+    // the dsir-model lesson: never hand a lazy plan two heavy
+    // evaluations of the same explode when one consumer's result is
+    // derivable from the other's
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     occ
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
