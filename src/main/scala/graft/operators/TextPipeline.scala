@@ -560,8 +560,12 @@ object TextPipeline {
     * Every stage is linear; the whole composition is 3 corpus scans
     * in one plan — the multi-pass shape CCNet-class pipelines run.
     */
-  def pipeModern(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def pipeModern(s: SparkSession, d: String): DataFrame =
+    pipeModernOf(Tables.documents(s, d))
+
+  /** [[pipeModern]] over an explicit documents frame (spec + chaos
+    * entry). */
+  private[graft] def pipeModernOf(docs: DataFrame): DataFrame = {
     val tk = tokens(lower(col("text")))
     val low = lower(col("text"))
     val piiCount = PiiPatterns.map { case (_, p) =>

@@ -47,6 +47,19 @@ class ChaosSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("the composed modern cleanse survives first-attempt failures byte-identically") {
+    val docs = graft.sources.Tables.documents(spark, sf).repartition(8)
+    val clean = graft.operators.TextPipeline.pipeModernOf(docs).collect()
+    val (chaos, failed) = countingFailures {
+      graft.operators.TextPipeline.pipeModernOf(Chaos.failFirstAttempt(docs))
+        .collect()
+    }
+    assert(failed >= 8, s"chaos must actually fail the map tasks, saw $failed")
+    assert(chaos.length == clean.length && clean.nonEmpty)
+    assert(chaos.sameElements(clean),
+      "retried pipe_modern run diverged from the clean run")
+  }
+
   test("map-side task failures leave word count byte-identical") {
     val docs = TextAnalytics.documents(spark, corpus).repartition(8)
     val clean = TextAnalytics.toOutputLines(
