@@ -169,6 +169,60 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled language sampling (XLM-R, Conneau et al.
+    * 2020 §3.1; also mBERT/mT5): q_l ∝ p_l^α with α = 0.3, where p_l
+    * is a language's natural token share — the standard fix for
+    * high-resource languages drowning out low-resource ones in a
+    * multilingual mixture. Output per language: natural share and
+    * temperature share in ppm, and the resulting boost factor
+    * (q/p ×1000) — >1000 means the language is oversampled.
+    *
+    * Determinism: shares integerize through single-rounded double
+    * arithmetic on exact integer inputs (floor(x·10⁶ + 0.5) — the
+    * txt_lm_score convention, with pow trusted cross-engine like ln);
+    * the temperature denominator then sums the already-integerized
+    * per-language values, so it is an exact BIGINT in both engines.
+    *
+    * Scale shape: ONE aggregate over per-doc token counts (map-side
+    * partials, ≤ n_langs rows out); the grand total and the
+    * temperature denominator re-aggregate those rows (the
+    * derive-from-the-smaller-table rule) and ride back as broadcast
+    * scalars. Everything else is per-row arithmetic.
+    */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixtureOf(Tables.documents(s, d))
+
+  /** [[temperatureMixture]] over an explicit frame (spec entry). */
+  private[graft] def temperatureMixtureOf(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens_total"))
+    // grand references (n_docs, tokens_total) in perLang's own output
+    // order so both consumers read the identical aggregate and its
+    // exchange is planned once (the pipe_modern reuse lesson)
+    val grand = perLang.agg(sum(col("n_docs")).as("docs_grand"),
+                            sum(col("tokens_total")).as("grand"))
+    val scaled = perLang.crossJoin(broadcast(grand))
+      .withColumn("p_ppm",
+        floor(col("tokens_total").cast("double") / col("grand")
+          * lit(1000000d) + lit(0.5)).cast("long"))
+      .withColumn("s_temp",
+        floor(pow(col("tokens_total").cast("double") / col("grand"), lit(0.3))
+          * lit(1000000d) + lit(0.5)).cast("long"))
+    val denom = scaled.groupBy().agg(sum(col("s_temp")).as("s_sum"))
+    scaled.crossJoin(broadcast(denom))
+      .withColumn("q_ppm",
+        floor(col("s_temp").cast("double") / col("s_sum")
+          * lit(1000000d) + lit(0.5)).cast("long"))
+      .withColumn("boost_x1000",
+        floor(col("q_ppm").cast("double") / greatest(col("p_ppm"), lit(1L))
+          * lit(1000d) + lit(0.5)).cast("long"))
+      .select(col("lang"), col("n_docs"), col("tokens_total"),
+              col("p_ppm"), col("q_ppm"), col("boost_x1000"))
+      .orderBy(col("lang"))
+  }
+
   // --- DSIR importance resampling -----------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023): score
   // every raw document by how much more likely its tokens are under a
@@ -309,6 +363,7 @@ object Sampling {
     "smp_stratified" -> stratifiedSample _,
     "smp_mixture" -> mixturePlan _,
     "smp_mixture_docs" -> mixtureDocs _,
+    "smp_temperature" -> temperatureMixture _,
   )
 
   private[operators] def bucketSql(prefix: String) =
@@ -358,6 +413,25 @@ object Sampling {
        |  FROM toks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "smp_temperature" ->
+      s"""WITH toks AS (SELECT lang,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |per AS (SELECT lang, count(*) AS n_docs,
+         |          CAST(sum(ntok) AS BIGINT) AS tokens_total
+         |        FROM toks GROUP BY lang),
+         |g AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS grand FROM per),
+         |sc AS (SELECT lang, n_docs, tokens_total,
+         |    CAST(floor(CAST(tokens_total AS DOUBLE) / grand * 1000000 + 0.5) AS BIGINT) AS p_ppm,
+         |    CAST(floor(pow(CAST(tokens_total AS DOUBLE) / grand, 0.3) * 1000000 + 0.5) AS BIGINT) AS s_temp
+         |  FROM per, g),
+         |dn AS (SELECT CAST(sum(s_temp) AS BIGINT) AS s_sum FROM sc)
+         |SELECT lang, n_docs, tokens_total, p_ppm,
+         |  CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT) AS q_ppm,
+         |  CAST(floor(CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT)
+         |    / greatest(p_ppm, 1) * 1000 + 0.5) AS BIGINT) AS boost_x1000
+         |FROM sc, dn
+         |ORDER BY lang""".stripMargin,
     "smp_dsir" ->
       s"""WITH $DsirCteSql,
          |per AS (SELECT doc_id, count(*) AS n_tokens, sum(qi) AS sq

@@ -669,9 +669,61 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail TERCILES of LM score —
+    * the published method for grading web text by fluency (CCNet keeps
+    * head+middle, drops tail). Score = [[lmScore]]'s bigram mean log
+    * probability (higher = more fluent), thresholds = per-language
+    * exact terciles, bucket = map-side comparison against the
+    * broadcast thresholds.
+    *
+    * One corpus pass: the threshold aggregate and the bucket join both
+    * consume the SAME scored projection (doc_id, lang, avg_logp) with
+    * an explicit no-op lang.isNotNull on the shared frame, so the
+    * broadcast join's inferred null filter and column pruning cannot
+    * de-identify the branches — the heavy bigram subtree plans ONE
+    * exchange, reused (the smp_dsir lesson; spec-pinned).
+    *
+    * Determinism: thresholds pround to 6dp. Terciles interpolate
+    * between adjacent 4dp-rounded order statistics with fraction 1/3
+    * or 2/3, so the 7th decimal digit of an inexact threshold is
+    * always 3 or 6 — never within an ulp of the rounding boundary —
+    * and a threshold only lands ON the 4dp score grid when both
+    * engines compute it exactly. `score >= t` therefore buckets
+    * identically in Spark and DuckDB.
+    *
+    * Scale: per-lang exact percentile buffers a group's values in
+    * executor memory (the statsApprox caveat) — the oracle-exact gate
+    * form. At 100 TB swap the threshold aggregate for
+    * approx_percentile with the rank-count tolerance check; bucketing
+    * stays map-side either way.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsOf(Tables.documents(s, d))
+
+  /** [[ccnetBuckets]] over an explicit documents frame (spec entry). */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    val scored = lmScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), col("avg_logp"))
+    val cuts = scored
+      .groupBy(col("lang"))
+      .agg(pround(expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
+           pround(expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
+    "txt_ccnet_buckets" -> ccnetBuckets _,
     "txt_gopher_rules" -> gopherRules _,
     "txt_pii"          -> pii _,
     "txt_lm_score"     -> lmScore _,
@@ -854,6 +906,33 @@ object TextPipeline {
          |  pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
          |FROM terms GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "txt_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |        FROM (SELECT doc_id, tk,
+         |                unnest(generate_series(1, len(tk) - 1)) AS i
+         |              FROM toks)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+         |terms AS (SELECT o.doc_id,
+         |    CAST(floor((ln(b.c12) - ln(u.c1)) * 1000000 + 0.5) AS BIGINT) AS qi
+         |  FROM occ o
+         |  JOIN c12 b ON b.w1 = o.w1 AND b.w2 = o.w2
+         |  JOIN c1 u ON u.w1 = o.w1),
+         |scored AS (SELECT t.doc_id, d.lang,
+         |    pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
+         |  FROM terms t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.doc_id, d.lang),
+         |cuts AS (SELECT lang,
+         |    pround(quantile_cont(avg_logp, CAST(1 AS DOUBLE)/3), 6) AS t1,
+         |    pround(quantile_cont(avg_logp, CAST(2 AS DOUBLE)/3), 6) AS t2
+         |  FROM scored GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.avg_logp,
+         |  CASE WHEN s.avg_logp >= c.t2 THEN 'head'
+         |       WHEN s.avg_logp >= c.t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s JOIN cuts c ON c.lang = s.lang
+         |ORDER BY s.doc_id""".stripMargin,
     "txt_scrub" -> {
       val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
       s"""SELECT doc_id,
