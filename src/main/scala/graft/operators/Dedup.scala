@@ -211,6 +211,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source near-duplicate overlap matrix — the dataset-audit
+    * view of [[minhashPairs]] (the Dolma/RedPajama-style "how much of
+    * corpus A is also in corpus B" report): LSH-candidate pairs
+    * attributed to their sources, counted per unordered source pair
+    * (least/greatest canonicalization). The per-pair source lookup
+    * joins only the PAIR LIST (≪ corpus) against the 2-column
+    * (doc_id, source) projection, so the matrix costs two slim joins
+    * on top of the signature machinery it shares with every other
+    * minhash query.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+               greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** 64-bit tf-weighted SimHash per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(s, d).orderBy(col("doc_id"))
@@ -624,6 +645,7 @@ object Dedup {
     "dedup_substr"        -> substrSpans _,
     "dedup_substr_stats"  -> substrStats _,
     "dedup_substr_strip"  -> substrStrip _,
+    "dedup_source_overlap" -> sourceOverlap _,
   )
 
   private val tokSql =
@@ -777,6 +799,22 @@ object Dedup {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_source_overlap" ->
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = pairs.doc_a
+         |JOIN documents db ON db.doc_id = pairs.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

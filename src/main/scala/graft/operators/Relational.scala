@@ -582,7 +582,52 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user
+    * advances a step only with a LATER event of the next type (strict
+    * ts ordering), the product-analytics query every event pipeline
+    * ships. Each step is one filtered aggregate per user joined to
+    * the previous step's first-reach time — type filters push to the
+    * parquet scan, per-step shuffles carry only (user_id, ts), and
+    * step sizes shrink monotonically, so the chain is three
+    * ever-smaller hash joins at 100 TB (AQE broadcasts the later
+    * steps once they fit). The three step counts pack into one row
+    * (crossJoin of 1-row aggregates) and unpivot via explode — not a
+    * UNION of aggregates, which would re-evaluate the shared chain
+    * per branch (the pipe_modern lesson).
+    */
+  def q32Funnel(s: SparkSession, d: String): DataFrame =
+    q32FunnelOf(Tables.events(s, d))
+
+  /** [[q32Funnel]] over an explicit events frame (spec entry). */
+  private[graft] def q32FunnelOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def conv(num: Column, den: Column): Column =
+      floor(num.cast("double") / greatest(den, lit(1L)) * lit(1000d) + lit(0.5)).cast("long")
+    v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+      .select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users"),
+               lit(1000L).as("conv_x1000")),
+        struct(lit("2_click").as("step"), col("n2").as("n_users"),
+               conv(col("n2"), col("n1")).as("conv_x1000")),
+        struct(lit("3_purchase").as("step"), col("n3").as("n_users"),
+               conv(col("n3"), col("n2")).as("conv_x1000")))).as("r"))
+      .select(col("r.step").as("step"), col("r.n_users").as("n_users"),
+              col("r.conv_x1000").as("conv_x1000"))
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_funnel"        -> q32Funnel _,
     "q30_histogram"     -> q30Histogram _,
     "q31_corr"          -> q31Corr _,
     "q29_deciles"       -> q29Deciles _,
@@ -628,6 +673,28 @@ object Relational {
         |WHERE value >= 0 AND value < 1000
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
+    "q32_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM v) AS n1,
+        |             (SELECT count(*) FROM c) AS n2,
+        |             (SELECT count(*) FROM p) AS n3)
+        |SELECT '1_view' AS step, n1 AS n_users, CAST(1000 AS BIGINT) AS conv_x1000 FROM n
+        |UNION ALL
+        |SELECT '2_click', n2,
+        |  CAST(floor(CAST(n2 AS DOUBLE) / greatest(n1, 1) * 1000 + 0.5) AS BIGINT) FROM n
+        |UNION ALL
+        |SELECT '3_purchase', n3,
+        |  CAST(floor(CAST(n3 AS DOUBLE) / greatest(n2, 1) * 1000 + 0.5) AS BIGINT) FROM n
+        |ORDER BY step""".stripMargin,
     "q31_corr" ->
       """SELECT l_returnflag, n,
         |  pround(
