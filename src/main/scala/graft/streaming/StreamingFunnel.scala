@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Live conversion funnel — the streaming twin of the batch
+  * `q32_funnel` (view → click → purchase with strict event-time
+  * ordering) as a Spark 4 `transformWithState` per-user state
+  * machine.
+  *
+  * State is ONE fixed-size row per user (depth + the event time that
+  * reached it — 12 bytes of payload), so state volume is bounded by
+  * the user population, not by event count; a production deployment
+  * adds a TTL for users idle past the analysis horizon.
+  *
+  * Emission is delta-only: a user emits one `FunnelStep` row per
+  * depth ADVANCEMENT (append-friendly, keyed upserts downstream);
+  * batches that advance nothing emit nothing.
+  *
+  * Ordering contract: rows within a micro-batch are sorted by event
+  * time before applying the state machine, so intra-batch disorder is
+  * invisible; ACROSS batches the machine consumes each user's events
+  * in arrival order — the standard streaming-funnel contract (a step
+  * event arriving after a later-step event was already processed does
+  * not retro-advance; the batch twin, which sees all data, is the
+  * reconciliation query). Under per-user event-time-ordered arrival
+  * the streaming result provably equals the batch funnel
+  * (spec-enforced, including cross-batch advancement).
+  */
+object StreamingFunnel {
+
+  /** One funnel advancement: `user_id` reached `depth` (1 = view,
+    * 2 = click, 3 = purchase) at event time `reached_ts`. */
+  case class FunnelStep(user_id: Long, depth: Int, reached_ts: Timestamp)
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+
+  private case class FunnelState(depth: Int, reachedMicros: Long)
+
+  /** The ordered steps; depth d waits for `Steps(d)`. */
+  private val Steps = Array("view", "click", "purchase")
+
+  class Processor extends StatefulProcessor[Long, FunnelEvent, FunnelStep] {
+
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelStep] = {
+      var s = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+      val out = Seq.newBuilder[FunnelStep]
+      // sort the batch by event time: intra-batch disorder must not
+      // change the machine's outcome
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        if (s.depth < Steps.length && e.event_type == Steps(s.depth)) {
+          val micros = e.ts.getTime * 1000L
+          // strict ordering: the next step must be LATER than the
+          // time the current depth was reached (first view exempt)
+          if (s.depth == 0 || micros > s.reachedMicros) {
+            s = FunnelState(s.depth + 1, micros)
+            out += FunnelStep(user, s.depth, e.ts)
+          }
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelStep] =
+      Iterator.empty
+  }
+
+  /** Per-user funnel advancement stream (append mode). */
+  def steps(stream: Dataset[FunnelEvent]): Dataset[FunnelStep] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+  }
+}

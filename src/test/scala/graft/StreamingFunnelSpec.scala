@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingFunnel
+import graft.streaming.StreamingFunnel.FunnelEvent
+
+/** Streaming funnel state machine == batch q32_funnel under ordered
+  * arrival, including cross-batch advancement and the strict-ordering
+  * traps the batch spec plants.
+  */
+class StreamingFunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def ts(min: Long) = new Timestamp((1440 + min) * 60000L)
+
+  test("funnel advancements match the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: u1 views+clicks, u2 views, u3 clicks (no view yet),
+    //          u4 full chain but purchase ties the click ts
+    val b1 = Seq(
+      FunnelEvent(1L, "view", ts(1)), FunnelEvent(1L, "click", ts(2)),
+      FunnelEvent(2L, "view", ts(1)),
+      FunnelEvent(3L, "click", ts(1)),
+      FunnelEvent(4L, "view", ts(1)), FunnelEvent(4L, "click", ts(3)),
+      FunnelEvent(4L, "purchase", ts(3)))
+    // batch 2: u1 purchases (cross-batch advance), u2 clicks, u3 views
+    //          (too late for its earlier click), u4 purchases properly
+    val b2 = Seq(
+      FunnelEvent(1L, "purchase", ts(10)),
+      FunnelEvent(2L, "click", ts(11)),
+      FunnelEvent(3L, "view", ts(12)),
+      FunnelEvent(4L, "purchase", ts(13)))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.steps(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[StreamingFunnel.FunnelStep].collect()
+      // max depth per user from the advancement stream
+      val depth = got.groupBy(_.user_id).view.mapValues(_.map(_.depth).max).toMap
+      assert(depth == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 3))
+      // u4's intra-batch tie (purchase AT the click ts) must not
+      // advance in batch 1; the later batch-2 purchase does — so u4
+      // emits exactly three advancement rows (depths 1, 2, 3)
+      assert(got.count(_.user_id == 4L) == 3)
+      assert(got.filter(_.user_id == 4L).map(_.depth).sorted.toSeq == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("streaming step counts equal batch q32_funnel under ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      FunnelEvent(1L, "view", ts(1)), FunnelEvent(1L, "click", ts(2)),
+      FunnelEvent(2L, "view", ts(3)), FunnelEvent(3L, "click", ts(4)))
+    val b2 = Seq(
+      FunnelEvent(1L, "purchase", ts(9)), FunnelEvent(2L, "click", ts(10)),
+      FunnelEvent(3L, "view", ts(11)), FunnelEvent(2L, "purchase", ts(10)))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.steps(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val steps = spark.table("funnel_out2")
+        .as[StreamingFunnel.FunnelStep].collect()
+      val streamCounts = (1 to 3).map(d => steps.count(_.depth == d).toLong)
+      val batch = graft.operators.Relational.q32FunnelOf(
+          (b1 ++ b2).toDF("user_id", "event_type", "ts"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(streamCounts == batch,
+        s"stream $streamCounts vs batch $batch")
+    } finally q.stop()
+  }
+}
