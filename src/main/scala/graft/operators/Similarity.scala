@@ -352,6 +352,41 @@ object Similarity {
               pround(col("ccos"), 4).as("centroid_cos"))
       .orderBy(col("vec_id"))
 
+  /** Clustering-quality audit: per-IVF-cluster label purity against
+    * the embeddings table's ground-truth `label` — the standard
+    * external evaluation a clustering step ships with (purity =
+    * majority-label fraction). The majority label resolves inside ONE
+    * aggregate via an integer encoding (n·10⁶ + (999999 − label), so
+    * max() picks highest count with smallest-label tiebreak — labels
+    * are bounded < 10⁶) — no second window pass, no branch
+    * divergence, deterministic ties in both engines. Cost on top of
+    * the shared assignment: one (cid,label) aggregate whose output is
+    * clusters × labels.
+    */
+  def clusterPurity(s: SparkSession, d: String): DataFrame =
+    clusterPurityOf(vectors(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")))
+
+  /** [[clusterPurity]] over explicit (vec_id, v, nrm) vectors and a
+    * (vec_id, label) frame (spec entry). Labels join back onto the
+    * NARROW assignment — they never ride the ranked stream.
+    */
+  private[graft] def clusterPurityOf(e: DataFrame, lbl: DataFrame): DataFrame = {
+    ivfAssignmentOf(e)
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(sum(col("n")).as("n_vecs"),
+           max(col("n") * lit(1000000L) + (lit(999999L) - col("label"))).as("sc"))
+      .select(col("cid"), col("n_vecs"),
+        (lit(999999L) - col("sc") % lit(1000000L)).cast("int").as("majority_label"),
+        expr("sc div 1000000").as("n_majority"),
+        floor(expr("sc div 1000000").cast("double")
+          / col("n_vecs") * lit(1000d) + lit(0.5)).cast("long").as("purity_x1000"))
+      .orderBy(col("cid"))
+  }
+
   /** Nearest coarse centroid per vector: (vec_id, cid, ccos) — NARROW
     * on purpose. The ranked stream is |corpus|×|cents| rows and the
     * top-1 rewrite sorts it locally before the partial phase; keeping
@@ -991,6 +1026,7 @@ object Similarity {
     "ann_lsh"       -> annLsh _,
     "ann_lsh_mp"    -> annLshMultiProbe _,
     "ann_ivf_lists" -> ivfLists _,
+    "ann_cluster_purity" -> clusterPurity _,
     "ann_ivf"       -> annIvf _,
     "ann_ivf_trained" -> annIvfTrained _,
     "ann_ivf_pq"    -> annIvfPq _,
@@ -1302,6 +1338,20 @@ object Similarity {
          |SELECT vec_id, cid, pround(ccos, 4) AS centroid_cos
          |FROM assign
          |ORDER BY vec_id""".stripMargin,
+    "ann_cluster_purity" ->
+      s"""WITH $ivfCte,
+         |pc AS (SELECT a.cid, l.label, count(*) AS n
+         |       FROM assign a JOIN embeddings l ON l.vec_id = a.vec_id
+         |       GROUP BY a.cid, l.label),
+         |agg AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs,
+         |          max(n * 1000000 + (999999 - label)) AS sc
+         |        FROM pc GROUP BY cid)
+         |SELECT cid, n_vecs,
+         |  CAST(999999 - sc % 1000000 AS INT) AS majority_label,
+         |  CAST(sc // 1000000 AS BIGINT) AS n_majority,
+         |  CAST(floor(CAST(sc // 1000000 AS DOUBLE) / n_vecs * 1000 + 0.5) AS BIGINT) AS purity_x1000
+         |FROM agg
+         |ORDER BY cid""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $ivfCte,
          |sempairs AS (
