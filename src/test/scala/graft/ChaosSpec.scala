@@ -60,6 +60,19 @@ class ChaosSpec extends AnyFunSuite {
       "retried pipe_modern run diverged from the clean run")
   }
 
+  test("the funnel's chained step joins survive first-attempt failures") {
+    val ev = graft.sources.Tables.events(spark, sf).repartition(8)
+    val clean = graft.operators.Relational.q32FunnelOf(ev).collect()
+    val (chaos, failed) = countingFailures {
+      graft.operators.Relational.q32FunnelOf(Chaos.failFirstAttempt(ev))
+        .collect()
+    }
+    assert(failed >= 8, s"chaos must actually fail the map tasks, saw $failed")
+    assert(chaos.length == clean.length && clean.nonEmpty)
+    assert(chaos.sameElements(clean),
+      "retried funnel run diverged from the clean run")
+  }
+
   test("map-side task failures leave word count byte-identical") {
     val docs = TextAnalytics.documents(spark, corpus).repartition(8)
     val clean = TextAnalytics.toOutputLines(
