@@ -115,6 +115,35 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // per-user funnel state machine: 500 users, each user's event
+    // sequence ascends in event time and cycles view → click →
+    // purchase → error, so every user works through the whole funnel
+    // (plus a non-step event) and state settles at one row per user
+    def runFunnel(name: String): (String, Double, Long, Long) = {
+      val dayMs = 86400000L
+      val types = Array("view", "click", "purchase", "error")
+      val in = MemoryStream[graft.streaming.StreamingFunnel.FunnelEvent]
+      val q = graft.streaming.StreamingFunnel.steps(in.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        var i = 0L
+        while (i < nDocs) {
+          val hi = math.min(i + batch, nDocs)
+          in.addData((i until hi).map(j =>
+            graft.streaming.StreamingFunnel.FunnelEvent(
+              j % 500, types(((j / 500) % 4).toInt),
+              new Timestamp(dayMs + j * 10L))))
+          i += batch
+        }
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        (name, nDocs / dt,
+         ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+      } finally q.stop()
+    }
+
     // static eval set for the decontamination gate: every 20th doc's
     // text, so the gate does real dropping work (~5% + repeats)
     val evalDf = {
@@ -129,7 +158,8 @@ object StreamBench {
       run("ingest_composed", df => StreamingIngest.ingest(df, watermark = wm)),
       run("ingest_decontam", df =>
         StreamingIngest.ingestDecontaminated(df, evalDf, watermark = wm)),
-      runJoin("attribution_join"))
+      runJoin("attribution_join"),
+      runFunnel("funnel"))
     val qs = results.map { case (n, v, rows, mem) =>
       "\"" + n + f"""\":{"docs_per_sec":$v%.1f,"state_rows":$rows,"state_bytes":$mem}"""
     }.mkString("{", ",", "}")
