@@ -223,6 +223,29 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** One epoch of the temperature mixture: rate_l ∝ boost_l (= q/p),
+    * normalized so the most-boosted language keeps every document
+    * (rate 1000) and the rest downsample toward the q ∝ p^α token
+    * shares — [[mixtureDocs]]' salted-bucket selection driven by the
+    * temperature plan instead of hand-set weights. The rate table is
+    * n_langs rows (two tiny re-aggregates over the mixture output)
+    * broadcast onto the corpus; selection is one map-side predicate,
+    * reproducible and extendable like every sampler here.
+    */
+  def temperatureDocs(s: SparkSession, d: String): DataFrame = {
+    val tm = temperatureMixture(s, d).select(col("lang"), col("boost_x1000"))
+    val mx = tm.agg(max(col("boost_x1000")).as("boost_max"))
+    val rates = tm.crossJoin(broadcast(mx))
+      .withColumn("rate_buckets", expr("boost_x1000 * 1000 div boost_max"))
+      .select(col("lang"), col("rate_buckets"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", bucket("temp:"))
+      .filter(col("bucket") < col("rate_buckets"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- DSIR importance resampling -----------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023): score
   // every raw document by how much more likely its tokens are under a
@@ -364,6 +387,7 @@ object Sampling {
     "smp_mixture" -> mixturePlan _,
     "smp_mixture_docs" -> mixtureDocs _,
     "smp_temperature" -> temperatureMixture _,
+    "smp_temperature_docs" -> temperatureDocs _,
   )
 
   private[operators] def bucketSql(prefix: String) =
@@ -412,26 +436,42 @@ object Sampling {
        |         + $DsirBuckets.0)) * 1000000 + 0.5) AS BIGINT) AS kc
        |  FROM toks)""".stripMargin
 
+  // smp_temperature/_docs shared CTE chain (mirrors
+  // temperatureMixtureOf stage by stage)
+  private val tempCte =
+    s"""toks AS (SELECT lang,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |per AS (SELECT lang, count(*) AS n_docs,
+       |          CAST(sum(ntok) AS BIGINT) AS tokens_total
+       |        FROM toks GROUP BY lang),
+       |g AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS grand FROM per),
+       |sc AS (SELECT lang, n_docs, tokens_total,
+       |    CAST(floor(CAST(tokens_total AS DOUBLE) / grand * 1000000 + 0.5) AS BIGINT) AS p_ppm,
+       |    CAST(floor(pow(CAST(tokens_total AS DOUBLE) / grand, 0.3) * 1000000 + 0.5) AS BIGINT) AS s_temp
+       |  FROM per, g),
+       |dn AS (SELECT CAST(sum(s_temp) AS BIGINT) AS s_sum FROM sc),
+       |bo AS (SELECT lang, n_docs, tokens_total, p_ppm,
+       |    CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT) AS q_ppm,
+       |    CAST(floor(CAST(CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+       |      / greatest(p_ppm, 1) * 1000 + 0.5) AS BIGINT) AS boost_x1000
+       |  FROM sc, dn)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "smp_temperature" ->
-      s"""WITH toks AS (SELECT lang,
-         |  CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS BIGINT) AS ntok
-         |  FROM documents),
-         |per AS (SELECT lang, count(*) AS n_docs,
-         |          CAST(sum(ntok) AS BIGINT) AS tokens_total
-         |        FROM toks GROUP BY lang),
-         |g AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS grand FROM per),
-         |sc AS (SELECT lang, n_docs, tokens_total,
-         |    CAST(floor(CAST(tokens_total AS DOUBLE) / grand * 1000000 + 0.5) AS BIGINT) AS p_ppm,
-         |    CAST(floor(pow(CAST(tokens_total AS DOUBLE) / grand, 0.3) * 1000000 + 0.5) AS BIGINT) AS s_temp
-         |  FROM per, g),
-         |dn AS (SELECT CAST(sum(s_temp) AS BIGINT) AS s_sum FROM sc)
-         |SELECT lang, n_docs, tokens_total, p_ppm,
-         |  CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT) AS q_ppm,
-         |  CAST(floor(CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000 + 0.5) AS BIGINT)
-         |    / greatest(p_ppm, 1) * 1000 + 0.5) AS BIGINT) AS boost_x1000
-         |FROM sc, dn
+      s"""WITH $tempCte
+         |SELECT lang, n_docs, tokens_total, p_ppm, q_ppm, boost_x1000
+         |FROM bo
          |ORDER BY lang""".stripMargin,
+    "smp_temperature_docs" ->
+      s"""WITH $tempCte,
+         |mx AS (SELECT max(boost_x1000) AS bmax FROM bo),
+         |rates AS (SELECT lang, boost_x1000 * 1000 // bmax AS rate_buckets
+         |          FROM bo, mx)
+         |SELECT d.doc_id, d.lang, ${bucketSql("temp:").replace("doc_id", "d.doc_id")} AS bucket
+         |FROM documents d JOIN rates r ON r.lang = d.lang
+         |WHERE ${bucketSql("temp:").replace("doc_id", "d.doc_id")} < r.rate_buckets
+         |ORDER BY d.doc_id""".stripMargin,
     "smp_dsir" ->
       s"""WITH $DsirCteSql,
          |per AS (SELECT doc_id, count(*) AS n_tokens, sum(qi) AS sq

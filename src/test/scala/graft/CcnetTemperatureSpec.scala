@@ -81,6 +81,25 @@ class CcnetTemperatureSpec extends AnyFunSuite {
     assert(got("lo")._5 > 1000L && got("hi")._5 < 1000L)
   }
 
+  test("temperature docs keep all of the most-boosted language and respect rates") {
+    val plan = Sampling.temperatureMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val maxBoost = plan.values.max
+    val sel = Sampling.temperatureDocs(spark, sf).collect()
+    val perLangSel = sel.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (lang, boost) =>
+      val rate = boost * 1000 / maxBoost
+      if (rate == 1000L)
+        assert(perLangSel(lang) == docs(lang), s"$lang at rate 1000 must keep all")
+      assert(perLangSel.getOrElse(lang, 0L) <= docs(lang))
+      // bucket predicate actually enforced
+      sel.filter(_.getString(1) == lang).foreach(r => assert(r.getLong(2) < rate))
+    }
+  }
+
   test("temperature mixture reuses the per-language token aggregate") {
     val df = Sampling.temperatureMixture(spark, sf)
     df.collect()
