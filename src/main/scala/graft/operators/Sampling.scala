@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.CrossEngine.{portableHash, portableHashSql, pround, tokens}
@@ -246,6 +247,29 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  private val EvalPerLang = 10
+
+  /** Balanced eval split: exactly k documents PER LANGUAGE, chosen by
+    * salted-hash order (purpose prefix "eval:") — the
+    * equal-representation eval set a multilingual benchmark wants,
+    * where proportional sampling would starve low-resource languages.
+    * Hash order makes the choice reproducible and disjoint-by-salt
+    * from every other sampler here; the rank filter plans through the
+    * custom TopKPerGroup operator (partial top-k below the exchange:
+    * ≤ k rows per language per input partition shuffle — never the
+    * corpus), not a full per-language window sort.
+    */
+  def evalBalanced(s: SparkSession, d: String): DataFrame = {
+    val h = portableHash(concat(lit("eval:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= EvalPerLang)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- DSIR importance resampling -----------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023): score
   // every raw document by how much more likely its tokens are under a
@@ -388,6 +412,7 @@ object Sampling {
     "smp_mixture_docs" -> mixtureDocs _,
     "smp_temperature" -> temperatureMixture _,
     "smp_temperature_docs" -> temperatureDocs _,
+    "smp_eval_balanced" -> evalBalanced _,
   )
 
   private[operators] def bucketSql(prefix: String) =
@@ -472,6 +497,14 @@ object Sampling {
          |FROM documents d JOIN rates r ON r.lang = d.lang
          |WHERE ${bucketSql("temp:").replace("doc_id", "d.doc_id")} < r.rate_buckets
          |ORDER BY d.doc_id""".stripMargin,
+    "smp_eval_balanced" ->
+      s"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${portableHashSql("'eval:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+         |  FROM documents) t
+         |WHERE rnk <= $EvalPerLang
+         |ORDER BY doc_id""".stripMargin,
     "smp_dsir" ->
       s"""WITH $DsirCteSql,
          |per AS (SELECT doc_id, count(*) AS n_tokens, sum(qi) AS sq

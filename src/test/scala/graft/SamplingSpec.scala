@@ -95,4 +95,22 @@ class SamplingSpec extends AnyFunSuite {
         s"capped source $src must select every document")
     }
   }
+
+  test("balanced eval split: exactly k per language through TopKPerGroup") {
+    val d = "/root/testdata/sf0.01"
+    val df = Sampling.evalBalanced(spark, d)
+    val rows = df.collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.nonEmpty && perLang.values.forall(_ == 10),
+      s"every language must contribute exactly 10 docs: $perLang")
+    // ranks are a permutation of 1..k per language
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 10))
+    }
+    // the rank filter plans through the custom partial+final top-k,
+    // not a full per-language window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.split("\n").take(25).mkString("\n"))
+    assert(!plan.contains("Window"), "must not fall back to WindowExec")
+  }
 }
