@@ -720,10 +720,43 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB form of [[ccnetBuckets]]' thresholds: per-language
+    * APPROX terciles (t-digest-style sketch — bounded memory per
+    * group, unlike exact percentile's buffer-everything) verified
+    * in-query by rank counts — the fraction of scores at or below
+    * each approximate cut must sit within ±0.07 of 1/3 and 2/3. The
+    * stats_approx contract: sketch values differ per engine, so each
+    * engine checks ITS OWN sketch against its own exact counts and
+    * exports only the deterministic columns (exact n + the
+    * within-tolerance booleans).
+    */
+  def ccnetApprox(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = lmScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), col("avg_logp"))
+    val agg = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("approx_percentile(avg_logp, CAST(1 AS DOUBLE)/3, 10000)").as("at1"),
+        expr("approx_percentile(avg_logp, CAST(2 AS DOUBLE)/3, 10000)").as("at2"))
+    val below = scored
+      .join(broadcast(agg.select(col("lang"), col("at1"), col("at2"))), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("avg_logp") <= col("at1"), 1L).otherwise(0L)).as("nb1"),
+           sum(when(col("avg_logp") <= col("at2"), 1L).otherwise(0L)).as("nb2"))
+    agg.join(below, Seq("lang"))
+      .select(col("lang"), col("n_scored"),
+        (col("nb1") / col("n_scored")).between(0.26, 0.40).as("t1_ok"),
+        (col("nb2") / col("n_scored")).between(0.60, 0.74).as("t2_ok"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
     "txt_ccnet_buckets" -> ccnetBuckets _,
+    "txt_ccnet_approx" -> ccnetApprox _,
     "txt_gopher_rules" -> gopherRules _,
     "txt_pii"          -> pii _,
     "txt_lm_score"     -> lmScore _,
@@ -906,6 +939,37 @@ object TextPipeline {
          |  pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
          |FROM terms GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "txt_ccnet_approx" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |        FROM (SELECT doc_id, tk,
+         |                unnest(generate_series(1, len(tk) - 1)) AS i
+         |              FROM toks)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+         |terms AS (SELECT o.doc_id,
+         |    CAST(floor((ln(b.c12) - ln(u.c1)) * 1000000 + 0.5) AS BIGINT) AS qi
+         |  FROM occ o
+         |  JOIN c12 b ON b.w1 = o.w1 AND b.w2 = o.w2
+         |  JOIN c1 u ON u.w1 = o.w1),
+         |scored AS (SELECT t.doc_id, d.lang,
+         |    pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
+         |  FROM terms t JOIN documents d ON d.doc_id = t.doc_id
+         |  GROUP BY t.doc_id, d.lang),
+         |ag AS (SELECT lang, count(*) AS n_scored,
+         |    approx_quantile(avg_logp, CAST(CAST(1 AS DOUBLE)/3 AS FLOAT)) AS at1,
+         |    approx_quantile(avg_logp, CAST(CAST(2 AS DOUBLE)/3 AS FLOAT)) AS at2
+         |  FROM scored GROUP BY lang),
+         |bl AS (SELECT s.lang,
+         |    sum(CASE WHEN s.avg_logp <= ag.at1 THEN 1 ELSE 0 END) AS nb1,
+         |    sum(CASE WHEN s.avg_logp <= ag.at2 THEN 1 ELSE 0 END) AS nb2
+         |  FROM scored s JOIN ag ON ag.lang = s.lang
+         |  GROUP BY s.lang)
+         |SELECT ag.lang, ag.n_scored,
+         |  nb1 / ag.n_scored BETWEEN 0.26 AND 0.40 AS t1_ok,
+         |  nb2 / ag.n_scored BETWEEN 0.60 AND 0.74 AS t2_ok
+         |FROM ag JOIN bl ON bl.lang = ag.lang
+         |ORDER BY ag.lang""".stripMargin,
     "txt_ccnet_buckets" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
