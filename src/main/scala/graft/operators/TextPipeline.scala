@@ -752,9 +752,54 @@ object TextPipeline {
       .orderBy(col("lang"))
   }
 
+  /** The dataset card: per-SOURCE corpus accounting a pipeline
+    * publishes with a release — document/token volumes, stopword
+    * density, Gopher pass rate, PII density, mean LM fluency. One
+    * lazy plan over three corpus passes (map-side profile+PII
+    * projection, the Gopher metric projection, the bigram-LM score) —
+    * the honest multi-pass report shape; every exported figure is
+    * integer or floor-integerized so per-source means are order-free
+    * exact in both engines (negative LM sums use explicit
+    * floor(double) — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, so raw integer division is only portable
+    * for non-negative values).
+    */
+  def pipeReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val piiTotal = PiiPatterns.map { case (_, p) =>
+      size(regexp_extract_all(lower(col("text")), lit(p), lit(0))).cast("long")
+    }.reduce(_ + _)
+    val base = docs.select(col("doc_id"), col("source"),
+        graft.functions.TokenMembershipCounts.token_membership_counts(
+          tokens(col("text")), Seq("stop_hits" -> stopwords)).as("p"),
+        piiTotal.as("n_pii"))
+      .select(col("doc_id"), col("source"),
+        col("p.n_tokens").as("n_tokens"), col("p.stop_hits").as("stop_hits"),
+        col("n_pii"))
+    val gp = gopherRules(s, d).select(col("doc_id"), col("gopher_pass"))
+    val lm = lmScore(s, d).select(col("doc_id"),
+      floor(col("avg_logp") * lit(10000d) + lit(0.5)).cast("long").as("lmq"))
+    base.join(gp, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(col("stop_hits")).as("stop_hits"),
+           sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+           sum(col("n_pii")).as("n_pii"),
+           count(col("lmq")).as("n_scored"),
+           sum(col("lmq")).as("lm_sum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("stop_hits * 10000 div n_tokens").as("stop_x10k"),
+        col("n_gopher_pass"), col("n_pii"),
+        floor(col("lm_sum").cast("double") / col("n_scored")).cast("long")
+          .as("lm_mean_x10k"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
+    "pipe_report"      -> pipeReport _,
     "txt_ccnet_buckets" -> ccnetBuckets _,
     "txt_ccnet_approx" -> ccnetApprox _,
     "txt_gopher_rules" -> gopherRules _,
@@ -939,6 +984,68 @@ object TextPipeline {
          |  pround(sum(qi) / count(*) / 1000000, 4) AS avg_logp
          |FROM terms GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "pipe_report" -> {
+      val lowTok =
+        "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+      val stopKinds = GopherStops
+        .map(w => s"(CASE WHEN list_contains($lowTok, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val piiSum = PiiPatterns.map { case (_, p) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH pb AS (SELECT doc_id, source,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($tokSql, t -> lower(t) IN $StopSql)) AS BIGINT) AS stop_hits,
+         |    $piiSum AS n_pii
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
+         |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$')) AS BIGINT) AS n_ellipsis_lines,
+         |  CAST($stopKinds AS BIGINT) AS n_stop_kinds
+         |FROM documents),
+         |gpp AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND pround(n_wchars / n_words, 4) >= 3.0
+         |   AND pround(n_wchars / n_words, 4) <= 10.0
+         |   AND pround(n_symbols / n_words, 4) < 0.1
+         |   AND pround(n_bullet_lines / n_lines, 4) < 0.9
+         |   AND pround(n_ellipsis_lines / n_lines, 4) < 0.3
+         |   AND pround(n_alpha_words / n_words, 4) >= 0.8
+         |   AND n_stop_kinds >= 2) AS gopher_pass
+         |  FROM gm WHERE n_words > 0),
+         |lt AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |lo AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |       FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, len(tk) - 1)) AS i
+         |             FROM lt)),
+         |lc12 AS (SELECT w1, w2, count(*) AS c12 FROM lo GROUP BY w1, w2),
+         |lc1 AS (SELECT w1, count(*) AS c1 FROM lo GROUP BY w1),
+         |lterms AS (SELECT o.doc_id,
+         |    CAST(floor((ln(b.c12) - ln(u.c1)) * 1000000 + 0.5) AS BIGINT) AS qi
+         |  FROM lo o
+         |  JOIN lc12 b ON b.w1 = o.w1 AND b.w2 = o.w2
+         |  JOIN lc1 u ON u.w1 = o.w1),
+         |lsc AS (SELECT doc_id,
+         |    CAST(floor(pround(sum(qi) / count(*) / 1000000, 4) * 10000 + 0.5) AS BIGINT) AS lmq
+         |  FROM lterms GROUP BY doc_id)
+         |SELECT b.source, count(*) AS n_docs,
+         |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(b.stop_hits) AS BIGINT) * 10000 // CAST(sum(b.n_tokens) AS BIGINT) AS stop_x10k,
+         |  CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |  CAST(sum(b.n_pii) AS BIGINT) AS n_pii,
+         |  CAST(floor(CAST(sum(l.lmq) AS DOUBLE) / count(l.lmq)) AS BIGINT) AS lm_mean_x10k
+         |FROM pb b
+         |LEFT JOIN gpp g ON g.doc_id = b.doc_id
+         |LEFT JOIN lsc l ON l.doc_id = b.doc_id
+         |GROUP BY b.source
+         |ORDER BY b.source""".stripMargin
+    },
     "txt_ccnet_approx" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |occ AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
