@@ -740,12 +740,15 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_scored"),
         expr("approx_percentile(avg_logp, CAST(1 AS DOUBLE)/3, 10000)").as("at1"),
         expr("approx_percentile(avg_logp, CAST(2 AS DOUBLE)/3, 10000)").as("at2"))
-    val below = scored
-      .join(broadcast(agg.select(col("lang"), col("at1"), col("at2"))), Seq("lang"))
+    // the verification aggregate carries n_scored through (min of the
+    // broadcast constant) so the output needs no third consumer of
+    // the scored subtree — two passes is the floor for sketch+verify
+    scored
+      .join(broadcast(agg), Seq("lang"))
       .groupBy(col("lang"))
-      .agg(sum(when(col("avg_logp") <= col("at1"), 1L).otherwise(0L)).as("nb1"),
+      .agg(min(col("n_scored")).as("n_scored"),
+           sum(when(col("avg_logp") <= col("at1"), 1L).otherwise(0L)).as("nb1"),
            sum(when(col("avg_logp") <= col("at2"), 1L).otherwise(0L)).as("nb2"))
-    agg.join(below, Seq("lang"))
       .select(col("lang"), col("n_scored"),
         (col("nb1") / col("n_scored")).between(0.26, 0.40).as("t1_ok"),
         (col("nb2") / col("n_scored")).between(0.60, 0.74).as("t2_ok"))
