@@ -703,14 +703,41 @@ object TextPipeline {
 
   /** [[ccnetBuckets]] over an explicit documents frame (spec entry). */
   private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
-    val scored = lmScoreOf(docs)
+    val scored = ccnetScoredOf(docs)
+    ccnetBucketAgainst(scored, ccnetCutsOf(scored))
+  }
+
+  /** Per-doc LM score with the language carried — the shared scored
+    * projection both the threshold aggregate and the bucket join
+    * consume (identical columns + the no-op isNotNull keep the two
+    * subtrees verbatim-equal for runtime exchange reuse).
+    */
+  private def ccnetScoredOf(docs: DataFrame): DataFrame =
+    lmScoreOf(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), col("avg_logp"))
-    val cuts = scored
+
+  /** The trained CCNet threshold MODEL — one (lang, t1, t2) row per
+    * language. Like the DSIR bucket table and the ANN centroids,
+    * this is the only state bucketing needs: train once on a
+    * reference corpus, persist with [[saveCcnetCuts]], and bucket any
+    * later ingest batch against the frozen cuts. (Unlike ANN
+    * assignment, the LM score itself is cohort-dependent — the bigram
+    * LM self-trains on the batch being scored — so the pinned
+    * properties are the save/load round-trip identity and frozen-
+    * threshold determinism, not cross-batch slice equality.)
+    */
+  private[graft] def ccnetCutsOf(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("lang"))
       .agg(pround(expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
            pround(expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+
+  /** Bucket a scored frame against an explicit (frozen or in-plan)
+    * threshold model. */
+  private def ccnetBucketAgainst(scored: DataFrame,
+                                 cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), Seq("lang"))
       .withColumn("bucket",
         when(col("avg_logp") >= col("t2"), "head")
@@ -718,7 +745,26 @@ object TextPipeline {
           .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Train the threshold model from a corpus directory. */
+  def ccnetCuts(s: SparkSession, d: String): DataFrame =
+    ccnetCutsOf(ccnetScoredOf(Tables.documents(s, d)))
+
+  /** Persist the threshold model (the BloomDedup/ANN-state pattern). */
+  def saveCcnetCuts(cuts: DataFrame, path: String): Unit =
+    cuts.select(col("lang"), col("t1"), col("t2"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted threshold model with the schema pinned. */
+  def loadCcnetCuts(s: SparkSession, path: String): DataFrame =
+    s.read.schema("lang STRING, t1 DOUBLE, t2 DOUBLE").parquet(path)
+
+  /** Bucket a documents frame against a PERSISTED threshold model —
+    * the incremental-ingest form: no threshold pass over the new
+    * batch, one broadcast of the tiny cuts table.
+    */
+  def ccnetBucketsWith(docs: DataFrame, cuts: DataFrame): DataFrame =
+    ccnetBucketAgainst(ccnetScoredOf(docs), cuts)
 
   /** The 100 TB form of [[ccnetBuckets]]' thresholds: per-language
     * APPROX terciles (t-digest-style sketch — bounded memory per

@@ -100,6 +100,19 @@ class CcnetTemperatureSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted ccnet cuts round-trip and reproduce the one-shot buckets") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ccnet_cuts").toString
+    val oneShot = TextPipeline.ccnetBuckets(spark, sf).collect()
+    TextPipeline.saveCcnetCuts(TextPipeline.ccnetCuts(spark, sf), s"$dir/cuts")
+    val loaded = TextPipeline.loadCcnetCuts(spark, s"$dir/cuts")
+    val rebucketed = TextPipeline.ccnetBucketsWith(docs, loaded).collect()
+    assert(rebucketed.length == oneShot.length && oneShot.nonEmpty)
+    assert(rebucketed.map(_.toSeq.toList).toList == oneShot.map(_.toSeq.toList).toList,
+      "frozen-cuts bucketing diverged from the one-shot run")
+  }
+
   test("temperature mixture reuses the per-language token aggregate") {
     val df = Sampling.temperatureMixture(spark, sf)
     df.collect()
