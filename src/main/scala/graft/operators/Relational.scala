@@ -626,7 +626,36 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** Weekly cohort retention — the other half of product analytics
+    * next to [[q32Funnel]]: users bucketed by first-seen ISO week,
+    * then for each (cohort, week offset) the count of users active
+    * that week. Two aggregates and a join, all keyed on user_id —
+    * first-seen derivation is a map-side-partial min, the activity
+    * table dedups to one row per (user, week) BEFORE the join (weeks
+    * per user is bounded, so the join input is ~users × weeks, not
+    * events), and the retention matrix is cohorts × offsets. Offsets
+    * divide day differences of week-truncated dates, so they are
+    * exact integers in both engines.
+    */
+  def q33Retention(s: SparkSession, d: String): DataFrame =
+    q33RetentionOf(Tables.events(s, d))
+
+  /** [[q33Retention]] over an explicit events frame (spec entry). */
+  private[graft] def q33RetentionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val active = ev.distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort").cast("date").as("cohort_week"),
+        (datediff(col("wk").cast("date"), col("cohort").cast("date"))
+          .cast("long") / lit(7L)).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_retention"     -> q33Retention _,
     "q32_funnel"        -> q32Funnel _,
     "q30_histogram"     -> q30Histogram _,
     "q31_corr"          -> q31Corr _,
@@ -673,6 +702,16 @@ object Relational {
         |WHERE value >= 0 AND value < 1000
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
+    "q33_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |fs AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |ac AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM ac a JOIN fs f ON f.user_id = a.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q32_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

@@ -36,6 +36,26 @@ class FunnelOverlapSpec extends AnyFunSuite {
       ("3_purchase", 1L, 333L)))  // u1 only
   }
 
+  test("retention cohorts count distinct users per week offset") {
+    import spark.implicits._
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // weeks (Mon-anchored): W1 = Jan 1-7, W2 = Jan 8-14, W3 = Jan 15-21
+    val ev = Seq(
+      (1L, "view", t(2)), (1L, "view", t(3)),   // u1 cohort W1, active W1
+      (1L, "click", t(16)),                     // ... and W3 (skips W2)
+      (2L, "view", t(9)),                       // u2 cohort W2
+      (2L, "view", t(15)),                      // ... active W3
+      (3L, "view", t(4))                        // u3 cohort W1, W1 only
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.q33RetentionOf(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L),   // u1, u3 in W1 cohort week 0
+      ("2024-01-01", 2L, 1L),   // u1 back in week 2 (gap week absent)
+      ("2024-01-08", 0L, 1L),   // u2 cohort
+      ("2024-01-08", 1L, 1L)))  // u2 next week
+  }
+
   test("source overlap matrix conserves the near-dup pair count") {
     val pairs = Dedup.minhashPairs(spark, sf).collect()
     val overlap = Dedup.sourceOverlap(spark, sf).collect()
