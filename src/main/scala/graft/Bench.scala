@@ -77,6 +77,25 @@ object Bench {
       s""""total_full":${num(totalFull)},""" +
       s""""queries":$qs,"queries_sd":$sds,"queries_full":$fulls,""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
+    // The driver's BENCH_r{N}.json keeps only the last ~2000 chars of
+    // stdout, which in round 8 truncated away the per-query MEANS (the
+    // queries_full map happened to come last), so round-over-round perf
+    // adjudication compared count-times to full-sink-times. This LAST
+    // line is laid out for exactly that truncation: means sorted
+    // ASCENDING (head-truncation drops only the fastest, least
+    // adjudicable queries), sd for the 12 slowest (where noise-vs-
+    // regression calls actually happen), and the scalar summary at the
+    // very END where the tail always preserves it.
+    def num2(d: Double): String = f"$d%.2f"
+    val asc = results.sortBy(_._2)
+    val meansAsc = asc.map { case (k, m, _, _) => "\"" + k + "\":" + num2(m) }
+      .mkString("{", ",", "}")
+    val sdSlowest = asc.takeRight(12)
+      .map { case (k, _, s, _) => "\"" + k + "\":" + num2(s) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries_mean_asc":$meansAsc,"sd_slowest":$sdSlowest,""" +
+      s""""failed":$failed,"total_full":${num(totalFull)},""" +
+      s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -528,6 +528,93 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-granular dedup rows: (doc_id, lpos, line, lkey) — one row
+    * per NON-EMPTY line (empty-after-normalization lines carry no
+    * dedupable content and are excluded from both counts and strip),
+    * lkey = md5 of the [[graft.functions.NormalizeText]]-normalized
+    * line so casing/punctuation variants of a boilerplate line share
+    * a key (the [[normalized]] whole-doc precedent, applied per line).
+    */
+  private def lineRows(docs: DataFrame): DataFrame = {
+    val norm = graft.functions.NormalizeText.normalize_text(col("line"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("p0", "line")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("lpos"),
+        col("line"), norm.as("norm"))
+      .filter(col("norm") =!= "")
+      .select(col("doc_id"), col("lpos"), col("line"),
+        md5(col("norm").cast("binary")).as("lkey"))
+  }
+
+  /** Per-line corpus-wide dedup stats (RefinedWeb §3 / CCNet per-line
+    * boilerplate removal) — the dedup granularity BETWEEN
+    * [[normalized]] (whole doc) and [[substrSpans]] (token spans): a
+    * line whose normalized md5 occurs ≥ 2 times ANYWHERE in the
+    * corpus (across or within documents — boilerplate headers repeat
+    * both ways) is duplicated. Output per doc: non-empty line count,
+    * duplicated-line count, duplicated fraction.
+    *
+    * At 100 TB: the line stream is linear in corpus bytes and
+    * shuffles 16-byte md5 keys (never line text) for the occurrence
+    * count; the duplicated-key set — small by the same boilerplate
+    * skew that motivates the pass — broadcasts into a semi-join, the
+    * [[substrSpansOf]] shape at line granularity. Docs whose every
+    * line normalizes to empty have nothing to dedup and are excluded
+    * (the gopherRules n_words > 0 precedent). The synthetic corpus is
+    * single-line, so the gate exercises the degenerate point (per-doc
+    * frac ∈ {0, 1}, agreeing with [[normalized]]'s planted dup
+    * groups); planted multi-line docs pin the per-line arithmetic in
+    * LineDedupSpec.
+    */
+  def linesStats(s: SparkSession, d: String): DataFrame =
+    linesStatsOf(Tables.documents(s, d))
+
+  /** [[linesStats]] over an explicit documents frame (spec entry). */
+  private[graft] def linesStatsOf(docs: DataFrame): DataFrame = {
+    val lr = lineRows(docs)
+    val dup = lr.groupBy(col("lkey")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("lkey"))
+    val per = lr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val dd = lr.join(dup, Seq("lkey"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_lines"))
+    per.join(dd, Seq("doc_id"), "left")
+      .withColumn("dup_lines", coalesce(col("dup_lines"), lit(0L)))
+      .withColumn("dup_line_frac",
+        pround(col("dup_lines") / col("n_lines"), 4))
+      .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+        col("dup_line_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The ACTION step of line dedup: drop every duplicated line (ALL
+    * copies — boilerplate is noise wherever it appears, the RefinedWeb
+    * semantic) and rejoin the survivors in original order with \n.
+    * Output per doc: line count, kept-line count, md5 of the cleaned
+    * text (null when nothing survives) — [[substrStripOf]]'s contract
+    * at line granularity. Kept lines keep their ORIGINAL text; only
+    * the dedup KEY is normalized.
+    */
+  def linesStrip(s: SparkSession, d: String): DataFrame =
+    linesStripOf(Tables.documents(s, d))
+
+  private[graft] def linesStripOf(docs: DataFrame): DataFrame = {
+    val lr = lineRows(docs)
+    val dup = lr.groupBy(col("lkey")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("lkey"))
+    val per = lr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val ka = lr.join(dup, Seq("lkey"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_lines"),
+        expr("md5(array_join(transform(sort_array(collect_list(" +
+          "struct(lpos, line))), x -> x.line), chr(10)))").as("clean_md5"))
+    per.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private val DropThreshold = 0.8
 
   /** The full near-dup dedup pipeline, end to end:
@@ -645,8 +732,28 @@ object Dedup {
     "dedup_substr"        -> substrSpans _,
     "dedup_substr_stats"  -> substrStats _,
     "dedup_substr_strip"  -> substrStrip _,
+    "dedup_lines"         -> linesStats _,
+    "dedup_lines_strip"   -> linesStrip _,
     "dedup_source_overlap" -> sourceOverlap _,
   )
+
+  /** Shared line-dedup CTEs for the two oracle entries: split on \n
+    * with 1-based positions (DuckDB zips parallel unnests), normalize
+    * per line exactly as the dedup_norm oracle does per doc, drop
+    * empty-normalized lines, flag keys occurring ≥ 2 times.
+    */
+  private val lineCte =
+    """lr AS (SELECT doc_id,
+      |         unnest(generate_series(1, len(parts))) AS lpos,
+      |         unnest(parts) AS line
+      |       FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+      |             FROM documents)),
+      |nz AS (SELECT doc_id, lpos, line,
+      |         md5(trim(regexp_replace(lower(line), '[^\p{L}\p{N}]+', ' ', 'g'))) AS lkey
+      |       FROM lr
+      |       WHERE trim(regexp_replace(lower(line), '[^\p{L}\p{N}]+', ' ', 'g')) <> ''),
+      |dup AS (SELECT lkey FROM nz GROUP BY lkey HAVING count(*) >= 2),
+      |per AS (SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id)""".stripMargin
 
   private val tokSql =
     "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')"
@@ -769,6 +876,26 @@ object Dedup {
         |FROM documents
         |GROUP BY 3
         |ORDER BY keep_id""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH $lineCte,
+         |dd AS (SELECT doc_id, count(*) AS dup_lines
+         |       FROM nz JOIN dup USING (lkey) GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_lines,
+         |  coalesce(d.dup_lines, 0) AS dup_lines,
+         |  pround(coalesce(d.dup_lines, 0) / p.n_lines, 4) AS dup_line_frac
+         |FROM per p LEFT JOIN dd d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    "dedup_lines_strip" ->
+      s"""WITH $lineCte,
+         |ka AS (SELECT n.doc_id, count(*) AS kept_lines,
+         |         md5(string_agg(n.line, chr(10) ORDER BY n.lpos)) AS clean_md5
+         |       FROM nz n LEFT JOIN dup u ON u.lkey = n.lkey
+         |       WHERE u.lkey IS NULL
+         |       GROUP BY n.doc_id)
+         |SELECT p.doc_id, p.n_lines,
+         |  coalesce(k.kept_lines, 0) AS kept_lines, k.clean_md5
+         |FROM per p LEFT JOIN ka k ON k.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $ngCte,
          |keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM ng GROUP BY g) t

@@ -372,8 +372,18 @@ object Similarity {
     * NARROW assignment — they never ride the ranked stream.
     */
   private[graft] def clusterPurityOf(e: DataFrame, lbl: DataFrame): DataFrame = {
+    // The packed count*10^6 + (999999 - label) encoding below is only
+    // sound for labels in [0, 999999]; enforce it in-plan so an
+    // out-of-range label fails LOUDLY (raise_error) instead of
+    // silently corrupting majority_label/purity. Map-side, branch-free
+    // for in-range data, so it costs nothing in the hot path.
+    val checked = lbl.select(col("vec_id"),
+      when(col("label").between(0L, 999999L), col("label"))
+        .otherwise(raise_error(concat(
+          lit("clusterPurity: label outside packed range [0, 999999]: "),
+          col("label").cast("string")))).as("label"))
     ivfAssignmentOf(e)
-      .join(lbl, Seq("vec_id"))
+      .join(checked, Seq("vec_id"))
       .groupBy(col("cid"), col("label"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("cid"))

@@ -174,6 +174,11 @@ object TextPipeline {
   /** BPE-ish pre-tokenizer pattern (GPT-2 style: contractions,
     * letter runs, digit runs, punctuation runs, whitespace) — the
     * token-count approximation a data pipeline uses for budgeting.
+    * Kept character-for-character as published, so its `\s` is the
+    * one pattern NOT converted to the [[Ws]] engine-pinned classes:
+    * on vertical-tab text Java counts VT as whitespace while RE2
+    * folds it into the punctuation-run branch (corpus carries no VT;
+    * divergence documented rather than silently re-speced).
     */
   private val BpePattern =
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
@@ -187,7 +192,7 @@ object TextPipeline {
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(split(trim(col("text")), s"$Ws+")).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_pieces"),
         graft.functions.ColumnShims.countTokens(col("text")).as("n_letter_tokens"),
         graft.functions.BpeTokenizer.subwordCount(col("text")).as("n_subword"))
@@ -204,11 +209,11 @@ object TextPipeline {
     val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
     val scrubbed = trim(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(lower(col("text")),
-        "https?://\\S+", " "), "[a-z0-9._%+-]+@[a-z0-9.-]+", " "),
-      stopPat, " "), "\\s+", " "))
+        s"https?://$NonWs+", " "), "[a-z0-9._%+-]+@[a-z0-9.-]+", " "),
+      stopPat, " "), s"$Ws+", " "))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("https?://\\S+"), lit(0)))
+        size(regexp_extract_all(col("text"), lit(s"https?://$NonWs+"), lit(0)))
           .cast("long").as("n_urls"),
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z0-9._%+-]+@[a-z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
@@ -494,22 +499,39 @@ object TextPipeline {
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Engine-pinned whitespace classes. Java's `\s` additionally
+    * matches vertical tab (\x0B) and its `(?m)` anchors honor \r,
+    * NEL (U+0085) and LS/PS (U+2028/9) as line breaks, while
+    * DuckDB's RE2 `\s` is
+    * exactly [ \t\n\f\r] and its multiline anchors honor only \n —
+    * parity held on the (VT/CRLF-free) synthetic corpus but would
+    * diverge on real-world text. These explicit classes are used
+    * VERBATIM on both sides, and Java-side `(?m)` patterns carry the
+    * UNIX_LINES flag `d` (RE2 is \n-only already and has no `d`
+    * flag), pinning identical semantics on ANY input. The one
+    * deliberate exception is the BPE piece pattern ([[BpePattern]]):
+    * it reproduces the published GPT-2 regex character-for-character,
+    * whose `\s` divergence on VT is documented there instead.
+    */
+  private[operators] val Ws = "[ \\t\\n\\f\\r]"
+  private[operators] val NonWs = "[^ \\t\\n\\f\\r]"
+
   /** [[gopherRules]] over an explicit documents frame (spec entry). */
   private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
     val tk = tokens(lower(col("text")))
     val raw = docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(s"$NonWs+"), lit(0)))
         .cast("long").as("n_words"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_wchars"),
+      length(regexp_replace(col("text"), Ws, "")).cast("long").as("n_wchars"),
       ((length(col("text")) - length(translate(col("text"), "#", ""))) +
         size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))))
         .cast("long").as("n_symbols"),
-      size(regexp_extract_all(col("text"), lit("\\S*\\p{L}\\S*"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(s"$NonWs*\\p{L}$NonWs*"), lit(0)))
         .cast("long").as("n_alpha_words"),
       size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
-      size(regexp_extract_all(col("text"), lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+      size(regexp_extract_all(col("text"), lit("(?md)^[ \\t]*[-*•]"), lit(0)))
         .cast("long").as("n_bullet_lines"),
-      size(regexp_extract_all(col("text"), lit("(?m)(\\.\\.\\.|…)[ \\t]*$"), lit(0)))
+      size(regexp_extract_all(col("text"), lit("(?md)(\\.\\.\\.|…)[ \\t]*$"), lit(0)))
         .cast("long").as("n_ellipsis_lines"),
       GopherStops.map(w => when(array_contains(tk, w), 1L).otherwise(0L))
         .reduce(_ + _).as("n_stop_kinds"))
@@ -572,13 +594,13 @@ object TextPipeline {
       size(regexp_extract_all(low, lit(p), lit(0))).cast("long")
     }.reduce(_ + _)
     val raw = docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(s"$NonWs+"), lit(0)))
         .cast("long").as("n_words"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_wchars"),
+      length(regexp_replace(col("text"), Ws, "")).cast("long").as("n_wchars"),
       ((length(col("text")) - length(translate(col("text"), "#", ""))) +
         size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))))
         .cast("long").as("n_symbols"),
-      size(regexp_extract_all(col("text"), lit("\\S*\\p{L}\\S*"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(s"$NonWs*\\p{L}$NonWs*"), lit(0)))
         .cast("long").as("n_alpha_words"),
       GopherStops.map(w => when(array_contains(tk, w), 1L).otherwise(0L))
         .reduce(_ + _).as("n_stop_kinds"),
@@ -928,11 +950,11 @@ object TextPipeline {
         "'split:' || CAST(p.doc_id AS VARCHAR)")
       s"""WITH ${Sampling.DsirCteSql},
          |pm AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '$Ws', '', 'g')) AS BIGINT) AS n_wchars,
          |  CAST(length(text) - length(replace(text, '#', ''))
          |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
-         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}*\\p{L}${NonWs}*')) AS BIGINT) AS n_alpha_words,
          |  CAST($stopKinds AS BIGINT) AS n_stop_kinds,
          |  CAST($piiSum AS BIGINT) AS n_pii,
          |  md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS norm_md5
@@ -945,7 +967,7 @@ object TextPipeline {
          |    AND pround(n_wchars / n_words, 4) <= 10.0
          |    AND pround(n_symbols / n_words, 4) < 0.1
          |    AND pround(n_alpha_words / n_words, 4) >= 0.8
-         |    AND n_stop_kinds >= 1),
+         |    AND n_stop_kinds >= $ModernStopKinds),
          |keep AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY norm_md5),
          |per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(qi) AS sq
          |  FROM toks t
@@ -970,11 +992,11 @@ object TextPipeline {
         .map(w => s"(CASE WHEN list_contains($lowTok, '$w') THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH m AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '$Ws', '', 'g')) AS BIGINT) AS n_wchars,
          |  CAST(length(text) - length(replace(text, '#', ''))
          |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
-         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}*\\p{L}${NonWs}*')) AS BIGINT) AS n_alpha_words,
          |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
          |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
          |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$')) AS BIGINT) AS n_ellipsis_lines,
@@ -1048,11 +1070,11 @@ object TextPipeline {
          |    $piiSum AS n_pii
          |  FROM documents),
          |gm AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '$Ws', '', 'g')) AS BIGINT) AS n_wchars,
          |  CAST(length(text) - length(replace(text, '#', ''))
          |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
-         |  CAST(len(regexp_extract_all(text, '\\S*\\p{L}\\S*')) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(regexp_extract_all(text, '${NonWs}*\\p{L}${NonWs}*')) AS BIGINT) AS n_alpha_words,
          |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
          |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
          |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$')) AS BIGINT) AS n_ellipsis_lines,
@@ -1156,18 +1178,18 @@ object TextPipeline {
     "txt_scrub" -> {
       val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, 'https?://${NonWs}+')) AS BIGINT) AS n_urls,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) AS n_stopwords,
          |  md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
-         |    'https?://\\S+', ' ', 'g'), '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
-         |    '$stopPat', ' ', 'g'), '\\s+', ' ', 'g'))) AS scrub_md5
+         |    'https?://${NonWs}+', ' ', 'g'), '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+         |    '$stopPat', ' ', 'g'), '$Ws+', ' ', 'g'))) AS scrub_md5
          |FROM documents
          |ORDER BY doc_id""".stripMargin
     },
     "txt_token_counts" ->
       s"""SELECT doc_id,
-         |  len(regexp_extract_all(trim(text), '\\S+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(trim(text), '${NonWs}+')) AS n_ws_tokens,
          |  len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_pieces,
          |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS n_letter_tokens,
          |  ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_subword

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.time.Duration
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -11,8 +12,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   *
   * State is ONE fixed-size row per user (depth + the event time that
   * reached it — 12 bytes of payload), so state volume is bounded by
-  * the user population, not by event count; a production deployment
-  * adds a TTL for users idle past the analysis horizon.
+  * the user population, not by event count; the optional `ttlIdleMs`
+  * state TTL further bounds it to the ACTIVE population by evicting
+  * users idle past the analysis horizon (spec: `StreamingFunnelSpec`
+  * churn workload).
   *
   * Emission is delta-only: a user emits one `FunnelStep` row per
   * depth ADVANCEMENT (append-friendly, keyed upserts downstream);
@@ -41,13 +44,33 @@ object StreamingFunnel {
   /** The ordered steps; depth d waits for `Steps(d)`. */
   private val Steps = Array("view", "click", "purchase")
 
-  class Processor extends StatefulProcessor[Long, FunnelEvent, FunnelStep] {
+  /** Full-precision event-time micros. `Timestamp.getTime` is
+    * millisecond-truncated, which would turn sub-ms-separated events
+    * into ties under the strict `>` ordering below while the batch
+    * `q32_funnel` compares full microsecond timestamps — so both the
+    * intra-batch sort and the ordering comparison go through this. */
+  private def microsOf(ts: Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** @param ttlIdleMs evict a user's funnel state after this many ms
+    *   of processing-time idleness (<= 0 disables TTL). Bounds state
+    *   by the ACTIVE user population under churn: a funnel horizon of
+    *   e.g. 7 days means a user silent that long restarts at depth 0,
+    *   which is the standard analysis-window semantic. */
+  class Processor(ttlIdleMs: Long = 0L)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelStep] {
 
     @transient private var st: ValueState[FunnelState] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlIdleMs > 0) new TTLConfig(Duration.ofMillis(ttlIdleMs))
+        else TTLConfig.NONE
       st = getHandle.getValueState[FunnelState](
-        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+        "funnel", Encoders.product[FunnelState], ttl)
+    }
 
     override def handleInputRows(
         user: Long,
@@ -57,9 +80,9 @@ object StreamingFunnel {
       val out = Seq.newBuilder[FunnelStep]
       // sort the batch by event time: intra-batch disorder must not
       // change the machine's outcome
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      rows.toSeq.sortBy(e => microsOf(e.ts)).foreach { e =>
         if (s.depth < Steps.length && e.event_type == Steps(s.depth)) {
-          val micros = e.ts.getTime * 1000L
+          val micros = microsOf(e.ts)
           // strict ordering: the next step must be LATER than the
           // time the current depth was reached (first view exempt)
           if (s.depth == 0 || micros > s.reachedMicros) {
@@ -78,12 +101,18 @@ object StreamingFunnel {
       Iterator.empty
   }
 
-  /** Per-user funnel advancement stream (append mode). */
-  def steps(stream: Dataset[FunnelEvent]): Dataset[FunnelStep] = {
+  /** Per-user funnel advancement stream (append mode).
+    *
+    * @param ttlIdleMs optional idle-state TTL (processing time; <= 0
+    *   disables). TTL requires `TimeMode.ProcessingTime` so the state
+    *   store can stamp entries — selected automatically. */
+  def steps(stream: Dataset[FunnelEvent], ttlIdleMs: Long = 0L): Dataset[FunnelStep] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttlIdleMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     stream
       .groupByKey(_.user_id)
-      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(ttlIdleMs), timeMode, OutputMode.Append())
   }
 }

@@ -79,4 +79,62 @@ class StreamingFunnelSpec extends AnyFunSuite {
         s"stream $streamCounts vs batch $batch")
     } finally q.stop()
   }
+
+  test("sub-millisecond event spacing advances (micros precision, not ms)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // view at t0, click 400µs later, purchase 800µs later — all inside
+    // the SAME millisecond. Timestamp.getTime-based micros would read
+    // three identical values and the strict `>` ordering would stall
+    // the funnel at depth 1; full-precision micros (and the batch
+    // q32_funnel, which compares microsecond timestamps) advance to 3.
+    def tsMicro(micros: Int) = {
+      val t = new Timestamp(1440 * 60000L) // whole second, ms part 0
+      t.setNanos(micros * 1000)
+      t
+    }
+    val evs = Seq(
+      FunnelEvent(9L, "view", tsMicro(0)),
+      FunnelEvent(9L, "click", tsMicro(400)),
+      FunnelEvent(9L, "purchase", tsMicro(800)))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.steps(in.toDS())
+      .writeStream.format("memory").queryName("funnel_micros")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evs: _*); q.processAllAvailable()
+      val got = spark.table("funnel_micros")
+        .as[StreamingFunnel.FunnelStep].collect()
+      assert(got.map(_.depth).sorted.toSeq == Seq(1, 2, 3),
+        s"sub-ms events must advance all three depths, got ${got.toSeq}")
+      val batch = graft.operators.Relational.q32FunnelOf(
+          evs.toDF("user_id", "event_type", "ts"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(batch == Seq(1L, 1L, 1L), s"batch twin disagrees: $batch")
+    } finally q.stop()
+  }
+
+  test("idle-user state is TTL-evicted: bounded state under churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.steps(in.toDS(), ttlIdleMs = 500L)
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(FunnelEvent(7L, "view", ts(1))); q.processAllAvailable()
+      Thread.sleep(1500L) // processing-time idle past the 500 ms TTL
+      // State evicted: the click finds a fresh depth-0 machine (which
+      // wants "view") and must NOT advance — without the TTL this
+      // would emit depth 2, so observing no row here proves eviction,
+      // i.e. a churned user costs no state past the horizon.
+      in.addData(FunnelEvent(7L, "click", ts(2))); q.processAllAvailable()
+      // ...and a fresh view restarts the funnel at depth 1.
+      in.addData(FunnelEvent(7L, "view", ts(3))); q.processAllAvailable()
+      val got = spark.table("funnel_ttl")
+        .as[StreamingFunnel.FunnelStep].collect().sortBy(_.reached_ts.getTime)
+      assert(got.map(_.depth).toSeq == Seq(1, 1),
+        s"expected restart-at-depth-1 after eviction, got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
