@@ -73,7 +73,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, m, _, _) if m >= 0 => m }.sum
     val totalFull = results.collect { case (_, _, _, f) if f >= 0 => f }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+    // "total_detail", NOT "total": exactly ONE stdout line may carry
+    // "metric":"total" (the truncation-surviving LAST line below), so
+    // a consumer grepping for it can't nondeterministically pick this
+    // full-precision layout instead.
+    println(s"""{"metric":"total_detail","layout":"full_detail",""" +
+      s""""value":$total,"unit":"sec","runs":$Runs,""" +
       s""""total_full":${num(totalFull)},""" +
       s""""queries":$qs,"queries_sd":$sds,"queries_full":$fulls,""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
@@ -93,7 +98,8 @@ object Bench {
     val sdSlowest = asc.takeRight(12)
       .map { case (k, _, s, _) => "\"" + k + "\":" + num2(s) }
       .mkString("{", ",", "}")
-    println(s"""{"queries_mean_asc":$meansAsc,"sd_slowest":$sdSlowest,""" +
+    println(s"""{"layout":"truncation_tail",""" +
+      s""""queries_mean_asc":$meansAsc,"sd_slowest":$sdSlowest,""" +
       s""""failed":$failed,"total_full":${num(totalFull)},""" +
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()

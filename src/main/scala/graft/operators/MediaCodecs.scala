@@ -224,4 +224,97 @@ object MediaCodecs {
       fmt.getSampleRate.toInt,
       md.digest().map("%02x".format(_)).mkString)
   }
+
+  /** Decoded 16-bit little-endian mono samples via the real RIFF
+    * parse — the sample-level seam the audio fingerprint builds on.
+    */
+  def wavSamples(bytes: Array[Byte]): Array[Short] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
+  private def samplesToWav(s: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      pcm(2 * i) = (s(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((s(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real decode → fresh RIFF container write; PCM byte-identical,
+    * container bytes may differ (the WAV analogue of [[reencodePng]]).
+    */
+  def reencodeWav(bytes: Array[Byte]): Array[Byte] =
+    samplesToWav(wavSamples(bytes))
+
+  /** Gain change: every sample scaled by num/den (integer division,
+    * truncation toward zero — keep |num| ≤ |den| to avoid clipping).
+    */
+  def gainWav(bytes: Array[Byte], num: Int, den: Int): Array[Byte] =
+    samplesToWav(wavSamples(bytes).map(s => (s.toInt * num / den).toShort))
+
+  /** Number of fingerprint energy windows ([[fpWav]]): 65 windows
+    * yield 64 adjacent-energy comparisons = 64 bits.
+    */
+  private val FpWindows = 65
+
+  /** A short dropout: zero every sample of fingerprint window `w` —
+    * the localized edit whose [[fpWav]] damage is provably ≤ 2 bits
+    * (only comparisons w−1→w and w→w+1 see a changed energy).
+    */
+  def dropoutWav(bytes: Array[Byte], w: Int = 10): Array[Byte] = {
+    val s = wavSamples(bytes)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if ((i.toLong * FpWindows / n).toInt == w) s(i) = 0
+      i += 1
+    }
+    samplesToWav(s)
+  }
+
+  /** 64-bit energy-contour audio fingerprint (the Haitsma–Kalker
+    * 2002 bit-derivation shape on time-domain window energies): real
+    * RIFF/PCM decode, samples split into [[FpWindows]] contiguous
+    * windows (sample i → window ⌊i·65/n⌋), E(k) = Σ s², bit k = 1
+    * iff E(k+1) > E(k). Invariances that make it a dedup key:
+    * re-encoding preserves PCM exactly (same bits); a gain change
+    * scales every window energy by the same factor, preserving every
+    * comparison (integer-truncation noise is ~3 orders of magnitude
+    * below typical window-energy gaps); a localized edit flips at
+    * most the comparisons bordering the windows it lands in.
+    */
+  def fpWav(bytes: Array[Byte]): Long = {
+    val s = wavSamples(bytes)
+    val n = s.length
+    val e = new Array[Long](FpWindows)
+    var i = 0
+    while (i < n) {
+      e((i.toLong * FpWindows / n).toInt) += s(i).toLong * s(i)
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < FpWindows - 1) {
+      if (e(k + 1) > e(k)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
 }

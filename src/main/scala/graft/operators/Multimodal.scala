@@ -241,12 +241,52 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** Audio fingerprint dedup end-to-end — [[imageDedup]]'s design at
+    * the audio seam: a corpus of real WAV clips with PLANTED
+    * duplicates — per decade of ids, the base clip (id%10=0) plus an
+    * exact byte clone (1), a decode/re-encode copy (2), a half-gain
+    * copy (3) and a one-window dropout edit (4); ids 5-9 are
+    * unrelated clips — fingerprinted map-side with the 64-bit
+    * energy-contour hash ([[MediaCodecs.fpWav]], real RIFF/PCM decode
+    * per clip) and paired through the SAME Manku 4×16-bit blocked
+    * Hamming join as text SimHash and image dHash
+    * ([[Dedup.hammingPairs64]]). Clone and re-encode hash identically
+    * (PCM-exact), gain preserves every energy comparison, the
+    * dropout flips ≤ 2 bits — so the planted C(5,2) pairs per decade
+    * are found and nothing else is (MultimodalSpec pins the exact
+    * pair set). Rows-only at the driver gate: DuckDB cannot parse
+    * RIFF/PCM.
+    */
+  def audioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = id - (id % 10) // decade base clip
+          def baseWav = MediaCodecs.wavBytes(256 + (b % 512).toInt, b)
+          val wav = (id % 10) match {
+            case 1 => baseWav
+            case 2 => MediaCodecs.reencodeWav(baseWav)
+            case 3 => MediaCodecs.gainWav(baseWav, 1, 2)
+            case 4 => MediaCodecs.dropoutWav(baseWav)
+            case _ => MediaCodecs.wavBytes(256 + (id % 512).toInt, id)
+          }
+          (id, MediaCodecs.fpWav(wav))
+        }
+      }.toDF("doc_id", "simhash")
+    Dedup.hammingPairs64(hashes)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+              col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> features _,
     "mm_frames"   -> frames _,
     "mm_decode"   -> decodeRoundTrip _,
     "mm_resize"   -> resizeThumbnails _,
     "dedup_image" -> imageDedup _,
+    "dedup_audio" -> audioDedup _,
   )
 
   val oracles: Map[String, String] = Map(

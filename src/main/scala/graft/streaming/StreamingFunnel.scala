@@ -39,7 +39,13 @@ object StreamingFunnel {
 
   case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
 
-  private case class FunnelState(depth: Int, reachedMicros: Long)
+  /** Internal state machine record. NOT `private`: Spark's generated
+    * encoder invokes `FunnelState.depth()`/`reachedMicros()` from
+    * janino-compiled code outside this object, so a private class
+    * forces a `CompileException` + interpreted-fallback on EVERY
+    * micro-batch (ERROR trace + recompile cost). Companion-object
+    * placement keeps it out of the public query surface. */
+  case class FunnelState(depth: Int, reachedMicros: Long)
 
   /** The ordered steps; depth d waits for `Steps(d)`. */
   private val Steps = Array("view", "click", "purchase")

@@ -38,6 +38,28 @@ class ClusterPuritySpec extends AnyFunSuite {
       200L -> ((20L, 1, 10L, 500L))))
   }
 
+  test("label guard: polices joined rows, ignores unjoined, names null") {
+    import spark.implicits._
+    val vecs = (0L until 4L).map(i => (i, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "v", "nrm")
+    def run(lbl: (Long, java.lang.Long)*) =
+      Similarity.clusterPurityOf(vecs,
+        lbl.toDF("vec_id", "label")).collect()
+    // out-of-range label on a vec_id that JOINS → loud failure
+    val e1 = intercept[Exception](
+      run(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1000000L))
+    assert(e1.getMessage.contains("outside packed range"), e1.getMessage)
+    // null label on a joined vec_id → its own message, not
+    // a null-concatenated one
+    val e2 = intercept[Exception](run(0L -> 1L, 1L -> null, 2L -> 1L, 3L -> 1L))
+    assert(e2.getMessage.contains("null label"), e2.getMessage)
+    // bad labels on vec_ids ABSENT from the assignment are dropped by
+    // the join exactly as before the guard — no spurious abort
+    val ok = run(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      99L -> 1000000L, 98L -> null)
+    assert(ok.map(_.getLong(1)).sum == 4L)
+  }
+
   test("purity conserves the corpus on the real embeddings table") {
     val sf = "/root/testdata/sf0.001"
     val rows = Similarity.clusterPurity(spark, sf).collect()

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Multimodal
+import graft.operators.{MediaCodecs, Multimodal}
 import graft.operators.Multimodal.MediaDecoder
 
 /** Multimodal plumbing: binary payload schema, batched decode seam,
@@ -181,6 +181,46 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("dedup_image plans the blocked equi-join, not an all-pairs scan") {
     val plan = Multimodal.imageDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fpWav invariances: re-encode exact, gain exact-enough, edit local") {
+    val wav = MediaCodecs.wavBytes(300, seed = 7L)
+    val h0 = MediaCodecs.fpWav(wav)
+    assert(MediaCodecs.fpWav(MediaCodecs.reencodeWav(wav)) == h0)
+    // half-gain: every window energy scales ~×¼; comparisons survive
+    // (truncation noise is far below typical window-energy gaps)
+    val hGain = MediaCodecs.fpWav(MediaCodecs.gainWav(wav, 1, 2))
+    assert(java.lang.Long.bitCount(h0 ^ hGain) <= 1,
+      s"gain flipped ${java.lang.Long.bitCount(h0 ^ hGain)} bits")
+    // a one-window dropout can only move the two comparisons that
+    // border the zeroed window
+    val hEdit = MediaCodecs.fpWav(MediaCodecs.dropoutWav(wav))
+    assert(java.lang.Long.bitCount(h0 ^ hEdit) <= 2)
+    val hOther = MediaCodecs.fpWav(MediaCodecs.wavBytes(300, seed = 8L))
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 10)
+  }
+
+  test("dedup_audio finds exactly the planted duplicate groups") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = ids.groupBy(id => id - id % 10).values.flatMap { g =>
+      val copies = g.filter(id => id % 10 <= 4).toSeq.sorted
+      for (a <- copies; b <- copies if a < b) yield (a, b)
+    }.toSet
+    val got = Multimodal.audioDedup(spark, sf)
+      .select("media_a", "media_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    assert(got.forall(_._3 <= 3), "planted copies must be within 3 bits")
+    assert(expected.nonEmpty)
+  }
+
+  test("dedup_audio plans the blocked equi-join, not an all-pairs scan") {
+    val plan = Multimodal.audioDedup(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
            !plan.contains("CartesianProduct"), plan)

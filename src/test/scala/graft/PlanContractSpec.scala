@@ -22,12 +22,13 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("every query has a DuckDB oracle unless explicitly rows-only") {
-    // rows-only queries must be justified here: mm_decode, mm_resize
-    // and dedup_image run real JDK codecs (PNG/WAV decode, pixel
-    // resample, perceptual dHash) that DuckDB cannot mirror in SQL;
-    // their exact values are pinned in MultimodalSpec instead
-    // (dedup_image: the exact planted-duplicate pair set).
-    val rowsOnly = Set("mm_decode", "mm_resize", "dedup_image")
+    // rows-only queries must be justified here: mm_decode, mm_resize,
+    // dedup_image and dedup_audio run real JDK codecs (PNG/WAV
+    // decode, pixel resample, perceptual dHash, PCM energy-contour
+    // fingerprint) that DuckDB cannot mirror in SQL; their exact
+    // values are pinned in MultimodalSpec instead (dedup_image /
+    // dedup_audio: the exact planted-duplicate pair sets).
+    val rowsOnly = Set("mm_decode", "mm_resize", "dedup_image", "dedup_audio")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty,

@@ -117,6 +117,18 @@ class StreamingFunnelSpec extends AnyFunSuite {
   test("idle-user state is TTL-evicted: bounded state under churn") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // A processing-time TTL makes the state store demand no-data
+    // micro-batches forever (proactive eviction sweeps), so the stream
+    // never quiesces: `processAllAvailable` hangs, and even a
+    // `Trigger.AvailableNow` run refuses to terminate (both observed).
+    // TTL *enforcement on read* does not need those sweeps — `get()`/
+    // `exists()` filter values whose stamped expiration has passed —
+    // so the test disables no-data micro-batches for its duration,
+    // which lets the stream quiesce while keeping the semantic under
+    // test (an expired user reads as absent) fully live.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
     val in = MemoryStream[FunnelEvent]
     val q = StreamingFunnel.steps(in.toDS(), ttlIdleMs = 500L)
       .writeStream.format("memory").queryName("funnel_ttl")
@@ -135,6 +147,6 @@ class StreamingFunnelSpec extends AnyFunSuite {
         .as[StreamingFunnel.FunnelStep].collect().sortBy(_.reached_ts.getTime)
       assert(got.map(_.depth).toSeq == Seq(1, 1),
         s"expected restart-at-depth-1 after eviction, got ${got.toSeq}")
-    } finally q.stop()
+    } finally { q.stop(); spark.conf.set(ndKey, ndPrev) }
   }
 }
