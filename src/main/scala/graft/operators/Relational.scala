@@ -183,13 +183,22 @@ object Relational {
   def opsKeySkew(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
-    counts.agg(
-        count(lit(1)).as("n_keys"),
-        max(col("cnt")).as("max_cnt"),
-        pround(avg(col("cnt")), 4).as("avg_cnt"),
-        expr("percentile(cnt, 0.5)").as("p50"),
-        expr("percentile(cnt, 0.9)").as("p90"),
-        expr("percentile(cnt, 0.99)").as("p99"))
+    // a GLOBAL exact percentile over per-key counts must not buffer
+    // the key distribution (billions of keys at 100 TB). Reduce to
+    // counts-of-COUNTS first — its size is the number of DISTINCT
+    // per-key counts, tiny at any scale — and take the weighted
+    // percentiles over that frequency table (bucketed prefix sums,
+    // no global window, no distribution buffer). avg rebuilt as
+    // Σ(cnt·freq)/Σfreq — exact integer arithmetic, same value.
+    val freq = counts.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+    val stats = freq.agg(
+      sum(col("freq")).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      pround(sum(col("cnt") * col("freq")).cast("double") /
+             sum(col("freq")).cast("double"), 4).as("avg_cnt"))
+    stats.crossJoin(broadcast(ScaleOps.weightedPercentiles(
+        freq, "cnt", "freq",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))))
       .select(col("n_keys"), col("max_cnt"), col("avg_cnt"),
         pround(col("p50"), 4).as("p50"),
         pround(col("p90"), 4).as("p90"),
@@ -305,13 +314,22 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Exact percentiles per group (linear interpolation). */
+  /** Exact percentiles per group (linear interpolation). Computed
+    * through [[ScaleOps.sortedPercentiles]] — the rank-window form
+    * whose per-group sort SPILLS, instead of the built-in
+    * `percentile()` whose aggregation buffer holds a group's whole
+    * distribution in memory (the one aggregate shape a 100 TB group
+    * kills). Bit-identical interpolation, oracle unchanged.
+    */
   def q19Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(pround(expr("percentile(value, 0.5)"), 2).as("p50"),
-           pround(expr("percentile(value, 0.9)"), 2).as("p90"),
-           pround(expr("percentile(value, 0.99)"), 2).as("p99"))
+    ScaleOps.sortedPercentiles(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .select(col("event_type"),
+        pround(col("p50"), 2).as("p50"),
+        pround(col("p90"), 2).as("p90"),
+        pround(col("p99"), 2).as("p99"))
       .orderBy(col("event_type"))
 
   /** Approximate sketches (HLL distinct, t-digest-style quantile).

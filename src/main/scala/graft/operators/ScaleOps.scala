@@ -12,6 +12,119 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** EXACT per-group percentiles with `percentile()`'s linear
+    * interpolation, computed through a rank window instead of the
+    * built-in aggregate. The built-in buffers a group's ENTIRE value
+    * distribution in one executor's aggregation hashmap — the one
+    * memory-UNBOUNDED aggregate shape a 100 TB group can kill.
+    * This form sorts per group inside WindowExec, whose
+    * UnsafeExternalSorter SPILLS to disk, then keeps only the ≤ 2
+    * order statistics each percentile interpolates between — the
+    * aggregate downstream of the sort sums at most 2·|ps| rows per
+    * group. Same per-group parallelism as the built-in (one task per
+    * group either way), strictly better memory behavior.
+    *
+    * Interpolation reproduces Spark's `Percentile.getPercentile`
+    * bit-for-bit: pos = p·(n−1) on doubles, result =
+    * v[lo]·(hi−pos) + v[hi]·(pos−lo) (v[lo] alone when hi == lo),
+    * with n counting non-null values only.
+    *
+    * @param ps (percentile, output column name) pairs
+    */
+  def sortedPercentiles(df: DataFrame, key: String, value: String,
+                        ps: Seq[(Double, String)]): DataFrame = {
+    val vals = df.select(col(key), col(value).cast("double").as(value))
+      .filter(col(value).isNotNull)
+    // group size via an unbounded frame over the SAME sorted window —
+    // one exchange + one sort, and crucially the input has exactly ONE
+    // consumer (a groupBy-count + rejoin would add a second consumer
+    // with different column pruning, defeating upstream exchange
+    // reuse — the ccnet/DSIR lesson)
+    val w = Window.partitionBy(col(key)).orderBy(col(value))
+    val ranked = vals
+      .withColumn("__rnk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val isCandidate = ps.map { case (p, _) =>
+      (col("__rnk") - 1 === floor(pos(p))) ||
+        (col("__rnk") - 1 === ceil(pos(p)))
+    }.reduce(_ || _)
+    // collect the two order statistics per percentile, then
+    // interpolate POST-aggregate, mirroring Percentile.getPercentile
+    // exactly — including its short-circuit on VALUE equality (equal
+    // lo/hi values return the value itself, no (hi−pos)+(pos−lo)
+    // weight arithmetic whose rounding could differ by an ulp)
+    val aggs = ps.flatMap { case (p, name) =>
+      Seq(max(when(col("__rnk") - 1 === floor(pos(p)), col(value)))
+            .as(s"__lo_$name"),
+          max(when(col("__rnk") - 1 === ceil(pos(p)), col(value)))
+            .as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__gn")
+    val out = ps.map { case (p, name) =>
+      val gpos = lit(p) * (col("__gn") - 1).cast("double")
+      val loV = col(s"__lo_$name")
+      val hiV = col(s"__hi_$name")
+      when(loV === hiV, loV)
+        .otherwise((ceil(gpos).cast("double") - gpos) * loV +
+                   (gpos - floor(gpos).cast("double")) * hiV)
+        .as(name)
+    }
+    ranked.filter(isCandidate)
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: out: _*)
+  }
+
+  /** EXACT global percentiles over a WEIGHTED value distribution
+    * ((value, weight) rows ≡ `weight` copies of `value`) — the
+    * scalable form of an UNGROUPED `percentile()`: where
+    * [[sortedPercentiles]] sorts per group, a global percentile has
+    * no group to partition by, and a single-partition window is
+    * banned suite-wide. Instead the caller pre-aggregates to
+    * value frequencies (for per-key-count skew stats that table is
+    * counts-of-COUNTS — its size is the number of distinct counts,
+    * tiny regardless of key count) and the cumulative weight comes
+    * from the bucketed [[prefixSum]] (range-bucketed local sums +
+    * broadcast carries — no global window). Each percentile then
+    * needs the ≤ 2 rows whose cumulative interval covers its
+    * interpolation indices; interpolation mirrors
+    * `Percentile.getPercentile` exactly, including the value-equality
+    * short-circuit.
+    */
+  def weightedPercentiles(freq: DataFrame, value: String, weight: String,
+                          ps: Seq[(Double, String)]): DataFrame = {
+    val cum = prefixSum(
+        freq.select(col(value).cast("double").as(value),
+                    col(weight).cast("long").as(weight)),
+        value, weight, "__cum")
+      .crossJoin(broadcast(
+        freq.agg(sum(col(weight)).cast("double").as("__n"))))
+    def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    // a row covers expanded indices [__cum − weight, __cum)
+    def covers(idx: org.apache.spark.sql.Column) =
+      (col("__cum") - col(weight) <= idx) && (idx < col("__cum"))
+    val isCandidate = ps.map { case (p, _) =>
+      covers(floor(pos(p))) || covers(ceil(pos(p)))
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (p, name) =>
+      Seq(max(when(covers(floor(pos(p))), col(value))).as(s"__lo_$name"),
+          max(when(covers(ceil(pos(p))), col(value))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__gn")
+    val out = ps.map { case (p, name) =>
+      val gpos = lit(p) * (col("__gn") - 1).cast("double")
+      val loV = col(s"__lo_$name")
+      val hiV = col(s"__hi_$name")
+      when(loV === hiV, loV)
+        .otherwise((ceil(gpos).cast("double") - gpos) * loV +
+                   (gpos - floor(gpos).cast("double")) * hiV)
+        .as(name)
+    }
+    cum.filter(isCandidate)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(out: _*)
+  }
+
   /** Persist a DataFrame bucketed+sorted by join key. Two tables
     * bucketed the same way join with ZERO shuffle (SortMergeJoin over
     * pre-bucketed scans) — the co-located-join layout for repeated

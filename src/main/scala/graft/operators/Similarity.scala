@@ -596,6 +596,57 @@ object Similarity {
     annIvfPqSearch(s, d, path)
   }
 
+  /** One-shot RESIDUAL IVF-PQ index build ([[buildIvfPqIndex]]'s
+    * contract for the IVFADC form): residuals are computed against
+    * the centroids and coarse assignment AS SAVED, then the residual
+    * codebooks train and the corpus residual-encodes against the
+    * frozen codebook bytes.
+    */
+  def buildIvfPqResIndex(s: SparkSession, d: String, path: String): Unit = {
+    val e = vectors(s, d)
+    val en = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    saveCentroids(sampledVecs(e)
+      .select(col("vec_id").as("cid"), col("v").as("cv")), s"$path/centroids")
+    saveCoarseAssignment(ivfAssignmentOf(e)
+      .select(col("vec_id"), col("cid")), s"$path/coarse")
+    val centsN = loadCentroids(s, s"$path/centroids")
+      .select(col("cid"), transform(col("cv"),
+        x => x / sqrt(dot(col("cv"), col("cv")))).as("cvn"))
+    val resid = en.join(loadCoarseAssignment(s, s"$path/coarse"), "vec_id")
+      .join(broadcast(centsN), "cid")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cvn"), (a, b) => a - b).as("v"))
+    savePqCodebooks(trainPqCodebooks(resid, countOn = Some(en)),
+      s"$path/codebooks")
+    savePqCodes(pqEncodeWith(resid,
+      loadPqCodebooks(s, s"$path/codebooks")), s"$path/codes")
+  }
+
+  /** Search-only residual IVF-PQ against a persisted index —
+    * identical output to [[annIvfPqRes]].
+    */
+  def annIvfPqResSearch(s: SparkSession, d: String, idxPath: String): DataFrame =
+    ivfPqResSearchFrom(vectors(s, d),
+      loadPqCodebooks(s, s"$idxPath/codebooks"),
+      loadPqCodes(s, s"$idxPath/codes"),
+      loadCoarseAssignment(s, s"$idxPath/coarse"),
+      loadCentroids(s, s"$idxPath/centroids")
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv")))))
+
+  /** Driver-gate query: the [[annIvfPqIdx]] contract for the
+    * residual form — the suite's most expensive query
+    * (`ann_ivf_pq_res`) gets its serving twin.
+    */
+  def annIvfPqResIdx(s: SparkSession, d: String): DataFrame = {
+    val path = builtIdx.computeIfAbsent(s"res:$d", _ => {
+      val p = idxRootFor(d) + "_res"
+      buildIvfPqResIndex(s, d, p)
+      p
+    })
+    annIvfPqResSearch(s, d, path)
+  }
+
   // --- IVF-PQ -------------------------------------------------------
   // Product quantization (Jégou et al., TPAMI 2011): 64-d vectors
   // split into 4 subspaces of 16 dims; each subspace gets its own
@@ -878,7 +929,19 @@ object Similarity {
     val cb = trainPqCodebooks(resid, countOn = Some(en))
     val codes = assignCodes(subVectors(resid), cb)
       .select(col("vec_id"), col("m"), col("kid"))
+    ivfPqResSearchFrom(e, cb, codes, coarse, cents)
+  }
 
+  /** The SEARCH stage of residual IVF-PQ — [[ivfPqSearchFrom]]'s
+    * contract for the IVFADC form: index frames in-plan
+    * ([[annIvfPqResOf]]) or persisted ([[annIvfPqResSearch]])
+    * interchangeably. `cb`/`codes` here are RESIDUAL codebooks/codes;
+    * the ADC table is per-(probe, list).
+    */
+  private def ivfPqResSearchFrom(e: DataFrame, cb: DataFrame,
+      codes: DataFrame, coarse: DataFrame, cents: DataFrame): DataFrame = {
+    val centsN = cents.select(col("cid"),
+      transform(col("cv"), x => x / col("cnrm")).as("cvn"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(pround(col("pcos"), 6).desc, col("cid"))
     val probesRaw = e.filter(col("vec_id") < ProbeCount)
@@ -1149,6 +1212,7 @@ object Similarity {
     "ann_ivf_pq"    -> annIvfPq _,
     "ann_ivf_pq_idx" -> annIvfPqIdx _,
     "ann_ivf_pq_res" -> annIvfPqRes _,
+    "ann_ivf_pq_res_idx" -> annIvfPqResIdx _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
@@ -1588,5 +1652,7 @@ object Similarity {
     * gate then pins save→load→search == in-plan train→search.
     */
   val oracles: Map[String, String] =
-    oraclesBase + ("ann_ivf_pq_idx" -> oraclesBase("ann_ivf_pq"))
+    oraclesBase +
+      ("ann_ivf_pq_idx" -> oraclesBase("ann_ivf_pq")) +
+      ("ann_ivf_pq_res_idx" -> oraclesBase("ann_ivf_pq_res"))
 }

@@ -751,10 +751,10 @@ object TextPipeline {
     * threshold determinism, not cross-batch slice equality.)
     */
   private[graft] def ccnetCutsOf(scored: DataFrame): DataFrame =
-    scored
-      .groupBy(col("lang"))
-      .agg(pround(expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
-           pround(expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+    ScaleOps.sortedPercentiles(scored.select(col("lang"), col("avg_logp")),
+        "lang", "avg_logp", Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"))
+      .select(col("lang"),
+        pround(col("t1"), 6).as("t1"), pround(col("t2"), 6).as("t2"))
 
   /** Bucket a scored frame against an explicit (frozen or in-plan)
     * threshold model. */

@@ -235,6 +235,40 @@ object IndependentCodecs {
     (pcm.length / blockAlign, sampleRate, md5hex(_.update(pcm)))
   }
 
+  /** From-scratch energy-contour audio fingerprint over this file's
+    * own RIFF parse — the independent twin of
+    * [[graft.operators.MediaCodecs.fpWav]] (65 windows, E = Σ s²,
+    * bit k = E(k+1) > E(k)), sharing no code with the JDK-backed
+    * implementation.
+    */
+  def wavFingerprint(bytes: Array[Byte]): Long = {
+    var pos = 12
+    var pcm: Array[Byte] = null
+    while (pos + 8 <= bytes.length && pcm == null) {
+      val ctype = new String(bytes, pos, 4, "US-ASCII")
+      val len = le32(bytes, pos + 4)
+      if (ctype == "data")
+        pcm = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+      pos += 8 + len + (len & 1)
+    }
+    require(pcm != null, "missing data chunk")
+    val n = pcm.length / 2
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort.toLong
+      e((i.toLong * 65 / n).toInt) += s * s
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
   // --------------------------------------------------------------- GFV1
 
   /** Walk the GFV1 concatenated-PNG container with the independent PNG

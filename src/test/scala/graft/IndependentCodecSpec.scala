@@ -78,6 +78,19 @@ class IndependentCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV fingerprint: from-scratch RIFF walk agrees on every dedup variant") {
+    for (id <- ids) {
+      val wav = MediaCodecs.wavBytes(256 + (id % 512).toInt, id)
+      val variants = Seq(wav,
+        MediaCodecs.reencodeWav(wav),
+        MediaCodecs.gainWav(wav, 1, 2),
+        MediaCodecs.dropoutWav(wav))
+      for ((v, i) <- variants.zipWithIndex)
+        assert(IndependentCodecs.wavFingerprint(v) == MediaCodecs.fpWav(v),
+          s"id $id variant $i")
+    }
+  }
+
   test("GFV1: independent container walk agrees with the JDK frame decode") {
     for (id <- ids) {
       val video = MediaCodecs.videoBytes(

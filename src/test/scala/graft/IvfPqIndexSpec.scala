@@ -33,6 +33,18 @@ class IvfPqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted RESIDUAL index search equals in-plan ann_ivf_pq_res") {
+    val live = Similarity.queries("ann_ivf_pq_res")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val idx = Similarity.queries("ann_ivf_pq_res_idx")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(idx == live, "saved residual index must reproduce the in-plan one")
+    assert(idx.nonEmpty)
+    val plan = Similarity.queries("ann_ivf_pq_res_idx")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("vector_mean"), plan)
+  }
+
   test("a rebuilt index is byte-deterministic: same search rows again") {
     // second build into a fresh path (not the memoized one): the
     // build must be corpus-deterministic, not run-dependent

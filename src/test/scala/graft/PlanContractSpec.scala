@@ -36,6 +36,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"oracles without queries: $stray")
   }
 
+  test("no query buffers a full distribution (exact-percentile ban)") {
+    // the built-in `percentile()` holds a group's entire value
+    // distribution in one executor's aggregation buffer — the shape a
+    // 100 TB group kills. ScaleOps.sortedPercentiles (rank window,
+    // spilling sort, ≤2 order statistics aggregated) is the sanctioned
+    // exact form; approx_percentile the sanctioned sketch. This test
+    // keeps the ban from regressing. The approx forms are stripped
+    // before matching: "approx_percentile(" CONTAINS the substring
+    // "percentile(" (this bit round 10's first matcher).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        .replace("approx_percentile", "")
+        .replace("percentile_approx", "")
+      if (plan.contains("percentile(")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"exact percentile() aggregate (memory-unbounded) in: $offenders")
+  }
+
   test("no query in the library plans a single-partition window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = unwrap(fn(spark, sf).queryExecution.executedPlan)

@@ -107,6 +107,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(globals.isEmpty)
   }
 
+  test("sortedPercentiles == built-in percentile(), ties included") {
+    import spark.implicits._
+    // group a: 7 values incl. a TIE spanning the p50 interpolation
+    //   indices (both order statistics = 3.0 → the value-equality
+    //   short-circuit path, not the weight arithmetic);
+    // group b: 4 distinct values → real interpolation at every p;
+    // group c: singleton (pos = 0 at every percentile)
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 3.0), ("a", 3.0),
+      ("a", 9.0), ("a", 10.0),
+      ("b", 1.0), ("b", 2.0), ("b", 4.0), ("b", 8.0),
+      ("c", 5.0)).toDF("k", "v")
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val got = ScaleOps.sortedPercentiles(df, "k", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+           expr("percentile(v, 0.9)").as("p90"),
+           expr("percentile(v, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == ref, s"got $got vs built-in $ref")
+  }
+
+  test("weightedPercentiles == built-in percentile on the expanded rows") {
+    import spark.implicits._
+    // (value, weight) with a heavy value so interpolation indices land
+    // INSIDE one row's cumulative interval (short-circuit) and between
+    // rows (real interpolation) across the three percentiles
+    val freq = Seq((1L, 3L), (2L, 10L), (5L, 2L), (7L, 1L))
+      .toDF("v", "w")
+    val expanded = freq.as[(Long, Long)].collect()
+      .flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.toSeq.toDF("v")
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val got = ScaleOps.weightedPercentiles(freq, "v", "w", ps)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val ref = expanded
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"),
+           expr("percentile(v, 0.99)"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == ref.toSeq, s"got ${got.toSeq} vs ${ref.toSeq}")
+    // and no global window anywhere in the plan
+    val globals = ScaleOps.weightedPercentiles(freq, "v", "w", ps)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(globals.isEmpty)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
