@@ -87,6 +87,27 @@ class SpillSpec extends AnyFunSuite {
     }
   }
 
+  test("exact percentiles spill their sort and stay bit-identical") {
+    // the round-10 percentile rewrite exists for exactly this: the
+    // built-in percentile() buffers a group's whole distribution with
+    // NO spill path, while sortedPercentiles ranks through WindowExec,
+    // whose external sorter spills. Force the spill and require the
+    // answer unchanged — the claim "exact percentiles survive groups
+    // that exceed memory" as a measured property, not prose.
+    val q19 = SparkEntry.queries("q19_percentiles")
+    val clean = q19(spark, sfSmall).collect()
+    withConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8",
+      "spark.sql.shuffle.partitions" -> "31") {
+      val (stressed, spilled) = countingSpills { q19(spark, sfSmall).collect() }
+      info(s"percentile stress spilled $spilled bytes")
+      assert(spilled > 0L, "capped window buffers must actually spill")
+      assert(stressed.toSeq == clean.toSeq,
+        "spilled percentile run diverged from the in-memory run")
+    }
+  }
+
   test("TopKPerGroup stays correct under spill-pressure confs (bounded state)") {
     val q7 = SparkEntry.queries("q7_top_orders_per_customer")
     val clean = q7(spark, sfSmall).collect()
