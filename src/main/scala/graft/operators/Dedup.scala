@@ -211,6 +211,33 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH quality audit: recall and precision of the banded MinHash
+    * candidate generator against the EXACT Jaccard pair set at the
+    * pipeline's [[DropThreshold]] — the measurement that justifies
+    * (or indicts) the banding parameters before a 100 TB run trusts
+    * them. Exact pairs come from the inverted gram index (complete:
+    * any pair at J ≥ 0.8 shares grams, so no true pair can be
+    * missed); candidates from [[minhashPairs]]. Both pair sets meet
+    * in ONE full-outer join and reduce to a scalar row — counts,
+    * recall among exact pairs, precision of candidates at the
+    * threshold. At scale both inputs are the already-bounded pair
+    * streams; nothing quadratic is introduced by auditing them.
+    */
+  def minhashRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = ngramJaccard(s, d)
+      .filter(col("jaccard") >= DropThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("ex"))
+    val cand = minhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("cd"))
+    exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("ex")).as("n_exact"),
+           count(col("cd")).as("n_candidates"),
+           count(when(col("ex") === 1 && col("cd") === 1, 1)).as("n_found"))
+      .select(col("n_exact"), col("n_candidates"), col("n_found"),
+        pround(col("n_found") / col("n_exact"), 4).as("recall"),
+        pround(col("n_found") / col("n_candidates"), 4).as("precision"))
+  }
+
   /** Cross-source near-duplicate overlap matrix — the dataset-audit
     * view of [[minhashPairs]] (the Dolma/RedPajama-style "how much of
     * corpus A is also in corpus B" report): LSH-candidate pairs
@@ -725,6 +752,7 @@ object Dedup {
     "dedup_ngram_capped"  -> ngramJaccardCapped _,
     "dedup_minhash_sig"   -> minhashSignature _,
     "dedup_minhash_pairs" -> minhashPairs _,
+    "dedup_minhash_recall" -> minhashRecall _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairsBlocked _,
     "dedup_simhash_capped" -> simhashPairsCapped _,
@@ -926,6 +954,34 @@ object Dedup {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_recall" ->
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |         WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM ng a JOIN ng b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |exact AS (SELECT doc_a, doc_b FROM common
+         |          JOIN sizes na ON na.doc_id = doc_a
+         |          JOIN sizes nb ON nb.doc_id = doc_b
+         |          WHERE pround(c / (na.n + nb.n - c), 4) >= $DropThreshold),
+         |j AS (SELECT e.doc_a IS NOT NULL AS ex, c.doc_a IS NOT NULL AS cd
+         |      FROM exact e FULL OUTER JOIN cand c
+         |        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+         |SELECT count(CASE WHEN ex THEN 1 END) AS n_exact,
+         |  count(CASE WHEN cd THEN 1 END) AS n_candidates,
+         |  count(CASE WHEN ex AND cd THEN 1 END) AS n_found,
+         |  pround(count(CASE WHEN ex AND cd THEN 1 END) /
+         |         count(CASE WHEN ex THEN 1 END), 4) AS recall,
+         |  pround(count(CASE WHEN ex AND cd THEN 1 END) /
+         |         count(CASE WHEN cd THEN 1 END), 4) AS precision
+         |FROM j""".stripMargin,
     "dedup_source_overlap" ->
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
