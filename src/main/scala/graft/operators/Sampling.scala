@@ -402,6 +402,46 @@ object Sampling {
   private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame =
     dsirScoreWith(docs, dsirModelOf(docs))
 
+  private val Shards = 16
+
+  /** Deterministic training-order shuffle + shard assignment, audited
+    * per shard. Training runs need the corpus globally shuffled into
+    * S equal-ish shards with an order that is reproducible on any
+    * engine, any partitioning, any retry — so, like every sampler
+    * here, the "random" order is the portable hash: shard =
+    * H("shuffle:" || doc_id) % S, within-shard order = ascending H.
+    *
+    * The 100 TB shape: shard assignment is a pure map-side projection
+    * (no ntile/global row_number — a total order means ONE
+    * range-sorted reducer chain, where the hash-prefix assignment
+    * needs zero coordination), and the physical write is one
+    * repartition(S, shard) + within-partition sort — the canonical
+    * single-shuffle shuffled-write. The audit emits per-shard
+    * counts/bytes (balance check: uniform hash → shards within a few
+    * % of each other), the hash range covered, and the first doc in
+    * training order. first_doc ties on 32-bit hash collisions are
+    * broken by doc_id via the packed key H·2³¹ + doc_id — exact in
+    * signed 64-bit for doc_id < 2³¹ (max value 2⁶³-1), engine-portable
+    * where a struct/tuple min_by key is not.
+    */
+  def shuffleShards(s: SparkSession, d: String): DataFrame =
+    shuffleShardsOf(Tables.documents(s, d))
+
+  private[graft] def shuffleShardsOf(docs: DataFrame): DataFrame = {
+    val h = portableHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    docs
+      .select(col("doc_id"), col("n_chars"), h.as("h"),
+              (h % Shards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min_by(col("doc_id"), col("h") * lit(2147483648L) + col("doc_id"))
+             .as("first_doc"),
+           min(col("h")).as("min_h"),
+           max(col("h")).as("max_h"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_dsir" -> dsirWeights _,
     "smp_sample" -> sample _,
@@ -413,6 +453,7 @@ object Sampling {
     "smp_temperature" -> temperatureMixture _,
     "smp_temperature_docs" -> temperatureDocs _,
     "smp_eval_balanced" -> evalBalanced _,
+    "smp_shuffle_shards" -> shuffleShards _,
   )
 
   private[operators] def bucketSql(prefix: String) =
@@ -557,5 +598,16 @@ object Sampling {
          |FROM documents
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    "smp_shuffle_shards" -> {
+      val hSql = portableHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min_by(doc_id, CAST(h * 2147483648 + doc_id AS BIGINT)) AS first_doc,
+         |  min(h) AS min_h, max(h) AS max_h
+         |FROM (SELECT doc_id, n_chars, $hSql AS h, $hSql % $Shards AS shard
+         |      FROM documents) t
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin
+    },
   )
 }

@@ -89,6 +89,36 @@ object TextPipeline {
         pround(col("n_nonalpha") / col("n_chars"), 4).as("nonalpha_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Entropy quality signals: per-document Shannon entropy (log2) of
+    * the codepoint distribution and of the token distribution — the
+    * cheap detectors for fill text (flat char histograms score near
+    * zero) and shuffled repetition (low token entropy at normal char
+    * entropy) that the run-length repetition gate misses.
+    *
+    * Both entropies are single map-side codegen expressions
+    * ([[graft.functions.EntropyOf]]) — the explode → groupBy(doc,
+    * value) → groupBy(doc) derivation would shuffle every character
+    * of the corpus twice for a per-row scalar; this plan shuffles
+    * nothing (the final orderBy is the only exchange, over one row
+    * per doc). Token-less documents are absent, as in quality. The
+    * oracle mirrors with DuckDB's entropy() aggregate over
+    * string_split(text,'') / the token unnest — same
+    * log2(n) - Σ c·log2(c)/n identity, pround(4) absorbing libm ulps.
+    */
+  def entropyScore(s: SparkSession, d: String): DataFrame =
+    entropyOf(Tables.documents(s, d))
+
+  private[graft] def entropyOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        pround(graft.functions.EntropyOf.codepoint_entropy(col("text")), 4)
+          .as("char_entropy"),
+        pround(graft.functions.EntropyOf.array_entropy(tokens(col("text"))), 4)
+          .as("word_entropy"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "an", "and", "of", "is", "to", "in"),
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en"),
@@ -169,6 +199,56 @@ object TextPipeline {
       .select(col("doc_id"), col("rnk"), col("word"),
               col("tf"), col("df"), pround(col("tfidf"), 4).as("tfidf"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Corpus collocations: top-20 ADJACENT token pairs by pointwise
+    * mutual information, pmi = ln(c_xy·N / (c_x·c_y)), over
+    * case-folded tokens with a c_xy ≥ 3 noise floor — the standard
+    * phrase-mining statistic (and the corpus-level complement of
+    * txt_lm_score's per-doc bigram log-prob).
+    *
+    * Scale shape: bigrams are built MAP-SIDE by zipping the token
+    * array with its own tail (no posexplode + window — a window
+    * keyed (doc, pos) would shuffle every token of the corpus just to
+    * pair neighbours), so the only corpus-sized exchanges are the two
+    * partially-aggregated groupBys (pair counts, unigram counts) —
+    * both shrink to vocabulary size before the wire. Unigram counts
+    * are a second scan of the token stream rather than a derivation
+    * from pair counts (the last token of each doc has no pair row, so
+    * the marginals are NOT derivable — unlike tfidf's df-from-tf).
+    * The two marginal joins key on the c_xy ≥ 3 filtered pair side
+    * (small); N folds in as a broadcast scalar. Ranking on
+    * pround(pmi, 6) with (w1, w2) tiebreak keeps the global top-20
+    * cut engine-stable, and orderBy+limit stays a distributed
+    * TakeOrdered, never a single-partition window.
+    */
+  def pmi(s: SparkSession, d: String): DataFrame =
+    pmiOf(Tables.documents(s, d))
+
+  private[graft] def pmiOf(docs: DataFrame): DataFrame = {
+    val tk = docs.select(tokens(lower(col("text"))).as("tk"))
+    val pairs = tk
+      .filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 3)
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).cast("double").as("n_tok"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", log(col("c_xy") * col("n_tok") / (col("c_x") * col("c_y"))))
+      .orderBy(pround(col("pmi"), 6).desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+              pround(col("pmi"), 4).as("pmi"))
   }
 
   /** BPE-ish pre-tokenizer pattern (GPT-2 style: contractions,
@@ -889,6 +969,8 @@ object TextPipeline {
     "txt_quality"     -> quality _,
     "txt_langid"      -> langId _,
     "txt_fingerprint" -> fingerprint _,
+    "txt_entropy"     -> entropyScore _,
+    "txt_pmi"         -> pmi _,
   )
 
   private val tokSql =
@@ -1281,6 +1363,42 @@ object TextPipeline {
         |ORDER BY doc_id""".stripMargin,
     "txt_quality" -> QualityOracleSql,
     "txt_langid" -> LangIdOracleSql,
+    "txt_entropy" ->
+      """WITH ch AS (SELECT doc_id, entropy(c) AS char_entropy
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents) u
+        |  GROUP BY doc_id),
+        |tok AS (SELECT doc_id, entropy(word) AS word_entropy,
+        |          count(*) AS n_tokens
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents) u
+        |  WHERE word <> ''
+        |  GROUP BY doc_id)
+        |SELECT ch.doc_id, pround(ch.char_entropy, 4) AS char_entropy,
+        |  pround(tok.word_entropy, 4) AS word_entropy, tok.n_tokens
+        |FROM ch JOIN tok ON ch.doc_id = tok.doc_id
+        |ORDER BY ch.doc_id""".stripMargin,
+    "txt_pmi" ->
+      """WITH tks AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                t -> t <> '') AS tk
+        |             FROM documents),
+        |occ AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |              FROM tks WHERE len(tk) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS c_xy FROM occ
+        |        GROUP BY w1, w2 HAVING count(*) >= 3),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM tks) u GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni)
+        |SELECT w1, w2, c_xy, c_x, c_y, pround(pmi, 4) AS pmi
+        |FROM (SELECT big.w1, big.w2, big.c_xy, x.c AS c_x, y.c AS c_y,
+        |        ln(big.c_xy * n.n_tok / (x.c * y.c)) AS pmi
+        |      FROM big
+        |      JOIN uni x ON x.w = big.w1
+        |      JOIN uni y ON y.w = big.w2
+        |      CROSS JOIN n) t
+        |ORDER BY pround(pmi, 6) DESC, w1, w2
+        |LIMIT 20""".stripMargin,
     "wc_heavy_hitters" ->
       """WITH w AS (SELECT word
         |  FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
