@@ -207,6 +207,55 @@ object Relational {
         ceil(col("max_cnt") / col("p90")).cast("long").as("suggested_salts"))
   }
 
+  /** Z-order (Morton) layout audit over (user_id, activity-hour) —
+    * the multi-column data-skipping layout. Sorting 100 TB by ONE
+    * column gives perfect min/max pruning on that column and none on
+    * any other; writing in Z-value order bounds every contiguous
+    * range (file / row-group) in BOTH dimensions, so per-file min/max
+    * stats prune scans filtered on EITHER column. This query computes
+    * the layout's own proof: events are quantized to a 16-bit grid
+    * per dimension (min/max bounds folded in as ONE broadcast scalar
+    * row — plan stays lazy), Z-interleaved with [[ScaleOps.zValue]]
+    * (pure built-in long arithmetic: codegen'd, oracle-mirrorable),
+    * and audited per 2²⁴-cell Z-tile: every tile's span is ≤ 4096
+    * quantized cells ≈ 1/16 of the range in EACH dimension — where
+    * equal-count chunks of a time-sorted layout span the FULL
+    * user-id range (ZOrderSpec quantifies the comparison).
+    *
+    * 100 TB shape: quantize+interleave is a map-side projection; the
+    * audit is one partially-aggregated groupBy over ≤ 256 tiles; the
+    * production write is `sort by z` within range-partitioned output
+    * — no new shuffle class.
+    */
+  def opsZorder(s: SparkSession, d: String): DataFrame =
+    zorderAuditOf(Tables.events(s, d))
+
+  private[graft] def zorderAuditOf(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      (unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("hr"))
+    val bounds = base.agg(
+      min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+      min(col("hr")).as("h_min"), max(col("hr")).as("h_max"))
+    base.crossJoin(broadcast(bounds))
+      .select(
+        floor((col("user_id") - col("u_min")).cast("double") * 65536d /
+              (col("u_max") - col("u_min") + 1)).cast("long").as("qx"),
+        floor((col("hr") - col("h_min")).cast("double") * 65536d /
+              (col("h_max") - col("h_min") + 1)).cast("long").as("qy"))
+      .select(shiftright(ScaleOps.zValue(col("qx"), col("qy")), 24).as("tile"),
+              col("qx"), col("qy"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("qx")).as("x_min"), max(col("qx")).as("x_max"),
+           min(col("qy")).as("y_min"), max(col("qy")).as("y_max"))
+      .select(col("tile"), col("n_events"),
+              col("x_min"), col("x_max"),
+              (col("x_max") - col("x_min") + 1).as("x_span"),
+              col("y_min"), col("y_max"),
+              (col("y_max") - col("y_min") + 1).as("y_span"))
+      .orderBy(col("tile"))
+  }
+
   /** Tumbling-hour aggregation over the event stream table — the
     * batch shape of the streaming windowed agg (SURVEY §2.7).
     */
@@ -703,6 +752,7 @@ object Relational {
     "q9_rollup_acctbal"    -> q9RollupAcctbal _,
     "q10_set_ops"          -> q10SetOps _,
     "ops_key_skew"         -> opsKeySkew _,
+    "ops_zorder"           -> opsZorder _,
     "q11_events_hourly"    -> q11EventsHourly _,
     "q12_user_sessions"    -> q12UserSessions _,
     "q13_distinct_users"   -> q13DistinctUsers _,
@@ -1033,6 +1083,23 @@ object Relational {
         |  pround(max(cnt) / avg(cnt), 4) AS skew_factor,
         |  CAST(ceil(max(cnt) / quantile_cont(cnt, 0.9)) AS BIGINT) AS suggested_salts
         |FROM c""".stripMargin,
+    "ops_zorder" -> {
+      val qx = "CAST(floor(CAST(user_id - u_min AS DOUBLE) * 65536 / (u_max - u_min + 1)) AS BIGINT)"
+      val qy = "CAST(floor(CAST(hr - h_min AS DOUBLE) * 65536 / (h_max - h_min + 1)) AS BIGINT)"
+      s"""WITH base AS (SELECT user_id,
+         |        CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr
+         |      FROM events),
+         |b AS (SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+         |             min(hr) AS h_min, max(hr) AS h_max FROM base),
+         |q AS (SELECT $qx AS qx, $qy AS qy FROM base CROSS JOIN b),
+         |t AS (SELECT (${ScaleOps.zValueSql("qx", "qy")} >> 24) AS tile, qx, qy
+         |      FROM q)
+         |SELECT tile, count(*) AS n_events,
+         |  min(qx) AS x_min, max(qx) AS x_max, max(qx) - min(qx) + 1 AS x_span,
+         |  min(qy) AS y_min, max(qy) AS y_max, max(qy) - min(qy) + 1 AS y_span
+         |FROM t GROUP BY tile
+         |ORDER BY tile""".stripMargin
+    },
     "q11_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  count(*) AS n_events, pround(sum(value), 2) AS sum_value

@@ -12,6 +12,43 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  import org.apache.spark.sql.Column
+
+  /** Bit-spread of a 16-bit value (bit i → bit 2i) — the classic
+    * 4-step magic-mask sequence, composed from BUILT-IN long
+    * arithmetic so it stays inside whole-stage codegen and has a
+    * verbatim SQL mirror ([[spread16Sql]]) for the DuckDB oracle.
+    */
+  def spread16(c: Column): Column = {
+    val a = c.bitwiseAND(lit(65535L))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val e = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val f = e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x33333333L))
+    f.bitwiseOR(shiftleft(f, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton/Z-value of two 16-bit quantized dimensions: x in even
+    * bits, y in odd bits. Sorting or tiling by this value gives a
+    * layout whose contiguous ranges are BOUNDED IN BOTH dimensions —
+    * the multi-column data-skipping layout (Z-ordering) behind
+    * `ops_zorder`'s audit.
+    */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** DuckDB mirror of [[spread16]] applied to SQL expression `e`. */
+  def spread16Sql(e: String): String = {
+    val a = s"(($e) & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val d = s"(($c | ($c << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  /** DuckDB mirror of [[zValue]]. */
+  def zValueSql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
   /** EXACT per-group percentiles with `percentile()`'s linear
     * interpolation, computed through a rank window instead of the
     * built-in aggregate. The built-in buffers a group's ENTIRE value
