@@ -238,6 +238,58 @@ object Dedup {
         pround(col("n_found") / col("n_candidates"), 4).as("precision"))
   }
 
+  /** Probe-sample modulus for [[minhashRecallSample]]: 1-in-10 docs. */
+  private val RecallProbeMod = 10
+
+  /** SAMPLED LSH quality audit — the production form of
+    * [[minhashRecall]], per SCALE.md's honest negative: the full
+    * audit's exact side is the UNCAPPED inverted-gram self-join,
+    * whose candidate fan-out grows with the square of posting-list
+    * length (46 GB of spill at the replicated 100× rung). This form
+    * audits only pairs INCIDENT TO a hash-sampled probe set (1 in
+    * $RecallProbeMod docs, portable hash, independent of every other
+    * sampler's salt): the probe docs' grams join the full index, so
+    * exact-side fan-out is bounded by |probe|·posting-length — LINEAR
+    * in corpus size at a fixed sample rate, not quadratic. Because
+    * the probe hash is independent of the banding hashes, recall
+    * over incident pairs is an unbiased estimator of corpus recall.
+    * Candidates are the banded pairs filtered to the same incidence
+    * predicate; both sides meet in the same full-outer + scalar agg,
+    * with the probe count folded in as a broadcast scalar.
+    */
+  def minhashRecallSample(s: SparkSession, d: String): DataFrame = {
+    def probe(c: org.apache.spark.sql.Column) =
+      portableHash(concat(lit("recall:"), c.cast("string"))) % RecallProbeMod === 0
+    val ngn = gramHashRows(s, d).repartition(col("gh"))
+    val a = ngn.filter(probe(col("doc_id")))
+      .select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val b = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    val exact = a.join(b, Seq("gh")).filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(pround(col("c") / (col("na") + col("nb") - col("c")), 4)
+        >= DropThreshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+      .withColumn("ex", lit(1))
+    val cand = minhashPairs(s, d)
+      .filter(probe(col("doc_a")) || probe(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("cd"))
+    val nProbe = Tables.documents(s, d)
+      .filter(probe(col("doc_id")))
+      .agg(count(lit(1)).as("n_probe"))
+    exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("ex")).as("n_exact"),
+           count(col("cd")).as("n_candidates"),
+           count(when(col("ex") === 1 && col("cd") === 1, 1)).as("n_found"))
+      .crossJoin(broadcast(nProbe))
+      .select(col("n_probe"), col("n_exact"), col("n_candidates"),
+        col("n_found"),
+        pround(col("n_found") / col("n_exact"), 4).as("recall"),
+        pround(col("n_found") / col("n_candidates"), 4).as("precision"))
+  }
+
   /** Cross-source near-duplicate overlap matrix — the dataset-audit
     * view of [[minhashPairs]] (the Dolma/RedPajama-style "how much of
     * corpus A is also in corpus B" report): LSH-candidate pairs
@@ -753,6 +805,7 @@ object Dedup {
     "dedup_minhash_sig"   -> minhashSignature _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_minhash_recall" -> minhashRecall _,
+    "dedup_minhash_recall_sample" -> minhashRecallSample _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairsBlocked _,
     "dedup_simhash_capped" -> simhashPairsCapped _,
@@ -982,6 +1035,42 @@ object Dedup {
          |  pround(count(CASE WHEN ex AND cd THEN 1 END) /
          |         count(CASE WHEN cd THEN 1 END), 4) AS precision
          |FROM j""".stripMargin,
+    "dedup_minhash_recall_sample" -> {
+      def probeSql(e: String) =
+        s"(CAST(('0x' || substr(md5('recall:' || CAST($e AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)"
+      s"""WITH $mhCte,
+         |bands AS (SELECT doc_id, i // $BandRows AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |         WHERE a.doc_id < b.doc_id
+         |           AND (${probeSql("a.doc_id")} OR ${probeSql("b.doc_id")})),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM ng a JOIN ng b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |             AND (${probeSql("a.doc_id")} OR ${probeSql("b.doc_id")})
+         |           GROUP BY a.doc_id, b.doc_id),
+         |exact AS (SELECT doc_a, doc_b FROM common
+         |          JOIN sizes na ON na.doc_id = doc_a
+         |          JOIN sizes nb ON nb.doc_id = doc_b
+         |          WHERE pround(c / (na.n + nb.n - c), 4) >= $DropThreshold),
+         |np AS (SELECT count(*) AS n_probe FROM documents
+         |       WHERE ${probeSql("doc_id")}),
+         |j AS (SELECT e.doc_a IS NOT NULL AS ex, c.doc_a IS NOT NULL AS cd
+         |      FROM exact e FULL OUTER JOIN cand c
+         |        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+         |SELECT (SELECT n_probe FROM np) AS n_probe,
+         |  count(CASE WHEN ex THEN 1 END) AS n_exact,
+         |  count(CASE WHEN cd THEN 1 END) AS n_candidates,
+         |  count(CASE WHEN ex AND cd THEN 1 END) AS n_found,
+         |  pround(count(CASE WHEN ex AND cd THEN 1 END) /
+         |         count(CASE WHEN ex THEN 1 END), 4) AS recall,
+         |  pround(count(CASE WHEN ex AND cd THEN 1 END) /
+         |         count(CASE WHEN cd THEN 1 END), 4) AS precision
+         |FROM j""".stripMargin
+    },
     "dedup_source_overlap" ->
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
