@@ -127,7 +127,10 @@ object Dedup {
     * generator (no gram strings, no per-doc window for the size).
     */
   private def gramHashRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    gramHashRowsOf(Tables.documents(s, d))
+
+  private[graft] def gramHashRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         graft.functions.DistinctGramHashes.distinct_gram_hashes(col("tk"), 3))
@@ -465,6 +468,72 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT Jaccard ≥ [[DropThreshold]] pairs via AllPairs prefix
+    * filtering (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06) —
+    * same output as the brute inverted-index join at the near-dup
+    * threshold, radically smaller candidate space. Under a global
+    * gram order (ascending document frequency, gh tiebreak), two
+    * docs with J ≥ t MUST share a gram inside both docs' first
+    * |x| − ⌈t·|x|⌉ + 1 grams: if the smallest shared gram g* missed
+    * a's prefix, ALL shared grams would sit in a's suffix, so
+    * c ≤ ⌈t·|a|⌉ − 1 < t·|a| ≤ t·|a∪b| ≤ c — contradiction (and
+    * symmetrically for b). So indexing only each doc's prefix —
+    * at t = 0.8 the RAREST ~20% of its grams, whose posting lists
+    * are the shortest by construction — generates a complete
+    * candidate set; candidates are then verified exactly against the
+    * full gram sets. This is the principled form of the df-cap's
+    * fan-out bound: `dedup_ngram_capped` changes the score's
+    * semantics, prefix filtering provably does not (the oracle is
+    * the brute join's SQL verbatim at the 0.8 threshold, and
+    * PrefixJoinSpec pins plan-level equality with the uncapped
+    * query's ≥ 0.8 slice).
+    *
+    * 100 TB shape: the df join adds one vocab-sized exchange, the
+    * per-doc prefix window one doc-keyed exchange — both linear —
+    * and the quadratic term collapses from Σ df² over ALL posting
+    * lists to Σ df² over prefix postings, which the df-ascending
+    * prefix order biases toward df ≈ 1.
+    */
+  def ngramPrefixJoin(s: SparkSession, d: String): DataFrame =
+    ngramPrefixJoinOf(gramHashRows(s, d))
+
+  /** The complete candidate set of the prefix filter: doc pairs
+    * sharing at least one gram inside both docs' df-ascending
+    * prefixes (exposed for the spec's candidate-space comparison).
+    */
+  private[graft] def prefixCandidatesOf(grams: DataFrame): DataFrame = {
+    val df = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    // prefix length n − ⌈0.8·n⌉ + 1 in EXACT integer arithmetic:
+    // ⌈4n/5⌉ = (4n + 4) div 5 (a double 0.8·n overshoots for n ≡ 0
+    // mod 5 and would silently shorten the prefix — a missed-pair bug)
+    val prefix = grams.join(df, "gh")
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("gh"))
+      .repartition(col("gh"))
+    prefix.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  private[graft] def ngramPrefixJoinOf(grams: DataFrame): DataFrame = {
+    val cand = prefixCandidatesOf(grams)
+    // exact verification of the candidate set against FULL gram sets
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    cand.join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= DropThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -810,6 +879,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsBlocked _,
     "dedup_simhash_capped" -> simhashPairsCapped _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_ngram_prefix" -> ngramPrefixJoin _,
     "dedup_substr"        -> substrSpans _,
     "dedup_substr_stats"  -> substrStats _,
     "dedup_substr_strip"  -> substrStrip _,
@@ -1128,6 +1198,23 @@ object Dedup {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE pround(c / (na.n + nb.n - c), 4) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the brute inverted-index derivation at the 0.8 threshold — the
+    // prefix-filtered plan must reproduce it EXACTLY (that is the
+    // operator's whole claim)
+    "dedup_ngram_prefix" ->
+      s"""WITH $ngCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM ng a JOIN ng b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  pround(c / (na.n + nb.n - c), 4) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE pround(c / (na.n + nb.n - c), 4) >= $DropThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
     // string-keyed mirror of the hash-keyed span scan: every K-window
     // as its literal token string, duplicated iff it occurs >= 2
