@@ -119,6 +119,66 @@ object TextPipeline {
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Per-source distribution-drift audit: Jensen–Shannon divergence
+    * (in bits) between each source's token-length histogram and the
+    * corpus-wide baseline, plus the bucket driving the drift — the
+    * dataset-monitoring number that flags a source whose content
+    * shape changed between ingest runs (truncation bugs, template
+    * floods, new boilerplate) before it poisons a mixture.
+    *
+    * Shape: ONE corpus pass buckets docs map-side (CountTokens-fused
+    * token count, 10 width-10 buckets); everything downstream derives
+    * from the tiny (source × bucket) count table — per-source totals,
+    * per-bucket baseline, grand total (broadcast scalar) — so the
+    * wire carries at most |sources|·10 rows after the first partial
+    * agg. A source × bucket scaffold (cross join of two derived
+    * aggregates) restores buckets a source never hit (P=0 terms
+    * still contribute through the mixture M = (P+Q)/2). Each JSD
+    * term integerizes at 1e6 BEFORE the sum (the lm_score/q31
+    * trick) so the per-source aggregate is an order-free BIGINT sum
+    * — hash-exact across engines and partitionings; the top-drift
+    * bucket resolves ties deterministically via the packed
+    * |gap|·100 + (99 − b) max_by key.
+    */
+  def driftReport(s: SparkSession, d: String): DataFrame =
+    driftOf(Tables.documents(s, d))
+
+  private[graft] def driftOf(docs: DataFrame): DataFrame = {
+    val bucketed = docs.select(col("source"),
+      least(floor(size(tokens(col("text"))).cast("double") / 10), lit(9d))
+        .cast("long").as("b"))
+    val sb = bucketed.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("n_sb"))
+    val bySrc = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val byB = sb.groupBy(col("b")).agg(sum(col("n_sb")).as("n_b"))
+    val tot = byB.agg(sum(col("n_b")).cast("double").as("n_tot"))
+    val terms = bySrc.crossJoin(byB)
+      .join(sb, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("n_sb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("n_sb").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("n_b").cast("double") / col("n_tot"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        (when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0d))
+          + col("q") * log(col("q") / col("m"))) / 2 / lit(math.log(2.0)))
+      .withColumn("qi", floor(col("term") * 1e6 + 0.5).cast("long"))
+      .withColumn("gap_int",
+        floor((col("p") - col("q")) * 1e6 + 0.5).cast("long"))
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+           sum(col("qi")).as("jsd_int"),
+           max_by(col("b"), abs(col("gap_int")) * 100 + (lit(99) - col("b")))
+             .as("top_bucket"),
+           max_by(col("gap_int"), abs(col("gap_int")) * 100 + (lit(99) - col("b")))
+             .as("top_gap_int"))
+      .select(col("source"), col("n_docs"),
+        pround(col("jsd_int").cast("double") / 1e6, 4).as("jsd_bits"),
+        col("top_bucket"),
+        pround(col("top_gap_int").cast("double") / 1e6, 4).as("top_gap"))
+      .orderBy(col("source"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "an", "and", "of", "is", "to", "in"),
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en"),
@@ -951,6 +1011,7 @@ object TextPipeline {
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
     "pipe_report"      -> pipeReport _,
+    "pipe_drift"       -> driftReport _,
     "txt_ccnet_buckets" -> ccnetBuckets _,
     "txt_ccnet_approx" -> ccnetApprox _,
     "txt_gopher_rules" -> gopherRules _,
@@ -1363,6 +1424,39 @@ object TextPipeline {
         |ORDER BY doc_id""".stripMargin,
     "txt_quality" -> QualityOracleSql,
     "txt_langid" -> LangIdOracleSql,
+    "pipe_drift" ->
+      s"""WITH bucketed AS (SELECT source,
+         |        least(CAST(floor(len($tokSql) / 10) AS BIGINT), 9) AS b
+         |      FROM documents),
+         |sb AS (SELECT source, b, count(*) AS n_sb FROM bucketed GROUP BY 1, 2),
+         |bysrc AS (SELECT source, CAST(sum(n_sb) AS BIGINT) AS n_s
+         |          FROM sb GROUP BY 1),
+         |byb AS (SELECT b, CAST(sum(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_b) AS DOUBLE) AS n_tot FROM byb),
+         |terms AS (SELECT s.source, bb.b, s.n_s,
+         |    CAST(floor(((CASE WHEN COALESCE(x.n_sb, 0) > 0
+         |       THEN (CAST(COALESCE(x.n_sb, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         |            * ln((CAST(COALESCE(x.n_sb, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         |                 / (((CAST(COALESCE(x.n_sb, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         |                     + (CAST(bb.n_b AS DOUBLE) / t.n_tot)) / 2))
+         |       ELSE 0 END
+         |      + (CAST(bb.n_b AS DOUBLE) / t.n_tot)
+         |        * ln((CAST(bb.n_b AS DOUBLE) / t.n_tot)
+         |             / (((CAST(COALESCE(x.n_sb, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         |                 + (CAST(bb.n_b AS DOUBLE) / t.n_tot)) / 2))
+         |     ) / 2 / ln(2)) * 1000000 + 0.5) AS BIGINT) AS qi,
+         |    CAST(floor(((CAST(COALESCE(x.n_sb, 0) AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+         |                - (CAST(bb.n_b AS DOUBLE) / t.n_tot)) * 1000000 + 0.5)
+         |         AS BIGINT) AS gap_int
+         |  FROM bysrc s CROSS JOIN byb bb CROSS JOIN tot t
+         |  LEFT JOIN sb x ON x.source = s.source AND x.b = bb.b)
+         |SELECT source, max(n_s) AS n_docs,
+         |  pround(CAST(sum(qi) AS DOUBLE) / 1000000, 4) AS jsd_bits,
+         |  max_by(b, abs(gap_int) * 100 + (99 - b)) AS top_bucket,
+         |  pround(CAST(max_by(gap_int, abs(gap_int) * 100 + (99 - b)) AS DOUBLE)
+         |         / 1000000, 4) AS top_gap
+         |FROM terms GROUP BY source
+         |ORDER BY source""".stripMargin,
     "txt_entropy" ->
       """WITH ch AS (SELECT doc_id, entropy(c) AS char_entropy
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
