@@ -30,7 +30,9 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.Sampling.queries ++
-    operators.Gossip.queries
+    operators.Gossip.queries ++
+    operators.Graph.queries ++
+    operators.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,7 +45,9 @@ object SparkEntry {
      operators.Similarity.oracles ++
      operators.Multimodal.oracles ++
      operators.Sampling.oracles ++
-     operators.Gossip.oracles)
+     operators.Gossip.oracles ++
+     operators.Graph.oracles ++
+     operators.Expectations.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
       }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.CrossEngine.pround
+
+/** Link-graph centrality — the web-crawl quality signal a pretraining
+  * pipeline weights domains by (OPIC / harmonic-centrality style crawl
+  * prioritization runs exactly this shape over the host graph).
+  *
+  * The synthetic corpus has no hyperlinks, so the graph is the
+  * part↔supplier bipartite co-occurrence graph from `lineitem`
+  * (distinct (l_partkey, l_suppkey) pairs, doubled into a symmetric
+  * directed edge list) — the same iterate-joins-to-fixpoint machinery
+  * applies verbatim to a domain→domain link table.
+  *
+  * Determinism: PageRank's float mass sums are NOT order-free, so the
+  * whole iteration runs in 10⁻¹² fixed-point BIGINT arithmetic —
+  * contributions are `r div outdeg`, the damping blend is
+  * `(85·Σ) div 100` — making every aggregate an order-free integer
+  * sum: partition-count/engine/retry invariant bit for bit (the
+  * integerize-before-aggregate discipline, see SCALE.md). All values
+  * stay nonnegative, so Spark's truncate-toward-zero `div` and
+  * DuckDB's flooring `//` agree (the negative-operand trap in
+  * graft-session notes never arises). Headroom: Σ contrib ≤ 10¹²
+  * (total mass), so the 85× blend peaks ≈ 8.5·10¹³ ≪ 2⁶³.
+  *
+  * Scale shape per iteration: one hash join of the rank vector with
+  * the degree-annotated edge list (both keyed by src — AQE reuses the
+  * edge exchange across iterations at runtime) and one partial-
+  * aggregated groupBy(dst) that shrinks edge-stream rows back to node
+  * cardinality before the wire; the node count folds in as a broadcast
+  * scalar. Nothing corpus-sized is ever resident — at 100 TB (billions
+  * of edges) each of the R=3 unrolled rounds is exactly one shuffle of
+  * the edge stream, and a longer-horizon run would checkpoint the rank
+  * vector every few rounds to cap the lazy plan tree (the
+  * dedup_components 2^rounds lesson; at R=3 the tree is fine lazy).
+  *
+  * Every node of the doubled bipartite graph has outdeg ≥ 1 and
+  * indeg ≥ 1 by construction, so there are no dangling-mass or
+  * no-inbound corner cases and the per-round inner join is total.
+  */
+object Graph {
+
+  /** 10⁻¹² fixed-point unit for the integer rank representation. */
+  private val Unit = 1000000000000L
+
+  private val Damp = 85 // ×1/100 — the classic 0.85 damping factor
+
+  /** Symmetric directed edge list from distinct part–supplier pairs.
+    * The doubling happens MAP-SIDE by exploding a 2-struct array after
+    * ONE distinct (a UNION of two selects would re-evaluate the
+    * distinct subtree per branch — the lazy-plan rule that bit twice).
+    */
+  private def edgesOf(li: DataFrame): DataFrame =
+    li.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .select(explode(array(
+        struct(concat(lit("p"), col("p")).as("src"),
+               concat(lit("s"), col("s")).as("dst")),
+        struct(concat(lit("s"), col("s")).as("src"),
+               concat(lit("p"), col("p")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** Top-20 nodes by 3-round damped PageRank over the part↔supplier
+    * graph; `rank_fixed` is the exact 10⁻¹² fixed-point BIGINT the
+    * iteration runs in, `rank` its human-readable double rendering.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOf(Tables.lineitem(s, d), rounds = 3, topK = 20)
+
+  /** [[pagerank]] over an explicit lineitem-shaped frame (spec entry). */
+  private[graft] def pagerankOf(li: DataFrame, rounds: Int,
+                                topK: Int): DataFrame = {
+    val edges = edgesOf(li)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew  = edges.join(deg, "src") // (src, dst, outdeg)
+    val n   = deg.agg(count(lit(1)).as("n")) // broadcast scalar node count
+    val init = deg.select(col("src").as("node"))
+      .crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$Unit div n").as("r"))
+    val fin = (1 to rounds).foldLeft(init) { (rk, _) =>
+      ew.join(rk, ew("src") === rk("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          expr(s"(($Unit div n) * ${100 - Damp}) div 100 + ($Damp * sc) div 100")
+            .as("r"))
+    }
+    fin
+      .select(col("node"), col("r").as("rank_fixed"),
+        pround(col("r").cast("double") / Unit, 8).as("rank"))
+      .orderBy(col("rank_fixed").desc, col("node"))
+      .limit(topK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pagerank _,
+  )
+
+  /** One damping-blend round of the oracle, as a pair of CTEs. */
+  private def roundCte(i: Int): String =
+    s"""s$i AS (SELECT e.dst AS node, CAST(sum(r.r // d.outdeg) AS BIGINT) AS sc
+       |        FROM edges e JOIN deg d ON e.src = d.src
+       |        JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+       |r$i AS (SELECT node,
+       |          (($Unit // n) * ${100 - Damp}) // 100 + ($Damp * sc) // 100 AS r
+       |        FROM s$i CROSS JOIN n)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+         |               FROM lineitem),
+         |edges AS (
+         |  SELECT 'p' || p AS src, 's' || s AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || s AS src, 'p' || p AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, $Unit // n AS r FROM deg CROSS JOIN n),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)}
+         |SELECT node, r AS rank_fixed,
+         |  pround(CAST(r AS DOUBLE) / $Unit, 8) AS rank
+         |FROM r3 ORDER BY rank_fixed DESC, node LIMIT 20""".stripMargin,
+  )
+}

@@ -721,7 +721,56 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Trailing-window anomaly detection over event volume — the
+    * monitoring query a production ingest runs to catch traffic
+    * spikes/outages per event type: each (type, hour) count is
+    * z-scored against its own trailing 24-hour window.
+    *
+    * Determinism: the window aggregates are INTEGER sufficient
+    * statistics (count, Σcnt, Σcnt² — order-free BIGINT sums, the
+    * q31_corr discipline); mean/variance/z derive from them in pure
+    * double arithmetic, identical in any IEEE engine, so even the
+    * `> 2.0` anomaly flag is engine-exact. Zero-variance frames are
+    * excluded with the exact integer predicate s2·n > sm² (no float
+    * epsilon), short frames with n_frame ≥ 12.
+    *
+    * Scale shape: the corpus-sized exchange is the partial-aggregated
+    * groupBy(type, hour) — the trailing window then runs over the
+    * REDUCED hours×types stream (RANGE frame on integer hour_id), so
+    * the low-cardinality partitionBy(event_type) is a few thousand
+    * rows per partition regardless of event volume.
+    */
+  def evtAnomaly(s: SparkSession, d: String): DataFrame =
+    evtAnomalyOf(Tables.events(s, d))
+
+  /** [[evtAnomaly]] over an explicit events frame (spec entry). */
+  private[graft] def evtAnomalyOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+      .rangeBetween(-24, -1)
+    val mean = col("sm").cast("double") / col("n_frame")
+    val variance =
+      (col("s2") - col("sm").cast("double") * col("sm") / col("n_frame")) /
+        (col("n_frame") - 1)
+    val z = (col("cnt") - mean) / sqrt(variance)
+    hourly
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("sm", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n_frame") >= 12 &&
+        col("s2") * col("n_frame") > col("sm") * col("sm"))
+      .select(col("event_type"), col("hour_id"), col("cnt"), col("n_frame"),
+        pround(mean, 4).as("mean"), pround(z, 4).as("z"),
+        (abs(z) > 2.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_anomaly"       -> evtAnomaly _,
     "q33_retention"     -> q33Retention _,
     "q32_funnel"        -> q32Funnel _,
     "q30_histogram"     -> q30Histogram _,
@@ -761,6 +810,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, hour_id, cnt,
+        |    count(*) OVER w AS n_frame,
+        |    sum(cnt) OVER w AS sm,
+        |    sum(cnt * cnt) OVER w AS s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+        |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_id, cnt, n_frame,
+        |  pround(CAST(sm AS DOUBLE) / n_frame, 4) AS mean,
+        |  pround((cnt - CAST(sm AS DOUBLE) / n_frame) /
+        |    sqrt((s2 - CAST(sm AS DOUBLE) * sm / n_frame) / (n_frame - 1)), 4) AS z,
+        |  abs((cnt - CAST(sm AS DOUBLE) / n_frame) /
+        |    sqrt((s2 - CAST(sm AS DOUBLE) * sm / n_frame) / (n_frame - 1))) > 2.0
+        |    AS is_anomaly
+        |FROM win
+        |WHERE n_frame >= 12 AND s2 * n_frame > sm * sm
+        |ORDER BY event_type, hour_id""".stripMargin,
     "q30_histogram" ->
       """SELECT event_type,
         |  CAST(floor(value / 50.0) + 1 AS BIGINT) AS bucket,

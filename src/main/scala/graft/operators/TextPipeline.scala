@@ -1007,7 +1007,63 @@ object TextPipeline {
       .orderBy(col("source"))
   }
 
+  /** BM25 retrieval scoring — the ranked-search complement of
+    * [[tfidf]] (and the scoring function behind contamination /
+    * quality "find documents about X" audits over a pretraining
+    * corpus). Fixed 3-term query, Robertson/Okapi parameters
+    * k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape — NO token-stream shuffle at all: per-term tf and
+    * doc length are computed MAP-SIDE from the token array
+    * (`size(filter(tk, = term))` per query term — the term list is a
+    * compile-time constant, so no explode→groupBy over the corpus
+    * tokens), corpus statistics (N, Σdl, per-term df) fold into ONE
+    * scalar aggregate broadcast back over the per-doc stream, and the
+    * top-20 cut is a distributed TakeOrdered on pround(score, 6) with
+    * doc_id tiebreak (the tfidf ln-ulp discipline). Cost = two narrow
+    * scans of documents (the per-doc pass and the stats pass — no
+    * exchange for AQE to reuse, the tfidf n-scalar precedent).
+    */
+  def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Of(Tables.documents(s, d))
+
+  private val Bm25Terms = Seq("hash", "merge", "window")
+
+  /** [[bm25]] over an explicit documents frame (spec entry). */
+  private[graft] def bm25Of(docs: DataFrame): DataFrame = {
+    val ti = Bm25Terms.indices
+    val per = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val corpus = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl") +:
+        ti.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    // avgdl and the per-term idf/tf saturation — the SAME expression
+    // tree the oracle SQL spells out, so the double arithmetic is
+    // bit-identical cross-engine given identical integer inputs
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val score = ti.map { i =>
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      val idf = log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    val nHit = ti.map(i =>
+      when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    per.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("dl"), nHit.as("n_hit"),
+        pround(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bm25"         -> bm25 _,
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
     "pipe_report"      -> pipeReport _,
@@ -1080,6 +1136,41 @@ object TextPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_bm25" -> {
+      val ti = Bm25Terms.indices
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+      val dfCols = ti.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n    ")
+      val score = ti.map(i =>
+        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) /
+           |      (tf$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))"""
+          .stripMargin).mkString("\n    + ")
+      val nHit = ti.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+         |                x -> x <> '') AS tk
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |    $tfCols
+         |  FROM tk),
+         |corpus AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |    $dfCols
+         |  FROM per),
+         |scored AS (
+         |  SELECT doc_id, dl,
+         |    CAST($nHit AS BIGINT) AS n_hit,
+         |    $score AS score
+         |  FROM per CROSS JOIN corpus)
+         |SELECT doc_id, dl, n_hit, pround(score, 6) AS score
+         |FROM scored
+         |ORDER BY pround(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+    },
     "pipe_modern" -> {
       val piiSum = PiiPatterns
         .map { case (_, p) => s"len(regexp_extract_all(lower(text), '$p'))" }
