@@ -769,7 +769,63 @@ object Relational {
       .orderBy(col("event_type"), col("hour_id"))
   }
 
+  /** Run-length-compressed state history (SCD2 build): the event log
+    * per user collapses to one row per RUN of identical consecutive
+    * event_type — the change-data-capture step that turns an append
+    * log into a temporal dimension (valid-from/valid-to intervals).
+    *
+    * Shape: one per-user window pass (lag change flag + running sum
+    * island id over the SAME total order ts, event_id — one exchange,
+    * one sort) then a partial-aggregated groupBy — the q12
+    * gaps-and-islands machinery pointed at state transitions. The
+    * change flag is null-safe (`<=>`), so the first event of a user
+    * always opens run 1 in both engines.
+    */
+  def evtScd2(s: SparkSession, d: String): DataFrame =
+    scd2Of(Tables.events(s, d))
+
+  /** [[evtScd2]] over an explicit events frame (spec entry). */
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq", sum(col("chg")).over(wc))
+      .groupBy(col("user_id"), col("run_seq"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("from_ts"), max(col("ts")).as("to_ts"))
+      .orderBy(col("user_id"), col("run_seq"))
+  }
+
+  /** Native session windows in batch — Spark's `session_window`
+    * (merge events within the gap; window end = last event + gap; a
+    * gap of EXACTLY 30 min still MERGES — boundary-touching windows
+    * coalesce, pinned empirically in Scd2SessionSpec) checked against
+    * a from-scratch gaps-and-islands SQL derivation in the oracle: the
+    * two engines compute sessions by entirely different mechanisms
+    * and must land on identical intervals. The streaming twin (same
+    * grouping under a watermark) is [[graft.streaming.EventAnalytics
+    * .sessionStats]], proven stream==batch in EventAnalyticsSpec.
+    */
+  def q34SessionWindows(s: SparkSession, d: String): DataFrame =
+    sessionWindowsOf(Tables.events(s, d))
+
+  /** [[q34SessionWindows]] over an explicit events frame (spec entry). */
+  private[graft] def sessionWindowsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_scd2"          -> evtScd2 _,
+    "q34_session_windows" -> q34SessionWindows _,
     "evt_anomaly"       -> evtAnomaly _,
     "q33_retention"     -> q33Retention _,
     "q32_funnel"        -> q32Funnel _,
@@ -810,6 +866,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_scd2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+        |  FROM seq)
+        |SELECT user_id, run_seq, event_type, count(*) AS n_events,
+        |  min(ts) AS from_ts, max(ts) AS to_ts
+        |FROM runs GROUP BY 1, 2, 3
+        |ORDER BY user_id, run_seq""".stripMargin,
+    "q34_session_windows" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM seq)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM runs GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "evt_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
