@@ -865,7 +865,57 @@ object Dedup {
     out.select(col("v").as("doc_id"), col("lab").as("component_id"))
   }
 
+  /** 2⁴² — the doc_id field width of the keep-best argmax encoding. */
+  private val KeepBestEncUnit = 1L << 42
+
+  /** Quality-aware representative selection over the near-dup
+    * components: per component keep the LONGEST member (n_chars —
+    * "keep the most complete copy", the standard near-dup keep rule),
+    * ties to the lowest doc_id. [[dropList]] keeps the lowest id of
+    * each PAIR; this is the component-level policy a pipeline
+    * actually applies after transitive closure.
+    *
+    * The argmax resolves inside ONE aggregate via the packed integer
+    * encoding n_chars·2⁴² + (2⁴² − 1 − doc_id) — deterministic ties,
+    * no second max-join pass over the membership (the
+    * ann_cluster_purity precedent), with the same in-plan
+    * raise_error range guard: sound only for n_chars < 2²⁰ and
+    * doc_id < 2⁴², and it fails LOUDLY outside that envelope instead
+    * of silently corrupting the winner.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame =
+    keepBestOf(
+      componentsOf(verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))),
+      Tables.documents(s, d))
+
+  /** [[keepBest]] over explicit (doc_id, component_id) and documents
+    * frames (spec entry — the argmax/tie/guard logic under planted
+    * memberships; the component machinery itself is DedupSpec's).
+    */
+  private[graft] def keepBestOf(comp: DataFrame, docs: DataFrame): DataFrame = {
+    val enc = col("n_chars") * lit(KeepBestEncUnit) +
+      (lit(KeepBestEncUnit - 1) - col("doc_id"))
+    val guard = when(col("n_chars").isNull,
+        raise_error(lit("keepBest: null n_chars for component member")))
+      .when(col("n_chars").between(0L, (1L << 20) - 1) &&
+              col("doc_id").between(0L, KeepBestEncUnit - 1), enc)
+      .otherwise(raise_error(concat(
+        lit("keepBest: doc outside packed range (n_chars < 2^20, " +
+          "doc_id < 2^42): "), col("doc_id").cast("string"))))
+    comp
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("enc", guard)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("enc")).as("sc"))
+      .select(col("component_id"), col("n_members"),
+        (lit(KeepBestEncUnit - 1) - col("sc") % lit(KeepBestEncUnit))
+          .as("kept_id"),
+        expr(s"sc div $KeepBestEncUnit").as("kept_chars"))
+      .orderBy(col("component_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best"     -> keepBest _,
     "dedup_drop_list"     -> dropList _,
     "dedup_components"    -> components _,
     "dedup_exact"         -> exact _,
@@ -951,7 +1001,63 @@ object Dedup {
        |              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |       FROM hb GROUP BY doc_id)""".stripMargin
 
+  /** The full dedup_components oracle — also embedded verbatim as a
+    * CTE by the dedup_keep_best oracle, so both gates replay the
+    * IDENTICAL unrolled label propagation (relax + shortcut rounds
+    * mirroring [[componentsOf]] exactly).
+    */
+  private lazy val ComponentsOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"l${i - 1}"
+      // AS MATERIALIZED: each round references its predecessor
+      // twice (relax join + shortcut self-join); inlining would
+      // re-evaluate the whole upstream chain exponentially
+      s"""l$i AS MATERIALIZED (SELECT e.dst AS v, min(l.lab) AS lab
+         |  FROM edges_s e JOIN $prev l ON e.src = l.v GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mhCte,
+       |bands AS (SELECT doc_id, i // $BandRows AS band,
+       |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |          FROM mh GROUP BY doc_id, i // $BandRows),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |          WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+       |verified AS (
+       |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
+       |  FROM pairs p
+       |  JOIN ng x ON x.doc_id = p.doc_a
+       |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
+       |  JOIN sizes na ON na.doc_id = p.doc_a
+       |  JOIN sizes nb ON nb.doc_id = p.doc_b
+       |  GROUP BY 1, 2, 3, 4),
+       |vp AS (SELECT doc_a, doc_b FROM verified
+       |       WHERE pround(c / (na + nb - c), 4) >= $DropThreshold),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |edges_s AS MATERIALIZED (SELECT src, dst FROM edges
+       |          UNION ALL SELECT DISTINCT src, src FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
+       |$rounds,
+       |sc AS (SELECT l.v, least(l.lab, coalesce(j.lab, l.lab)) AS lab
+       |       FROM l4 l LEFT JOIN l4 j ON j.v = l.lab)
+       |SELECT v AS doc_id, lab AS component_id FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" ->
+      s"""WITH comp AS ($ComponentsOracleSql),
+         |m AS (SELECT c.component_id,
+         |        d.n_chars * ${KeepBestEncUnit} +
+         |          (${KeepBestEncUnit - 1} - d.doc_id) AS enc
+         |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT component_id, count(*) AS n_members,
+         |  CAST(${KeepBestEncUnit - 1} - max(enc) % $KeepBestEncUnit AS BIGINT)
+         |    AS kept_id,
+         |  CAST(max(enc) // $KeepBestEncUnit AS BIGINT) AS kept_chars
+         |FROM m GROUP BY 1
+         |ORDER BY component_id""".stripMargin,
     "dedup_drop_list" ->
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
@@ -977,45 +1083,7 @@ object Dedup {
          |ORDER BY drop_id""".stripMargin,
     // mirrors the FIXED label-propagation rounds exactly (unrolled),
     // so Spark and DuckDB agree at any component diameter
-    "dedup_components" -> {
-      // relax + shortcut per round, mirroring componentsOf exactly
-      val rounds = (1 to 4).map { i =>
-        val prev = s"l${i - 1}"
-        // AS MATERIALIZED: each round references its predecessor
-        // twice (relax join + shortcut self-join); inlining would
-        // re-evaluate the whole upstream chain exponentially
-        s"""l$i AS MATERIALIZED (SELECT e.dst AS v, min(l.lab) AS lab
-           |  FROM edges_s e JOIN $prev l ON e.src = l.v GROUP BY e.dst)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |          WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
-         |verified AS (
-         |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
-         |  FROM pairs p
-         |  JOIN ng x ON x.doc_id = p.doc_a
-         |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
-         |  JOIN sizes na ON na.doc_id = p.doc_a
-         |  JOIN sizes nb ON nb.doc_id = p.doc_b
-         |  GROUP BY 1, 2, 3, 4),
-         |vp AS (SELECT doc_a, doc_b FROM verified
-         |       WHERE pround(c / (na + nb - c), 4) >= $DropThreshold),
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vp
-         |          UNION ALL SELECT doc_b, doc_a FROM vp),
-         |edges_s AS MATERIALIZED (SELECT src, dst FROM edges
-         |          UNION ALL SELECT DISTINCT src, src FROM edges),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
-         |$rounds,
-         |sc AS (SELECT l.v, least(l.lab, coalesce(j.lab, l.lab)) AS lab
-         |       FROM l4 l LEFT JOIN l4 j ON j.v = l.lab)
-         |SELECT v AS doc_id, lab AS component_id FROM sc
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dedup_components" -> ComponentsOracleSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents

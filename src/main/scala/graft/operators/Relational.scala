@@ -823,7 +823,42 @@ object Relational {
         col("session_window.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  private val CompactTargetBytes = 16384L
+
+  /** Small-file compaction planner — the layout pass a 100 TB lake
+    * runs continuously: pack each source's documents (in stable
+    * doc_id order) into output files of ~[[CompactTargetBytes]],
+    * reporting one row per planned file (doc count, bytes, id span).
+    * The assignment rule is first-fit in order: a doc starts a new
+    * file when the running byte total before it has crossed the
+    * target — deterministic on any engine/partitioning because it is
+    * pure arithmetic on an exclusive prefix sum.
+    *
+    * Scale shape: the per-source running sum is
+    * [[ScaleOps.prefixSumBy]] — range-bucketed partial sums crossed
+    * with the source key plus one broadcast carry row per occupied
+    * (source, bucket) — NOT `sum OVER (PARTITION BY source)`, whose
+    * single reducer per source is exactly the skew this pass exists
+    * to fix (a hot source IS the source with too many files). The
+    * file rollup is a partial-aggregated groupBy.
+    */
+  def opsCompaction(s: SparkSession, d: String): DataFrame =
+    compactionOf(Tables.documents(s, d))
+
+  /** [[opsCompaction]] over an explicit documents frame (spec entry). */
+  private[graft] def compactionOf(docs: DataFrame): DataFrame =
+    ScaleOps.prefixSumBy(
+        docs.select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", "cum")
+      .withColumn("file_seq",
+        expr(s"(cum - n_chars) div $CompactTargetBytes"))
+      .groupBy(col("source"), col("file_seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("file_seq"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
     "q34_session_windows" -> q34SessionWindows _,
     "evt_anomaly"       -> evtAnomaly _,
@@ -866,6 +901,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_compaction" ->
+      s"""WITH cum AS (
+         |  SELECT source, doc_id, n_chars,
+         |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents),
+         |assigned AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST((cum - n_chars) // $CompactTargetBytes AS BIGINT) AS file_seq
+         |  FROM cum)
+         |SELECT source, file_seq, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM assigned GROUP BY 1, 2
+         |ORDER BY source, file_seq""".stripMargin,
     "evt_scd2" ->
       """WITH seq AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -290,6 +290,49 @@ object ScaleOps {
       .drop("__bucket", "__local", "__carry", "__ord")
   }
 
+  /** Grouped [[prefixSum]]: an independent running sum per `groupCol`
+    * value — the scalable form of
+    * `sum(v) OVER (PARTITION BY g ORDER BY ord)` when single groups
+    * are themselves too large for one reducer (a per-source corpus at
+    * 100 TB). Same range-bucket trick, with buckets CROSSED with the
+    * group key: local sums run per (group, bucket) — parallel even
+    * inside one giant group — and the carry table (one row per
+    * occupied (group, bucket), built by a triangular self-join of the
+    * per-bucket totals) broadcasts back. Carry size is
+    * groups × buckets rows; for group cardinalities where that
+    * outgrows a broadcast, drop the `broadcast` hint and the carry
+    * join degrades gracefully to a shuffle join on (group, bucket).
+    */
+  def prefixSumBy(df: DataFrame, groupCol: String, orderCol: String,
+                  valueCol: String, outCol: String = "cum",
+                  buckets: Int = -1): DataFrame = {
+    val nBuckets = sessionBuckets(df, buckets)
+    val obs = df.withColumn("__ord", col(orderCol).cast("long"))
+    val mm = obs.agg(min(col("__ord")).as("mn"), max(col("__ord")).as("mx"))
+      .select(col("mn"), col("mx"),
+        greatest(lit(1L), least(lit(nBuckets.toLong), col("mx") - col("mn") + 1))
+          .cast("int").as("nb"))
+    val b = obs.crossJoin(broadcast(mm))
+      .withColumn("__bucket",
+        width_bucket(col("__ord"), col("mn"), col("mx") + 1, col("nb")))
+      .drop("mn", "mx", "nb")
+    val w = Window.partitionBy(col(groupCol), col("__bucket"))
+      .orderBy(col("__ord"))
+    val local = b.withColumn("__local", sum(col(valueCol)).over(w))
+    val btot = b.groupBy(col(groupCol), col("__bucket"))
+      .agg(sum(col(valueCol)).as("__btot"))
+    val carry = btot.as("a")
+      .join(btot.as("b"),
+        col(s"b.$groupCol") === col(s"a.$groupCol") &&
+          col("b.__bucket") < col("a.__bucket"))
+      .groupBy(col(s"a.$groupCol").as(groupCol),
+        col("a.__bucket").as("__bucket"))
+      .agg(sum(col("b.__btot")).as("__carry"))
+    local.join(broadcast(carry), Seq(groupCol, "__bucket"), "left")
+      .withColumn(outCol, col("__local") + coalesce(col("__carry"), lit(0L)))
+      .drop("__bucket", "__local", "__carry", "__ord")
+  }
+
   /** Explicit `buckets` wins; otherwise the session's shuffle
     * parallelism — the same number every other wide stage runs at.
     */

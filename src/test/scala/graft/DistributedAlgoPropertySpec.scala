@@ -40,6 +40,41 @@ class DistributedAlgoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSumBy equals the per-group sequential running sum") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      ids <- Gen.pick(n, 1 to 10000)
+      grps <- Gen.listOfN(n, Gen.choose(0, 4))
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield ids.toSeq.sorted.lazyZip(grps).lazyZip(vals).toSeq
+    for (seed <- 1L to 8L) {
+      val rows = sample(gen, seed)
+      val df = rows.toDF("id", "g", "v").repartition(5)
+      val got = ScaleOps.prefixSumBy(df, "g", "id", "v", "cum", buckets = 6)
+        .select($"id", $"cum").as[(Int, Long)].collect().toMap
+      val acc = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      rows.foreach { case (id, g, v) =>
+        acc(g) += v
+        assert(got(id) == acc(g), s"seed=$seed id=$id g=$g")
+      }
+    }
+  }
+
+  test("prefixSumBy matches the single-partition window form") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i, s"s${i % 7}", (i * 31 % 101).toLong))
+    val df = rows.toDF("id", "g", "v").repartition(9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"id")
+      .rowsBetween(Long.MinValue, 0)
+    val expect = df.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum").as[(Int, Long)].collect().toMap
+    val got = ScaleOps.prefixSumBy(df, "g", "id", "v", "cum", buckets = 11)
+      .select($"id", $"cum").as[(Int, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("gapRanges equals the direct set computation on random id sets") {
     import spark.implicits._
     val gen = for {
