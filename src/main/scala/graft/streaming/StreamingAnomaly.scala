@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Live traffic-anomaly detection — the streaming twin of the batch
+  * `evt_anomaly` query: each finalized (event_type, hour) count is
+  * z-scored against that type's trailing 24-hour window, held in
+  * `transformWithState` state.
+  *
+  * Input contract: FINALIZED hourly counts (event_type, hour_id, cnt)
+  * — upstream is the watermarked tumbling-window aggregation
+  * ([[EventAnalytics.windowedStats]] shape, append mode), which emits
+  * each window exactly once when the watermark passes it, in
+  * nondecreasing hour order per key.
+  *
+  * Determinism contract: the arithmetic is byte-for-byte the batch
+  * query's — integer sufficient statistics (n, Σcnt, Σcnt²) over the
+  * trailing RANGE-24 frame, mean/variance/z in the same double
+  * expression order, the same exact-integer zero-variance guard
+  * s2·n > sm² and n ≥ 12 warm-up — so StreamingAnomalySpec can assert
+  * row equality, not approximate agreement.
+  *
+  * Scale shape: state is ONE ValueState row per event_type holding at
+  * most 24 (hour, cnt) pairs — bounded regardless of stream length;
+  * keys distribute across executors. Out-of-order rows WITHIN a
+  * micro-batch are sorted by hour before applying; entries older than
+  * maxHour − 24 are evicted on every update.
+  */
+object StreamingAnomaly {
+
+  case class History(hours: Seq[Long], cnts: Seq[Long])
+  case class AnomalyRow(event_type: String, hour_id: Long, cnt: Long,
+                        n_frame: Long, mean: Double, z: Double,
+                        is_anomaly: Boolean)
+
+  private def pround4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** The batch query's arithmetic on a trailing frame; None when the
+    * warm-up or zero-variance guard rejects the hour.
+    */
+  private[streaming] def score(frame: Seq[Long], hour: Long, cnt: Long,
+                               typ: String): Option[AnomalyRow] = {
+    val n = frame.size.toLong
+    val sm = frame.sum
+    val s2 = frame.map(c => c * c).sum
+    if (n < 12 || s2 * n <= sm * sm) None
+    else {
+      val mean = sm.toDouble / n
+      val variance = (s2 - sm.toDouble * sm / n) / (n - 1)
+      val z = (cnt - mean) / math.sqrt(variance)
+      Some(AnomalyRow(typ, hour, cnt, n, pround4(mean), pround4(z),
+        math.abs(z) > 2.0))
+    }
+  }
+
+  class Processor extends
+      StatefulProcessor[String, (String, Long, Long), AnomalyRow] {
+
+    @transient private var hist: ValueState[History] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getValueState[History](
+        "hist", Encoders.product[History], TTLConfig.NONE)
+
+    override def handleInputRows(
+        typ: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[AnomalyRow] = {
+      var entries: Vector[(Long, Long)] =
+        if (hist.exists()) {
+          val h = hist.get()
+          h.hours.zip(h.cnts).toVector
+        } else Vector.empty
+      val out = Vector.newBuilder[AnomalyRow]
+      rows.toSeq.sortBy(_._2).foreach { case (_, hour, cnt) =>
+        val frame = entries.collect {
+          case (h, c) if h >= hour - 24 && h <= hour - 1 => c
+        }
+        score(frame, hour, cnt, typ).foreach(out += _)
+        entries = (entries.filterNot(_._1 == hour) :+ (hour, cnt))
+          .filter(_._1 > hour - 24) // only the trailing day feeds future frames
+          .sortBy(_._1)
+      }
+      hist.update(History(entries.map(_._1), entries.map(_._2)))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        typ: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AnomalyRow] =
+      Iterator.empty
+  }
+
+  /** stream: (event_type, hour_id, cnt) finalized hourly counts.
+    * State per type ≤ 24 (hour, cnt) pairs.
+    */
+  def anomalies(
+      stream: Dataset[(String, Long, Long)]): Dataset[AnomalyRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_._1)
+      .transformWithState(
+        new Processor,
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+}
