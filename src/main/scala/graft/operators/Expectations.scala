@@ -85,11 +85,44 @@ object Expectations {
       .orderBy(col("table_name"), col("rule"))
   }
 
+  private val KAnonK = 5L
+  private val KAnonSizeBucket = 200L
+
+  /** k-anonymity audit — the privacy-governance complement of
+    * txt_pii's content scan: group documents by their quasi-identifier
+    * tuple (lang, source, coarse size bucket) and flag every group
+    * smaller than k = [[KAnonK]]; a small group means those documents
+    * are re-identifiable from metadata alone even with the text
+    * scrubbed. One partial-aggregated groupBy — the audit costs a
+    * single narrow scan at any corpus size.
+    */
+  def kanon(s: SparkSession, d: String): DataFrame =
+    kanonOf(Tables.documents(s, d))
+
+  /** [[kanon]] over an explicit documents frame (spec entry). */
+  private[graft] def kanonOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        expr(s"n_chars div $KAnonSizeBucket").as("size_bucket"))
+      .groupBy(col("lang"), col("source"), col("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("below_k", col("n") < KAnonK)
+      .orderBy(col("lang"), col("source"), col("size_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_expectations" -> expectations _,
+    "pipe_kanon"        -> kanon _,
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_kanon" ->
+      s"""WITH q AS (
+         |  SELECT lang, source, CAST(n_chars // $KAnonSizeBucket AS BIGINT)
+         |      AS size_bucket,
+         |    count(*) AS n
+         |  FROM documents GROUP BY 1, 2, 3)
+         |SELECT lang, source, size_bucket, n, n < $KAnonK AS below_k
+         |FROM q ORDER BY lang, source, size_bucket""".stripMargin,
     "pipe_expectations" -> {
       val langs = KnownLangs.map(l => s"'$l'").mkString(",")
       val types = KnownEventTypes.map(t => s"'$t'").mkString(",")

@@ -857,7 +857,40 @@ object Relational {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("file_seq"))
 
+  /** Incremental aggregate maintenance — the pattern that lets a
+    * 100 TB warehouse ingest daily batches WITHOUT rescanning history:
+    * hourly sufficient statistics (count, milli-integerized sum) are
+    * computed per ingest batch, then MERGED by re-aggregation; the
+    * oracle computes the same stats over the full table in one pass,
+    * so the gate proves merge(partials) == full recompute bit for bit.
+    * Here the "batches" are the even/odd event_id halves; in
+    * production they are yesterday's saved partials and today's new
+    * partition (the BloomDedup / CCNet-model persistent-state
+    * precedent, applied to aggregate state). Works because every
+    * statistic is an order-free BIGINT sum — the same property the
+    * determinism contract already demands.
+    */
+  def evtHourlyInc(s: SparkSession, d: String): DataFrame =
+    evtHourlyIncOf(Tables.events(s, d))
+
+  /** [[evtHourlyInc]] over an explicit events frame (spec entry). */
+  private[graft] def evtHourlyIncOf(events: DataFrame): DataFrame = {
+    def partials(parity: Int) = events
+      .filter(col("event_id") % 2 === parity)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v_milli"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_milli")).as("sum_milli"))
+    partials(0).unionByName(partials(1))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_milli")).as("sum_milli"))
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
     "q34_session_windows" -> q34SessionWindows _,
@@ -901,6 +934,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL single-pass aggregation — equality with
+    // the Spark side's merge-of-batch-partials proves mergeability
+    "evt_hourly_inc" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_milli
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, hour_id""".stripMargin,
     "ops_compaction" ->
       s"""WITH cum AS (
          |  SELECT source, doc_id, n_chars,
