@@ -97,6 +97,23 @@ class ChaosSpec extends AnyFunSuite {
       "post-shuffle retry + shuffle refetch diverged from clean run")
   }
 
+  test("iterative fixed-point pagerank survives task retries bit for bit") {
+    // the claim under test is the BIGINT fixed-point discipline: an
+    // iterative float PageRank could legitimately differ after a
+    // retry re-orders partial sums; the integer ranks may not
+    val li = graft.sources.Tables.lineitem(spark, sf).repartition(8)
+    val clean = graft.operators.Graph.pagerankOf(li, 3, 100).collect()
+    val (chaos, failed) = countingFailures {
+      graft.operators.Graph.pagerankOf(Chaos.failFirstAttempt(li), 3, 100)
+        .collect()
+    }
+    assert(failed >= 8, s"chaos must actually fail the map tasks, saw $failed")
+    assert(chaos.length == clean.length && clean.nonEmpty)
+    assert(chaos.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      clean.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "retried pagerank run diverged from the clean run")
+  }
+
   test("stalled first attempts (speculation's target shape) stay correct") {
     assert(spark.conf.get("spark.speculation") == "true")
     val docs = TextAnalytics.documents(spark, corpus).repartition(8)
