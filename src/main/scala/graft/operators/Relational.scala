@@ -889,7 +889,45 @@ object Relational {
       .orderBy(col("event_type"), col("hour_id"))
   }
 
+  /** Join-cardinality predictor — the planning measurement that
+    * decides whether a join is safe to run BEFORE running it: exact
+    * output cardinality Σ ca·cb from the two sides' per-key
+    * histograms, the uniform-ratio skew factor
+    * max_contrib · n_keys / total, and the top contributing keys
+    * (the ones to salt). Companion to ops_key_skew, which profiles
+    * ONE side; this one predicts the product.
+    *
+    * Scale shape: each histogram is a partial-aggregated groupBy that
+    * shrinks the fact stream to key cardinality before the wire; the
+    * histogram join moves only distinct keys. Cost is two narrow
+    * scans — far cheaper than the join it audits whenever key
+    * cardinality ≪ row count (the case where the audit matters).
+    */
+  def opsJoinCard(s: SparkSession, d: String): DataFrame =
+    joinCardOf(Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+      Tables.orders(s, d).select(col("o_orderkey").as("k")),
+      "lineitem_x_orders")
+
+  /** [[opsJoinCard]] over explicit single-column key frames. */
+  private[graft] def joinCardOf(left: DataFrame, right: DataFrame,
+                                joinName: String): DataFrame = {
+    val a = left.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val b = right.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val m = a.join(b, "k").withColumn("contrib", col("ca") * col("cb"))
+    val tot = m.agg(sum(col("contrib")).as("join_rows"),
+      count(lit(1)).as("n_matching_keys"),
+      max(col("contrib")).as("max_key_contrib"))
+    m.crossJoin(broadcast(tot))
+      .select(lit(joinName).as("join_name"), col("k"), col("ca"), col("cb"),
+        col("contrib"), col("join_rows"), col("n_matching_keys"),
+        pround(col("max_key_contrib").cast("double") *
+          col("n_matching_keys") / col("join_rows"), 4).as("skew_factor"))
+      .orderBy(col("contrib").desc, col("k"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_join_card"     -> opsJoinCard _,
     "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
@@ -934,6 +972,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_join_card" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+        |m AS (SELECT a.k, a.ca, b.cb, a.ca * b.cb AS contrib
+        |      FROM a JOIN b ON a.k = b.k),
+        |tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS join_rows,
+        |               count(*) AS n_matching_keys,
+        |               CAST(max(contrib) AS BIGINT) AS max_key_contrib
+        |        FROM m)
+        |SELECT 'lineitem_x_orders' AS join_name, m.k, m.ca, m.cb, m.contrib,
+        |  t.join_rows, t.n_matching_keys,
+        |  pround(CAST(t.max_key_contrib AS DOUBLE) * t.n_matching_keys
+        |    / t.join_rows, 4) AS skew_factor
+        |FROM m CROSS JOIN tot t
+        |ORDER BY m.contrib DESC, m.k LIMIT 10""".stripMargin,
     // the oracle is the FULL single-pass aggregation — equality with
     // the Spark side's merge-of-batch-partials proves mergeability
     "evt_hourly_inc" ->
