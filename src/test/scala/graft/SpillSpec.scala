@@ -108,6 +108,45 @@ class SpillSpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2 run compression spills its per-user windows and stays exact") {
+    // evt_scd2's lag + running-sum pass rides WindowExec; the CDC
+    // output (run boundaries, from/to spans) must survive the
+    // external sorter — a power user's event history IS the partition
+    // that exceeds memory at 100 TB
+    val scd2 = SparkEntry.queries("evt_scd2")
+    val clean = scd2(spark, sfSmall).collect()
+    withConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8",
+      "spark.sql.shuffle.partitions" -> "31") {
+      val (stressed, spilled) = countingSpills { scd2(spark, sfSmall).collect() }
+      info(s"scd2 stress spilled $spilled bytes over ${stressed.length} runs")
+      assert(spilled > 0L, "capped window buffers must actually spill")
+      assert(stressed.toSeq == clean.toSeq,
+        "spilled scd2 run diverged from the in-memory run")
+    }
+  }
+
+  test("compaction packing stays exact under spill-pressure confs") {
+    // no spilled>0 assertion here, and that is the point: prefixSumBy
+    // fragments each source across range buckets, so its window
+    // partitions are bounded by construction (rows/buckets per
+    // source) and stay UNDER even this 4-row cap at the small SF —
+    // the single-reducer window this operator replaces is the one
+    // that would have spilled
+    val comp = SparkEntry.queries("ops_compaction")
+    val clean = comp(spark, sfSmall).collect()
+    withConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8",
+      "spark.sql.shuffle.partitions" -> "31") {
+      val (stressed, spilled) = countingSpills { comp(spark, sfSmall).collect() }
+      info(s"compaction stress spilled $spilled bytes (bounded partitions)")
+      assert(stressed.toSeq == clean.toSeq,
+        "stressed compaction plan diverged from the in-memory run")
+    }
+  }
+
   test("TopKPerGroup stays correct under spill-pressure confs (bounded state)") {
     val q7 = SparkEntry.queries("q7_top_orders_per_customer")
     val clean = q7(spark, sfSmall).collect()
