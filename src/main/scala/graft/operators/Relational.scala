@@ -926,7 +926,49 @@ object Relational {
       .limit(10)
   }
 
+  /** Mergeable distinct-count sketches across ingest batches — the
+    * [[evtHourlyInc]] pattern for the one statistic plain sums cannot
+    * maintain incrementally: distinct users. Each batch (the even/odd
+    * event_id halves) builds a Datasketches HLL per event type;
+    * yesterday's sketch UNIONS with today's (`hll_union_agg`) instead
+    * of re-scanning history or storing raw ids.
+    *
+    * The gate stays oracle-exact by construction: the output carries
+    * the EXACT distinct count plus an in-plan `raise_error` guard
+    * that aborts if the merged-sketch estimate strays more than 5%
+    * from it (the stats_approx rank-count-verification precedent) —
+    * the sketch is exercised and policed, while every emitted value
+    * is engine-portable.
+    */
+  def statsHllInc(s: SparkSession, d: String): DataFrame =
+    statsHllIncOf(Tables.events(s, d))
+
+  /** [[statsHllInc]] over an explicit events frame (spec entry). */
+  private[graft] def statsHllIncOf(events: DataFrame): DataFrame = {
+    def sketch(parity: Int) = events
+      .filter(col("event_id") % 2 === parity)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = sketch(0).unionByName(sketch(1))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val guard = when(
+      abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+        <= 0.05, lit(true))
+      .otherwise(raise_error(concat(
+        lit("statsHllInc: merged HLL estimate strayed >5% from exact: "),
+        col("est").cast("string"), lit(" vs "),
+        col("n_exact").cast("string"))))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        guard.as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_hll_inc"     -> statsHllInc _,
     "ops_join_card"     -> opsJoinCard _,
     "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
@@ -972,6 +1014,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // within_5pct is verified IN-PLAN on the Spark side (raise_error
+    // on violation), so the oracle emits the constant the guard proves
+    "stats_hll_inc" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_5pct
+        |FROM events GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "ops_join_card" ->
       """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
         |           FROM lineitem GROUP BY 1),
