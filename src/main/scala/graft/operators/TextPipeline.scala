@@ -1062,7 +1062,61 @@ object TextPipeline {
       .limit(20)
   }
 
+  private val CdcMask = 64L // boundary when gram hash % 64 == 0 → E[chunk] ≈ 64 tokens
+  private val CdcGram = 3
+
+  /** Content-defined chunking (the Rabin-mask / FastCDC idea at token
+    * granularity): a chunk boundary falls AFTER token p whenever the
+    * hash of the [[CdcGram]]-gram ending at p masks to zero — so
+    * boundaries are decided by LOCAL content, not absolute offsets.
+    * That is the property [[chunk]]'s fixed windows lack: insert one
+    * word at the top of a document and every fixed window shifts
+    * (nothing dedups), while CDC re-synchronizes after the
+    * insertion's own chunk and every downstream chunk md5 is
+    * UNCHANGED — chunk-level dedup that survives shifted content
+    * (rsync/backup-dedup's trick, applied to corpus text; the
+    * stability pin in CdcChunkSpec).
+    *
+    * Scale shape: the boundary decision is one portable md5 hash per
+    * token position, map-side (the dedup_ngram cost class); chunk ids
+    * come from the per-doc exclusive prefix sum over cut flags (the
+    * substrSpans island-window precedent — partitioned by doc, never
+    * global); the rejoin's collect_list is chunk-bounded in
+    * expectation (mask 1/[[CdcMask]] → ~64 tokens) and doc-bounded
+    * worst case (the linesStrip contract).
+    */
+  def chunkCdc(s: SparkSession, d: String): DataFrame =
+    chunkCdcOf(Tables.documents(s, d))
+
+  /** [[chunkCdc]] over an explicit documents frame (spec entry). */
+  private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
+    val gram = concat_ws(" ",
+      element_at(col("tk"), col("p0") - 1),
+      element_at(col("tk"), col("p0")),
+      element_at(col("tk"), col("p0") + 1))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        posexplode(col("tk")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"),
+        when(col("p0") >= CdcGram - 1 &&
+            portableHash(gram) % CdcMask === 0, 1L)
+          .otherwise(0L).as("cut"))
+      .withColumn("chunk_seq",
+        lit(1L) + coalesce(sum(col("cut")).over(wd), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_seq"))
+      .agg(min(col("p")).as("start_pos"), count(lit(1)).as("n_tokens"),
+        md5(expr("array_join(transform(sort_array(collect_list(" +
+          "struct(p, t))), x -> x.t), ' ')").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_chunk_cdc"    -> chunkCdc _,
     "txt_bm25"         -> bm25 _,
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
@@ -1136,6 +1190,31 @@ object TextPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_chunk_cdc" -> {
+      val h = graft.functions.CrossEngine.portableHashSql(
+        "tk[p-2] || ' ' || tk[p-1] || ' ' || tk[p]")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |                x -> x <> '') AS tk
+         |  FROM documents),
+         |nz AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+         |tr AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS p, tk
+         |       FROM nz),
+         |rows_ AS (SELECT doc_id, p, tk[p] AS t,
+         |    CASE WHEN p >= $CdcGram AND ($h) % $CdcMask = 0
+         |         THEN 1 ELSE 0 END AS cut
+         |  FROM tr),
+         |ch AS (SELECT doc_id, p, t,
+         |    1 + CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS chunk_seq
+         |  FROM rows_)
+         |SELECT doc_id, chunk_seq, min(p) AS start_pos, count(*) AS n_tokens,
+         |  md5(string_agg(t, ' ' ORDER BY p)) AS chunk_md5
+         |FROM ch GROUP BY 1, 2
+         |ORDER BY doc_id, chunk_seq""".stripMargin
+    },
     "txt_bm25" -> {
       val ti = Bm25Terms.indices
       val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
