@@ -1115,7 +1115,40 @@ object TextPipeline {
       .orderBy(col("doc_id"), col("chunk_seq"))
   }
 
+  /** Chunk-level dedup over the CDC chunks — [[chunkCdc]]'s purpose,
+    * composed end to end (the dedup_lines shape at chunk granularity):
+    * a chunk whose md5 occurs ≥ 2 times ANYWHERE in the corpus is
+    * duplicated content, and because CDC boundaries re-synchronize,
+    * this catches shared regions even when they sit at DIFFERENT
+    * offsets in each document — the case fixed-window chunk dedup
+    * structurally misses. Output per doc: chunk count, duplicated
+    * chunks, duplicated fraction.
+    *
+    * Scale shape: the chunk stream shuffles 32-char md5 keys (never
+    * chunk text) for the occurrence count; the duplicated-key set —
+    * small by the boilerplate skew that motivates the pass —
+    * broadcasts into a semi-join (the linesStats precedent verbatim).
+    */
+  def dedupCdcChunks(s: SparkSession, d: String): DataFrame =
+    dedupCdcChunksOf(Tables.documents(s, d))
+
+  /** [[dedupCdcChunks]] over an explicit documents frame (spec entry). */
+  private[graft] def dedupCdcChunksOf(docs: DataFrame): DataFrame = {
+    val ch = chunkCdcOf(docs).select(col("doc_id"), col("chunk_md5"))
+    val dup = ch.groupBy(col("chunk_md5")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("chunk_md5"))
+    val per = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val dd = ch.join(dup, Seq("chunk_md5"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_chunks"))
+    per.join(dd, Seq("doc_id"), "left")
+      .withColumn("dup_chunks", coalesce(col("dup_chunks"), lit(0L)))
+      .withColumn("dup_chunk_frac",
+        pround(col("dup_chunks") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> dedupCdcChunks _,
     "txt_chunk_cdc"    -> chunkCdc _,
     "txt_bm25"         -> bm25 _,
     "pipe_clean"       -> pipeClean _,
@@ -1189,32 +1222,53 @@ object TextPipeline {
         |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CDC-chunk CTEs: final CTE `cdc` carries one row per
+    * (doc_id, chunk_seq, start_pos, n_tokens, chunk_md5) — replayed
+    * verbatim by both the chunker gate and the chunk-dedup gate.
+    */
+  private lazy val CdcCte: String = {
+    val h = graft.functions.CrossEngine.portableHashSql(
+      "tk[p-2] || ' ' || tk[p-1] || ' ' || tk[p]")
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |                x -> x <> '') AS tk
+       |  FROM documents),
+       |nz AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+       |tr AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS p, tk
+       |       FROM nz),
+       |rows_ AS (SELECT doc_id, p, tk[p] AS t,
+       |    CASE WHEN p >= $CdcGram AND ($h) % $CdcMask = 0
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM tr),
+       |ch AS (SELECT doc_id, p, t,
+       |    1 + CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS chunk_seq
+       |  FROM rows_),
+       |cdc AS MATERIALIZED (
+       |  SELECT doc_id, chunk_seq, min(p) AS start_pos,
+       |    count(*) AS n_tokens, md5(string_agg(t, ' ' ORDER BY p)) AS chunk_md5
+       |  FROM ch GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "txt_chunk_cdc" -> {
-      val h = graft.functions.CrossEngine.portableHashSql(
-        "tk[p-2] || ' ' || tk[p-1] || ' ' || tk[p]")
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
-         |                x -> x <> '') AS tk
-         |  FROM documents),
-         |nz AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
-         |tr AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS p, tk
-         |       FROM nz),
-         |rows_ AS (SELECT doc_id, p, tk[p] AS t,
-         |    CASE WHEN p >= $CdcGram AND ($h) % $CdcMask = 0
-         |         THEN 1 ELSE 0 END AS cut
-         |  FROM tr),
-         |ch AS (SELECT doc_id, p, t,
-         |    1 + CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS chunk_seq
-         |  FROM rows_)
-         |SELECT doc_id, chunk_seq, min(p) AS start_pos, count(*) AS n_tokens,
-         |  md5(string_agg(t, ' ' ORDER BY p)) AS chunk_md5
-         |FROM ch GROUP BY 1, 2
-         |ORDER BY doc_id, chunk_seq""".stripMargin
-    },
+    "txt_chunk_cdc" ->
+      s"""WITH $CdcCte
+         |SELECT doc_id, chunk_seq, start_pos, n_tokens, chunk_md5
+         |FROM cdc ORDER BY doc_id, chunk_seq""".stripMargin,
+    "dedup_cdc_chunks" ->
+      s"""WITH $CdcCte,
+         |dup AS (SELECT chunk_md5 FROM cdc GROUP BY chunk_md5
+         |        HAVING count(*) >= 2),
+         |per AS (SELECT doc_id, count(*) AS n_chunks FROM cdc GROUP BY 1),
+         |dd AS (SELECT c.doc_id, count(*) AS dup_chunks
+         |       FROM cdc c JOIN dup USING (chunk_md5) GROUP BY 1)
+         |SELECT p.doc_id, p.n_chunks,
+         |  coalesce(d.dup_chunks, 0) AS dup_chunks,
+         |  pround(coalesce(d.dup_chunks, 0) / p.n_chunks, 4) AS dup_chunk_frac
+         |FROM per p LEFT JOIN dd d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "txt_bm25" -> {
       val ti = Bm25Terms.indices
       val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>

@@ -79,6 +79,26 @@ class CdcChunkSpec extends AnyFunSuite {
       s"expected resync: ${sharedChunks.size} shared of ${ha.size}")
   }
 
+  test("chunk dedup counts offset-shifted shared regions as duplicated") {
+    val s = spark
+    import s.implicits._
+    val shared = toks(11, 400)
+    val docs = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (toks(99, 17) ++ shared).mkString(" ")), // same region, shifted
+      (3L, toks(55, 120).mkString(" ")))            // unrelated
+    val got = TextPipeline.dedupCdcChunksOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // docs 1 and 2 share every chunk except (at most) doc 2's head
+    val (n1, d1, _) = got(1L)
+    val (n2, d2, _) = got(2L)
+    assert(d1 >= n1 - 1 && d1 > 2, s"doc1 $d1/$n1 dup chunks")
+    assert(d2 >= n2 - 2, s"doc2 $d2/$n2 dup chunks")
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0, "unrelated doc clean")
+  }
+
   test("single-token and empty documents behave") {
     val rows = run(Seq((1L, "hello"), (2L, "")))
     assert(rows.map(_._1).toSet == Set(1L)) // empty doc emits nothing
