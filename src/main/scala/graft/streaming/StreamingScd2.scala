@@ -16,7 +16,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * sorted away before applying. Under that contract
   * StreamingScd2Spec proves the closed runs equal the batch query's
   * rows exactly — the still-open tail run per user is the one row
-  * streaming cannot emit yet (and `flushOpen` exists for drains).
+  * streaming cannot emit yet by definition (a drain would read it
+  * straight from the state store; the batch query IS that drain).
   *
   * Scale shape: state is ONE fixed-size ValueState row per user
   * (current type, run counter, span, count) — bounded regardless of
