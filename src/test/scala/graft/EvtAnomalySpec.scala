@@ -62,6 +62,37 @@ class EvtAnomalySpec extends AnyFunSuite {
     assert(hours.length == 26 - 12)
   }
 
+  test("random series match the sufficient-statistics reference on every row") {
+    val s = spark
+    import s.implicits._
+    def p4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val counts = (0 until 40).map(_ => 1 + rnd.nextInt(9))
+      val rows = for {
+        i <- 0 until 40; j <- 0 until counts(i)
+      } yield (new Timestamp((baseSec + i * 3600L + j * 60L) * 1000L), "r")
+      val got = Relational.evtAnomalyOf(rows.toDF("ts", "event_type"))
+        .collect().map(r => r.getLong(1) -> r).toMap
+      (0 until 40).foreach { i =>
+        val frame = (math.max(0, i - 24) until i).map(counts)
+        val n = frame.size.toLong
+        val sm = frame.map(_.toLong).sum
+        val s2 = frame.map(c => c.toLong * c).sum
+        val expected = n >= 12 && s2 * n > sm * sm
+        assert(got.contains(baseHour + i) == expected, s"seed=$seed hour=$i")
+        if (expected) {
+          val row = got(baseHour + i)
+          val mean = sm.toDouble / n
+          val z = (counts(i) - mean) /
+            math.sqrt((s2 - sm.toDouble * sm / n) / (n - 1))
+          assert(row.getLong(3) == n && row.getDouble(4) == p4(mean) &&
+            row.getDouble(5) == p4(z), s"seed=$seed hour=$i")
+        }
+      }
+    }
+  }
+
   test("zero-variance series emit no rows at all") {
     val flat = Relational.evtAnomalyOf(planted).collect()
       .filter(_.getString(0) == "flat")

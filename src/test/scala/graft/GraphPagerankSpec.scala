@@ -76,6 +76,22 @@ class GraphPagerankSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("random graphs match the reference exactly at every round count") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val rpairs = Seq.fill(8 + rnd.nextInt(25))(
+        (rnd.nextInt(8).toLong + 1, rnd.nextInt(6).toLong + 1))
+      val df = rpairs.toDF("l_partkey", "l_suppkey")
+      val rounds = 1 + rnd.nextInt(3)
+      val exp = ref(rpairs, rounds)
+      val got = Graph.pagerankOf(df, rounds, 1000).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"seed=$seed rounds=$rounds")
+    }
+  }
+
   test("more rounds keep total mass bounded by the fixed-point unit") {
     // truncation only ever LOSES mass: Σ rank_fixed ≤ 10¹² every round
     (1 to 4).foreach { rounds =>
