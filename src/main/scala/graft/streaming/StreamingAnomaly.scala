@@ -92,6 +92,32 @@ object StreamingAnomaly {
       Iterator.empty
   }
 
+  /** The composed live pipeline from RAW events: watermarked tumbling
+    * 1-hour counts (append mode — each window emits once, finalized,
+    * in nondecreasing hour order per key, satisfying [[anomalies]]'
+    * input contract by construction) chained into the anomaly state —
+    * TWO stateful operators in one continuous query, the watermark
+    * propagating through the aggregation into the
+    * `transformWithState` stage. StreamingAnomalySpec proves the
+    * end-to-end composition equals batch `evt_anomaly` on every
+    * finalized hour.
+    */
+  def fromEvents(events: org.apache.spark.sql.DataFrame,
+                 lateness: String = "10 minutes"): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .selectExpr("event_type", "unix_micros(window.start) div 3600000000",
+        "count")
+      .as[(String, Long, Long)]
+    anomalies(hourly)
+  }
+
   /** stream: (event_type, hour_id, cnt) finalized hourly counts.
     * State per type ≤ 24 (hour, cnt) pairs.
     */

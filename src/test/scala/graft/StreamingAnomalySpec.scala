@@ -67,6 +67,39 @@ class StreamingAnomalySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the composed raw-events pipeline equals batch on finalized hours") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingAnomaly.fromEvents(
+        in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("anom_e2e")
+      .outputMode("append").start()
+    try {
+      val evRows = for {
+        i <- 0 to 25
+        typ <- Seq("spiky", "flat")
+        n = if (typ == "spiky") cnt(i) else 2
+        j <- 0 until n
+      } yield (new Timestamp(((baseHour + i) * 3600L + j * 60L) * 1000L), typ)
+      val (b1, b2) = evRows.splitAt(evRows.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real
+      // window (its own hour has an empty trailing frame → no row)
+      in.addData((new Timestamp((baseHour + 4000L) * 3600L * 1000L), "spiky"))
+      q.processAllAvailable()
+      val streamed = spark.table("anom_e2e")
+        .as[StreamingAnomaly.AnomalyRow].collect()
+        .map(r => (r.event_type, r.hour_id, r.cnt, r.n_frame, r.mean,
+          r.z, r.is_anomaly)).toSet
+      val batch = Relational.evtAnomalyOf(batchEvents).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("replayed hourly rows do not double-count (at-least-once safe)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
