@@ -967,7 +967,49 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized robust statistics — the outlier-resistant mean a
+    * metrics pipeline reports when raw averages are hostage to a few
+    * extreme values: clip each event's value to its type's
+    * [P05, P95] band, then average the clipped values.
+    *
+    * Determinism: thresholds come from [[ScaleOps.sortedPercentiles]]
+    * (the spill-safe rank-window path — never the banned
+    * distribution-buffering `percentile()`), pround(6)-stabilized on
+    * BOTH engines before any comparison (the ccnet tercile
+    * discipline, so an ulp of interpolation difference cannot flip a
+    * clip decision); the winsorized mean is an order-free BIGINT
+    * milli-sum divided out at the end.
+    *
+    * Shape: one percentile pass + one map-side clip/aggregate pass
+    * with the 5-row threshold table broadcast — two scans, no
+    * distribution ever buffered.
+    */
+  def evtWinsorize(s: SparkSession, d: String): DataFrame =
+    winsorizeOf(Tables.events(s, d))
+
+  /** [[evtWinsorize]] over an explicit events frame (spec entry). */
+  private[graft] def winsorizeOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val th = ScaleOps.sortedPercentiles(ev, "event_type", "value",
+        Seq(0.05 -> "lo", 0.95 -> "hi"))
+      .select(col("event_type"),
+        pround(col("lo"), 6).as("lo"), pround(col("hi"), 6).as("hi"))
+    ev.join(broadcast(th), "event_type")
+      .select(col("event_type"), col("lo"), col("hi"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("vw"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(expr("CAST(floor(vw * 1000 + 0.5) AS BIGINT)")).as("wm"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        pround(col("wm").cast("double") / 1000.0 / col("n"), 4)
+          .as("win_mean"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_winsorize"     -> evtWinsorize _,
     "stats_hll_inc"     -> statsHllInc _,
     "ops_join_card"     -> opsJoinCard _,
     "evt_hourly_inc"    -> evtHourlyInc _,
@@ -1014,6 +1056,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_winsorize" ->
+      """WITH th AS (SELECT event_type,
+        |    pround(quantile_cont(value, 0.05), 6) AS lo,
+        |    pround(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value, th.lo, th.hi,
+        |    least(greatest(e.value, th.lo), th.hi) AS vw
+        |  FROM events e JOIN th USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  pround(CAST(sum(CAST(floor(vw * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000.0 / count(*), 4) AS win_mean
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     // within_5pct is verified IN-PLAN on the Spark side (raise_error
     // on violation), so the oracle emits the constant the guard proves
     "stats_hll_inc" ->
