@@ -532,8 +532,14 @@ object Dedup {
       .join(gb, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
+      // accept on the EXACT rational predicate 5c ≥ 4(na+nb−c), not on
+      // pround(J,4) ≥ 0.8: the rounded form accepts true J ≥ 0.79995,
+      // but prefix-candidate completeness is proven only for J ≥ 0.8 —
+      // a pair in [0.79995, 0.8) could pass a rounded brute filter while
+      // missing from the prefix candidate set, breaking the exactness
+      // claim. Integer arithmetic keeps both engines boundary-identical.
+      .filter(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 4)
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
-      .filter(col("jaccard") >= DropThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1269,7 +1275,10 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the brute inverted-index derivation at the 0.8 threshold — the
     // prefix-filtered plan must reproduce it EXACTLY (that is the
-    // operator's whole claim)
+    // operator's whole claim). The accept predicate is the exact
+    // rational 5c ≥ 4(na+nb−c) on BOTH engines (not pround ≥ 0.8,
+    // whose 0.79995 effective threshold sits below the proven
+    // prefix-completeness bound).
     "dedup_ngram_prefix" ->
       s"""WITH $ngCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
@@ -1282,7 +1291,7 @@ object Dedup {
          |FROM common
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE pround(c / (na.n + nb.n - c), 4) >= $DropThreshold
+         |WHERE 5 * c >= 4 * (na.n + nb.n - c)
          |ORDER BY doc_a, doc_b""".stripMargin,
     // string-keyed mirror of the hash-keyed span scan: every K-window
     // as its literal token string, duplicated iff it occurs >= 2

@@ -429,13 +429,23 @@ object Sampling {
 
   private[graft] def shuffleShardsOf(docs: DataFrame): DataFrame = {
     val h = portableHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    // in-plan range guard (the keepBestOf/clusterPurityOf pattern):
+    // the packed tie-break key h·2³¹ + doc_id is exact only for
+    // doc_id < 2³¹ — beyond that Spark would wrap silently in signed
+    // 64-bit while the DuckDB oracle raises BIGINT overflow, a silent
+    // gate divergence. Fail LOUDLY on both engines instead.
+    val packKey = when(col("doc_id").between(0L, 2147483647L),
+        col("h") * lit(2147483648L) + col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("shuffleShards: doc_id outside packed range (< 2^31): "),
+        col("doc_id").cast("string"))))
     docs
       .select(col("doc_id"), col("n_chars"), h.as("h"),
               (h % Shards).as("shard"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("sum_chars"),
-           min_by(col("doc_id"), col("h") * lit(2147483648L) + col("doc_id"))
+           min_by(col("doc_id"), packKey)
              .as("first_doc"),
            min(col("h")).as("min_h"),
            max(col("h")).as("max_h"))

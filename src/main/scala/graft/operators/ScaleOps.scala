@@ -276,7 +276,13 @@ object ScaleOps {
       .withColumn("__bucket",
         width_bucket(col("__ord"), col("mn"), col("mx") + 1, col("nb")))
       .drop("mn", "mx", "nb")
-    val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"))
+    // window orders by the RAW column, not the truncated __ord: the
+    // long cast exists only for bucketing (truncation is monotone, so
+    // bucket ranges respect value order), but distinct non-integer
+    // values colliding on one long would be RANGE-frame peers sharing
+    // one cumulative sum — a wrong prefix sum for double-valued inputs
+    // (e.g. weightedPercentiles over fractional values)
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
     val local = b.withColumn("__local", sum(col(valueCol)).over(w))
     // bucket totals as a real sum — NOT max of the running sum, which
     // breaks for negative values (caught by DistributedAlgoPropertySpec)
@@ -316,8 +322,10 @@ object ScaleOps {
       .withColumn("__bucket",
         width_bucket(col("__ord"), col("mn"), col("mx") + 1, col("nb")))
       .drop("mn", "mx", "nb")
+    // raw-column ordering, same reason as [[prefixSum]]: __ord is for
+    // bucketing only; long-collided distinct values must not be peers
     val w = Window.partitionBy(col(groupCol), col("__bucket"))
-      .orderBy(col("__ord"))
+      .orderBy(col(orderCol))
     val local = b.withColumn("__local", sum(col(valueCol)).over(w))
     val btot = b.groupBy(col(groupCol), col("__bucket"))
       .agg(sum(col(valueCol)).as("__btot"))

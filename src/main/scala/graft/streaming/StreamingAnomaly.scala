@@ -25,7 +25,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * most 24 (hour, cnt) pairs — bounded regardless of stream length;
   * keys distribute across executors. Out-of-order rows WITHIN a
   * micro-batch are sorted by hour before applying; entries older than
-  * maxHour − 24 are evicted on every update.
+  * maxHour − 24 are evicted on every update. At-least-once upstream
+  * delivery is handled: a replayed (type, hour) at or below the
+  * state's high-water hour is dropped, so the append sink sees each
+  * finalized hour's row exactly once.
   */
 object StreamingAnomaly {
 
@@ -73,14 +76,24 @@ object StreamingAnomaly {
           h.hours.zip(h.cnts).toVector
         } else Vector.empty
       val out = Vector.newBuilder[AnomalyRow]
+      // at-least-once replay guard: a re-delivered finalized hour would
+      // recompute the identical frame and re-emit a duplicate row into
+      // the append sink. Entries always retain the last APPLIED hour
+      // (the current hour survives every eviction filter), so
+      // max(entry hour) IS the high-water mark — no extra state field.
+      var lastApplied: Long =
+        if (entries.nonEmpty) entries.map(_._1).max else Long.MinValue
       rows.toSeq.sortBy(_._2).foreach { case (_, hour, cnt) =>
-        val frame = entries.collect {
-          case (h, c) if h >= hour - 24 && h <= hour - 1 => c
-        }
-        score(frame, hour, cnt, typ).foreach(out += _)
-        entries = (entries.filterNot(_._1 == hour) :+ (hour, cnt))
-          .filter(_._1 > hour - 24) // only the trailing day feeds future frames
-          .sortBy(_._1)
+        if (hour > lastApplied) {
+          val frame = entries.collect {
+            case (h, c) if h >= hour - 24 && h <= hour - 1 => c
+          }
+          score(frame, hour, cnt, typ).foreach(out += _)
+          entries = (entries :+ (hour, cnt))
+            .filter(_._1 > hour - 24) // only the trailing day feeds future frames
+            .sortBy(_._1)
+          lastApplied = hour
+        } // else: replayed (type, hour) — already applied, drop silently
       }
       hist.update(History(entries.map(_._1), entries.map(_._2)))
       out.result().iterator

@@ -158,6 +158,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(globals.isEmpty)
   }
 
+  test("weightedPercentiles is exact for FRACTIONAL values sharing a long") {
+    import spark.implicits._
+    // 2.25, 2.5, 2.75 all truncate to long 2 — under the old
+    // __ord-ordered window they were RANGE-frame peers sharing one
+    // cumulative sum, corrupting the covers() interval partition.
+    // The raw-value ordering must keep them distinct rows.
+    val freq = Seq((0.5, 2L), (2.25, 3L), (2.5, 4L), (2.75, 2L), (9.5, 1L))
+      .toDF("v", "w")
+    val expanded = freq.as[(Double, Long)].collect()
+      .flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.toSeq.toDF("v")
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val got = ScaleOps.weightedPercentiles(freq, "v", "w", ps)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val ref = expanded
+      .agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+           expr("percentile(v, 0.75)"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == ref.toSeq, s"got ${got.toSeq} vs ${ref.toSeq}")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))

@@ -119,6 +119,11 @@ class StreamingAnomalySpec extends AnyFunSuite {
       // hour 14's frame must still be the 14 distinct prior hours
       val h14 = rows.filter(_.hour_id == baseHour + 14)
       assert(h14.length == 1 && h14.head.n_frame == 14L)
+      // and the replayed hour 13 must NOT re-emit into the append
+      // sink: exactly one row per finalized hour, not one per delivery
+      assert(rows.filter(_.hour_id == baseHour + 13).length == 1,
+        "replayed finalized hour emitted a duplicate append row")
+      assert(rows.groupBy(r => (r.event_type, r.hour_id)).forall(_._2.length == 1))
     } finally q.stop()
   }
 }
