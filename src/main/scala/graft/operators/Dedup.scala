@@ -788,12 +788,22 @@ object Dedup {
     * (doc_a < doc_b, jaccard) — the near-dup edge set [[dropList]]
     * reduces greedily and [[components]] closes transitively.
     */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d)
-    val ngn = gramHashRows(s, d)
-    val aSide = ngn.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
-    val bSide = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
-    pairs
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairsOver(minhashPairs(s, d), gramHashRows(s, d))
+
+  /** Exact-Jaccard verification of an explicit candidate pair set
+    * against gram rows — the verify stage of [[verifiedPairs]],
+    * factored so the incremental path ([[componentsIncOf]]) and the
+    * index builder ([[buildDedupGraphIndex]]) verify THEIR candidate
+    * sets through the identical arithmetic. The inner joins restrict
+    * gram movement to candidate endpoints by themselves; production
+    * layouts additionally prune the gram scan by doc-partitioned
+    * storage.
+    */
+  private def verifiedPairsOver(cand: DataFrame, grams: DataFrame): DataFrame = {
+    val aSide = grams.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val bSide = grams.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    cand
       .join(aSide, "doc_a")
       .join(bSide, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -920,8 +930,177 @@ object Dedup {
       .orderBy(col("component_id"))
   }
 
+  // --- persisted dedup-graph state + incremental components --------
+
+  /** Build-once memo per (JVM, corpus dir, tag) — the persisted-ANN
+    * pattern ([[Similarity]] `builtIdx`) applied to the near-dup
+    * graph: the FIRST call trains and freezes the artifact (the
+    * sanctioned one-time build, like file listing); every steady-state
+    * call returns a lazy plan over the frozen parquet.
+    */
+  private val builtGraph =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def graphRootFor(d: String, tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_dgraph_${tag}_$h"
+  }
+
+  /** LSH band table of an explicit documents frame — bit-identical to
+    * [[minhashBands]]: both render (band, sig) through the ONE
+    * [[graft.functions.MinHashSlots]] expression, and <3-token docs
+    * vanish in the explode exactly as [[minhashCols]]' size filter
+    * drops them (NearDedupSpec pins the two forms' parity).
+    */
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame =
+    withBandKeys(docs.select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), explode(col("bands")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** One-shot dedup-graph index build: freeze to parquet under `path`
+    *  - `bands`  — the LSH band signatures of `docs` (the probe table
+    *               tomorrow's ingest joins against),
+    *  - `pairs`  — the verified near-dup pair list (edge set), and
+    *  - `labels` — its connected-component labels.
+    * This is the artifact a 100 TB pipeline materializes ONCE and
+    * serves many policies from (keep-best, drop lists, overlap
+    * audits), instead of re-deriving LSH → verify → label rounds
+    * in-plan per query — and the state tomorrow's batch merges into
+    * ([[componentsIncOf]]) without rescanning the historical corpus.
+    * Each stage reads its predecessor's frozen parquet, so the saved
+    * artifacts are self-consistent by construction.
+    */
+  private[graft] def buildDedupGraphIndex(s: SparkSession, docs: DataFrame,
+                                          path: String): Unit = {
+    minhashBandsOf(docs).write.mode("overwrite").parquet(s"$path/bands")
+    val saved = loadGraphBands(s, path).repartition(col("band"), col("sig"))
+    val cand = saved.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(saved.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifiedPairsOver(cand, gramHashRowsOf(docs))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    componentsOf(s.read.schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
+        .parquet(s"$path/pairs").select(col("doc_a"), col("doc_b")))
+      .write.mode("overwrite").parquet(s"$path/labels")
+  }
+
+  /** Frozen-artifact loaders with PINNED schemas — schema inference
+    * on a bare `read.parquet` is a driver-side footer job, which the
+    * steady-state plan-build contract forbids (the ANN loadCentroids
+    * discipline).
+    */
+  private[graft] def loadGraphLabels(s: SparkSession, path: String): DataFrame =
+    s.read.schema("doc_id BIGINT, component_id BIGINT")
+      .parquet(s"$path/labels")
+
+  private[graft] def loadGraphBands(s: SparkSession, path: String): DataFrame =
+    s.read.schema("doc_id BIGINT, band BIGINT, sig STRING")
+      .parquet(s"$path/bands")
+
+  /** Serving twin of [[keepBest]] over FROZEN component labels — the
+    * 20×-cheaper form a pipeline actually queries between ingests
+    * (the `ann_ivf_pq_idx` serving-twin discipline): the in-plan twin
+    * re-derives minhash → bands → verify → 4 label rounds every run;
+    * this one reads the persisted labels and runs only the packed
+    * argmax against the documents table. Result — and oracle — are
+    * identical to `dedup_keep_best`: the build is deterministic and a
+    * BIGINT parquet round-trip is bit-exact.
+    */
+  def keepBestIdx(s: SparkSession, d: String): DataFrame = {
+    val path = builtGraph.computeIfAbsent(s"full:$d", _ => {
+      val p = graphRootFor(d, "full")
+      buildDedupGraphIndex(s, Tables.documents(s, d), p)
+      p
+    })
+    keepBestOf(loadGraphLabels(s, path), Tables.documents(s, d))
+  }
+
+  /** Incremental connected components: merge a NEW ingest batch into
+    * persisted dedup-graph state WITHOUT re-running LSH over the
+    * historical corpus — the operation a daily 100 TB ingest actually
+    * needs. Historical state = the frozen `labels` + `bands` of the
+    * even-doc_id half (standing in for "yesterday's corpus"); the new
+    * batch is the odd half. The gate's claim is exact: the merged
+    * output equals the full recompute (`dedup_components`) row for
+    * row — the oracle IS that query's SQL verbatim.
+    */
+  def componentsInc(s: SparkSession, d: String): DataFrame = {
+    val path = builtGraph.computeIfAbsent(s"hist:$d", _ => {
+      val p = graphRootFor(d, "hist")
+      buildDedupGraphIndex(s,
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p)
+      p
+    })
+    componentsIncOf(Tables.documents(s, d),
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+      loadGraphLabels(s, path), loadGraphBands(s, path))
+  }
+
+  /** The merge itself, over explicit frames (spec entry).
+    *
+    * Delta-proportional by construction:
+    *  1. band-sign the new batch map-side; candidate pairs come from
+    *     probing the new bands against (persisted ∪ new) bands — every
+    *     candidate touches ≥ 1 new doc, and old–old pairs are never
+    *     regenerated;
+    *  2. exact-Jaccard verify the delta candidates (identical
+    *     arithmetic to the full pipeline via [[verifiedPairsOver]]);
+    *  3. CONTRACT the historical graph: each delta edge endpoint maps
+    *     through the persisted labels (absent → itself), so old
+    *     components become super-nodes — min-label relax then runs
+    *     over the contracted DELTA graph only, never the historical
+    *     edge set;
+    *  4. re-point touched old labels through the merged labels and
+    *     emit untouched ones unchanged.
+    *
+    * Exactness: labels are component-min doc_ids, and a contracted
+    * vertex id is itself the min of its old component, so the min
+    * over a merged contracted component equals the min over all
+    * original members — the incremental answer is the full
+    * recompute's answer, not an approximation of it. Contraction can
+    * only SHORTEN label-propagation distances, so any graph within
+    * [[componentsOf]]'s documented diameter reach converges here too.
+    */
+  private[graft] def componentsIncOf(allDocs: DataFrame, newDocs: DataFrame,
+      oldLabels: DataFrame, oldBands: DataFrame): DataFrame = {
+    val newBands = minhashBandsOf(newDocs)
+    val probe = newBands.select(col("doc_id").as("doc_n"), col("band"), col("sig"))
+    val table = oldBands.unionByName(newBands)
+      .select(col("doc_id").as("doc_o"), col("band"), col("sig"))
+    val cand = probe.join(table, Seq("band", "sig"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+              greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    val delta = verifiedPairsOver(cand, gramHashRowsOf(allDocs))
+      .select(col("doc_a"), col("doc_b"))
+    val la = oldLabels.select(col("doc_id").as("doc_a"),
+                              col("component_id").as("la"))
+    val lb = oldLabels.select(col("doc_id").as("doc_b"),
+                              col("component_id").as("lb"))
+    val contracted = delta
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+              coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val merged = componentsOf(contracted) // (doc_id = super-node, label)
+    val upd = merged.select(col("doc_id").as("component_id"),
+                            col("component_id").as("newlab"))
+    val oldOut = oldLabels.join(upd, Seq("component_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newlab"), col("component_id")).as("component_id"))
+    val newOut = merged
+      .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    oldOut.unionByName(newOut).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best"     -> keepBest _,
+    "dedup_keep_best_idx" -> keepBestIdx _,
+    "dedup_components_inc" -> componentsInc _,
     "dedup_drop_list"     -> dropList _,
     "dedup_components"    -> components _,
     "dedup_exact"         -> exact _,
@@ -1051,19 +1230,30 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The dedup_keep_best oracle — shared verbatim by the
+    * `dedup_keep_best_idx` serving twin: only where the labels COME
+    * FROM differs, which is exactly what that gate pins (frozen
+    * labels reproduce the in-plan ones bit-for-bit).
+    */
+  private lazy val KeepBestOracleSql: String =
+    s"""WITH comp AS ($ComponentsOracleSql),
+       |m AS (SELECT c.component_id,
+       |        d.n_chars * ${KeepBestEncUnit} +
+       |          (${KeepBestEncUnit - 1} - d.doc_id) AS enc
+       |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT component_id, count(*) AS n_members,
+       |  CAST(${KeepBestEncUnit - 1} - max(enc) % $KeepBestEncUnit AS BIGINT)
+       |    AS kept_id,
+       |  CAST(max(enc) // $KeepBestEncUnit AS BIGINT) AS kept_chars
+       |FROM m GROUP BY 1
+       |ORDER BY component_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "dedup_keep_best" ->
-      s"""WITH comp AS ($ComponentsOracleSql),
-         |m AS (SELECT c.component_id,
-         |        d.n_chars * ${KeepBestEncUnit} +
-         |          (${KeepBestEncUnit - 1} - d.doc_id) AS enc
-         |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
-         |SELECT component_id, count(*) AS n_members,
-         |  CAST(${KeepBestEncUnit - 1} - max(enc) % $KeepBestEncUnit AS BIGINT)
-         |    AS kept_id,
-         |  CAST(max(enc) // $KeepBestEncUnit AS BIGINT) AS kept_chars
-         |FROM m GROUP BY 1
-         |ORDER BY component_id""".stripMargin,
+    "dedup_keep_best" -> KeepBestOracleSql,
+    "dedup_keep_best_idx" -> KeepBestOracleSql,
+    // incremental merge == full recompute — the oracle IS the full
+    // dedup_components SQL, so the gate proves the equality claim
+    "dedup_components_inc" -> ComponentsOracleSql,
     "dedup_drop_list" ->
       s"""WITH $mhCte,
          |bands AS (SELECT doc_id, i // $BandRows AS band,
