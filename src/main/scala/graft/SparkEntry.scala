@@ -32,6 +32,7 @@ object SparkEntry {
     operators.Sampling.queries ++
     operators.Gossip.queries ++
     operators.Graph.queries ++
+    operators.Classifier.queries ++
     operators.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +48,7 @@ object SparkEntry {
      operators.Sampling.oracles ++
      operators.Gossip.oracles ++
      operators.Graph.oracles ++
+     operators.Classifier.oracles ++
      operators.Expectations.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
