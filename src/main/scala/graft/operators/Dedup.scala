@@ -164,19 +164,27 @@ object Dedup {
   /** Per-ROW form of the banded minhash signature, for streams: maps
     * any DataFrame with a text column to the same rows plus a `bands`
     * column `array<struct<band:long, sig:string>>` — bit-identical to
-    * [[minhashBands]]'s (band, sig) pairs for the same text
-    * (spec-enforced — both forms now share the ONE MinHashSlots
+    * [[minhashBands]]'s (band, sig) pairs for the same text AND band
+    * geometry (spec-enforced — both forms share the ONE MinHashSlots
     * expression), computed entirely map-side, so a streaming
     * micro-batch pays no shuffle to sign its documents. Docs with
     * <3 tokens get an empty array, mirroring the batch chain where
     * they never produce shingles.
+    *
+    * `bandRows` is an EXPLICIT static parameter here, not the
+    * corpus-adaptive in-plan scalar the batch chain derives: a stream
+    * has no corpus to count — it bands with the geometry of the state
+    * it joins (frozen at that state's birth, like the persisted
+    * dedup-graph index pins its geometry), and the streaming twins
+    * keep the default.
     */
-  private[graft] def withBandKeys(df: DataFrame, textCol: String): DataFrame = {
+  private[graft] def withBandKeys(df: DataFrame, textCol: String,
+                                  bandRows: Int = BandRows): DataFrame = {
     val sl = col("__sl")
-    val bands = (0 until MinhashK / BandRows).map { b =>
+    val bands = (0 until MinhashK / bandRows).map { b =>
       struct(lit(b.toLong).as("band"),
-             concat_ws(",", (0 until BandRows).map { r =>
-               element_at(sl, b * BandRows + r + 1)
+             concat_ws(",", (0 until bandRows).map { r =>
+               element_at(sl, b * bandRows + r + 1)
              }: _*).as("sig"))
     }
     df.withColumn("__sl",
@@ -187,16 +195,73 @@ object Dedup {
       .drop("__sl")
   }
 
-  /** LSH band table: (doc_id, band, band-signature string). */
-  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val bands = (0 until MinhashK / BandRows).map { b =>
-      struct(lit(b.toLong).as("band"),
-             concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
-               .as("sig"))
-    }
-    minhashCols(s, d)
-      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+  /** Corpus docs where 2-row bands are affordable (see
+    * [[bandGeometryOf]]); chosen so every gate SF (and the ingest
+    * halves the incremental-components gate splits them into) sits on
+    * the small side, while the 100× ladder rung crosses to 4-row
+    * bands.
+    */
+  private val AdaptSmallMax = 8192L
+
+  /** Corpus-adaptive band geometry — ONE broadcast-scalar row
+    * (r = rows per band, nb = band count, r·nb = [[MinhashK]]),
+    * derived IN-PLAN from the corpus count (the embedNearDupLsh
+    * adaptive-planes pattern: no driver job at plan build).
+    *
+    * The derivation, from the target threshold and the corpus size:
+    * an (nb, r) banding approximates a step at t* = (1/nb)^(1/r) —
+    * 16 slots offer t* ≈ 0.35 (8×2), 0.71 (4×4), 0.92 (2×8). Rows
+    * of 8 sit ABOVE the J = 0.8 verify threshold (structural recall
+    * loss at exactly the pairs the pipeline promises to catch), so
+    * the choice is between 2- and 4-row bands, and it is a VERIFY
+    * BUDGET question: t* ≈ 0.35 means every pair down to J ≈ 0.35
+    * becomes a candidate the exact-Jaccard join must score — free on
+    * a small corpus (and worth it: at J = 0.8 the 8×2 miss rate is
+    * (1−0.8²)⁴ ≈ 1.7e-2 vs 4×4's ≈ 0.12, measured by
+    * `dedup_minhash_recall`), quadratic poison on a large one, where
+    * 4×4's t* ≈ 0.71 aligns with the 0.8 verify gate. The boundary
+    * (8 Ki docs) keeps the sub-threshold candidate mass affordable —
+    * beyond it, recall is bought with more slots, not looser bands.
+    */
+  private[graft] def bandGeometryOf(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"))
+      .select(
+        when(col("n") <= AdaptSmallMax, lit(2L))
+          .otherwise(lit(BandRows.toLong)).as("r"),
+        when(col("n") <= AdaptSmallMax, lit(MinhashK.toLong / 2))
+          .otherwise(lit(MinhashK.toLong / BandRows)).as("nb"))
+
+  /** Slot-array form of [[minhashCols]] (the dynamic-geometry band
+    * builder consumes the array, not the 16 pivoted columns).
+    */
+  private def slotArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSlots.minhash_slots(col("tk")).as("sl"))
+      .filter(size(col("sl")) > 0)
+
+  /** Band table from slot arrays under an explicit geometry frame:
+    * band b = slots [b·r+1, b·r+r] joined with ','. The higher-order
+    * transform is CodegenFallback, but it runs once per DOCUMENT over
+    * ≤ 8 elements — not the per-gram hot path the WordNGrams lesson
+    * is about.
+    */
+  private def bandedOf(slots: DataFrame, geom: DataFrame): DataFrame =
+    slots.crossJoin(broadcast(geom))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("nb") - 1), b =>
+          struct(b.as("band"),
+            array_join(transform(
+              slice(col("sl"), b * col("r") + 1, col("r")),
+              x => x.cast("string")), ",").as("sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** LSH band table: (doc_id, band, band-signature string), geometry
+    * corpus-adaptive ([[bandGeometryOf]]).
+    */
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bandedOf(slotArrays(docs), bandGeometryOf(docs))
   }
 
   /** Candidate near-dup pairs: same signature in any band — the join
@@ -947,16 +1012,17 @@ object Dedup {
     s"${System.getProperty("java.io.tmpdir")}/graft_dgraph_${tag}_$h"
   }
 
-  /** LSH band table of an explicit documents frame — bit-identical to
-    * [[minhashBands]]: both render (band, sig) through the ONE
-    * [[graft.functions.MinHashSlots]] expression, and <3-token docs
-    * vanish in the explode exactly as [[minhashCols]]' size filter
-    * drops them (NearDedupSpec pins the two forms' parity).
+  /** LSH band table of an explicit documents frame under an explicit
+    * geometry — bit-identical to [[minhashBands]] at the same
+    * geometry (one MinHashSlots expression, one band builder). The
+    * geometry arrives as a frame because a persisted index PINS its
+    * geometry at build time ([[buildDedupGraphIndex]] freezes it
+    * alongside the labels) — an ingest batch must band the way the
+    * state it merges into was banded, not by its own size.
     */
-  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame =
-    withBandKeys(docs.select(col("doc_id"), col("text")), "text")
-      .select(col("doc_id"), explode(col("bands")).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  private[graft] def minhashBandsOf(docs: DataFrame,
+                                    geom: DataFrame): DataFrame =
+    bandedOf(slotArrays(docs.select(col("doc_id"), col("text"))), geom)
 
   /** One-shot dedup-graph index build: freeze to parquet under `path`
     *  - `bands`  — the LSH band signatures of `docs` (the probe table
@@ -972,8 +1038,11 @@ object Dedup {
     * artifacts are self-consistent by construction.
     */
   private[graft] def buildDedupGraphIndex(s: SparkSession, docs: DataFrame,
-                                          path: String): Unit = {
-    minhashBandsOf(docs).write.mode("overwrite").parquet(s"$path/bands")
+      path: String, geom: DataFrame = null): Unit = {
+    val g = Option(geom).getOrElse(bandGeometryOf(docs))
+    g.write.mode("overwrite").parquet(s"$path/geom")
+    minhashBandsOf(docs, loadGraphGeom(s, path))
+      .write.mode("overwrite").parquet(s"$path/bands")
     val saved = loadGraphBands(s, path).repartition(col("band"), col("sig"))
     val cand = saved.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(saved.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
@@ -999,6 +1068,12 @@ object Dedup {
   private[graft] def loadGraphBands(s: SparkSession, path: String): DataFrame =
     s.read.schema("doc_id BIGINT, band BIGINT, sig STRING")
       .parquet(s"$path/bands")
+
+  /** The geometry the index was built with — frozen state, like the
+    * labels themselves: a later batch must band identically.
+    */
+  private[graft] def loadGraphGeom(s: SparkSession, path: String): DataFrame =
+    s.read.schema("r BIGINT, nb BIGINT").parquet(s"$path/geom")
 
   /** Serving twin of [[keepBest]] over FROZEN component labels — the
     * 20×-cheaper form a pipeline actually queries between ingests
@@ -1030,13 +1105,20 @@ object Dedup {
   def componentsInc(s: SparkSession, d: String): DataFrame = {
     val path = builtGraph.computeIfAbsent(s"hist:$d", _ => {
       val p = graphRootFor(d, "hist")
+      // geometry pinned to the corpus the index SERVES (historical +
+      // future ingest), not the historical half alone — banding
+      // geometry is part of the index contract, never re-derived per
+      // batch (a half-corpus count could straddle the adaptive
+      // boundary and band incompatibly with the batches it merges)
       buildDedupGraphIndex(s,
-        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p)
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p,
+        geom = bandGeometryOf(Tables.documents(s, d)))
       p
     })
     componentsIncOf(Tables.documents(s, d),
       Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
-      loadGraphLabels(s, path), loadGraphBands(s, path))
+      loadGraphLabels(s, path), loadGraphBands(s, path),
+      loadGraphGeom(s, path))
   }
 
   /** The merge itself, over explicit frames (spec entry).
@@ -1065,8 +1147,9 @@ object Dedup {
     * [[componentsOf]]'s documented diameter reach converges here too.
     */
   private[graft] def componentsIncOf(allDocs: DataFrame, newDocs: DataFrame,
-      oldLabels: DataFrame, oldBands: DataFrame): DataFrame = {
-    val newBands = minhashBandsOf(newDocs)
+      oldLabels: DataFrame, oldBands: DataFrame,
+      geom: DataFrame): DataFrame = {
+    val newBands = minhashBandsOf(newDocs, geom)
     val probe = newBands.select(col("doc_id").as("doc_n"), col("band"), col("sig"))
     val table = oldBands.unionByName(newBands)
       .select(col("doc_id").as("doc_o"), col("band"), col("sig"))
@@ -1162,6 +1245,18 @@ object Dedup {
        |       FROM ng, range(0, $MinhashK) r2(i)
        |       GROUP BY doc_id, i)""".stripMargin
 
+  /** Corpus-adaptive banding CTE, mirroring [[bandGeometryOf]] +
+    * [[bandedOf]]: the geometry derives from count(documents) inside
+    * the query, so ONE static SQL string is exact at every gate SF.
+    */
+  private val bandsCteSql =
+    s"""geo AS (SELECT CASE WHEN count(*) <= $AdaptSmallMax
+       |                    THEN 2 ELSE $BandRows END AS r
+       |        FROM documents),
+       |bands AS (SELECT doc_id, i // geo.r AS band,
+       |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |          FROM mh, geo GROUP BY doc_id, i // geo.r)""".stripMargin
+
   // 64 hash bits per word from the two md5 halves (hex 9..16 → bits
   // 0..31, hex 1..8 → bits 32..63), mirroring simhashTable. bit 63's
   // literal is spelled out: DuckDB rejects 1::BIGINT << 63 as an
@@ -1201,9 +1296,7 @@ object Dedup {
          |  FROM edges_s e JOIN $prev l ON e.src = l.v GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $mhCte,
-       |bands AS (SELECT doc_id, i // $BandRows AS band,
-       |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-       |          FROM mh GROUP BY doc_id, i // $BandRows),
+       |$bandsCteSql,
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
        |          WHERE a.doc_id < b.doc_id),
@@ -1256,9 +1349,7 @@ object Dedup {
     "dedup_components_inc" -> ComponentsOracleSql,
     "dedup_drop_list" ->
       s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |$bandsCteSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |          WHERE a.doc_id < b.doc_id),
@@ -1334,18 +1425,14 @@ object Dedup {
          |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows)
+         |$bandsCteSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_recall" ->
       s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |$bandsCteSql,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |         WHERE a.doc_id < b.doc_id),
@@ -1373,9 +1460,7 @@ object Dedup {
       def probeSql(e: String) =
         s"(CAST(('0x' || substr(md5('recall:' || CAST($e AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)"
       s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |$bandsCteSql,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |         WHERE a.doc_id < b.doc_id
@@ -1407,9 +1492,7 @@ object Dedup {
     },
     "dedup_source_overlap" ->
       s"""WITH $mhCte,
-         |bands AS (SELECT doc_id, i // $BandRows AS band,
-         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |          FROM mh GROUP BY doc_id, i // $BandRows),
+         |$bandsCteSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |          WHERE a.doc_id < b.doc_id)

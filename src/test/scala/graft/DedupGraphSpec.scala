@@ -81,6 +81,7 @@ class DedupGraphSpec extends AnyFunSuite {
     Dedup.buildDedupGraphIndex(spark, old, path)
     val oldLabels = spark.read.parquet(s"$path/labels")
     val oldBands = spark.read.parquet(s"$path/bands")
+    val oldGeom = spark.read.parquet(s"$path/geom")
 
     // the historical state itself: {8,10}, {14,16}, {18,20} and
     // nothing else (4 and 6 are below threshold, so pairless)
@@ -88,7 +89,8 @@ class DedupGraphSpec extends AnyFunSuite {
       Map(8L -> 8L, 10L -> 8L, 14L -> 14L, 16L -> 14L, 18L -> 18L, 20L -> 18L))
 
     val inc = labelsOf(Dedup.componentsIncOf(
-      docs, docs.filter(col("doc_id") % 2 === 1), oldLabels, oldBands))
+      docs, docs.filter(col("doc_id") % 2 === 1), oldLabels, oldBands,
+      oldGeom))
     val expected = Map(
       3L -> 3L, 4L -> 3L, 6L -> 3L,
       8L -> 8L, 10L -> 8L, 14L -> 8L, 15L -> 8L, 16L -> 8L,

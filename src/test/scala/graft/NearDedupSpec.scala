@@ -20,15 +20,18 @@ class NearDedupSpec extends AnyFunSuite {
   private def ts(sec: Long) = new Timestamp(sec * 1000L)
 
   test("per-row band keys are bit-identical to the batch band table") {
+    // sf0.001 sits below the adaptive boundary, so the batch table is
+    // 8 bands of 2 rows — the per-row form must match at the SAME
+    // explicit geometry (streams pin theirs to the state they join)
     val batch = Dedup.minhashBands(spark, sf)
       .select("doc_id", "band", "sig")
     val perRow = Dedup.withBandKeys(
-        graft.sources.Tables.documents(spark, sf), "text")
+        graft.sources.Tables.documents(spark, sf), "text", bandRows = 2)
       .select(col("doc_id"), explode(col("bands")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     assert(batch.except(perRow).isEmpty && perRow.except(batch).isEmpty)
-    // every doc with >=3 tokens carries all 4 bands
-    assert(perRow.groupBy("doc_id").count().filter(col("count") =!= 4).isEmpty)
+    // every doc with >=3 tokens carries all 8 bands
+    assert(perRow.groupBy("doc_id").count().filter(col("count") =!= 8).isEmpty)
   }
 
   // docs: 1 and 2 are exact dups (every band collides — guaranteed
