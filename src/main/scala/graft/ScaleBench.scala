@@ -46,7 +46,10 @@ object ScaleBench {
     val k = args.headOption.map(_.toInt).getOrElse(5)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2) else s"target/scaled_${k}x"
-    val querySet = if (args.length > 3) args(3).split(",").toSet
+    // "ALL" = the full registered set (placeholder so tablesCsv can
+    // be given positionally without restricting the queries)
+    val querySet = if (args.length > 3 && args(3) != "ALL")
+                     args(3).split(",").toSet
                    else SparkEntry.queries.keySet
     val tableSet = if (args.length > 4) args(4).split(",").toSet
                    else idCols.keySet
@@ -70,22 +73,44 @@ object ScaleBench {
     }
 
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Per-query wall-clock budget: the exhaustive sweep deliberately
+    // includes the brute differential twins (inverted-index Jaccard,
+    // the full recall audit) whose documented fate on a
+    // clone-replicated rung is quadratic death — they must RECORD
+    // that honestly (-2) without hanging the other ~135 queries. The
+    // runner thread sets its own job group (job groups are
+    // thread-local) so the cancel reaches the in-flight stages.
+    val timeoutSec =
+      sys.env.get("SPARK_GRAFT_SCALE_TIMEOUT").map(_.toInt).getOrElse(240)
+    def timed(tag: String)(run: => Unit): Double = {
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val sc = spark.sparkContext
+      val t0 = System.nanoTime()
+      val f = Future {
+        sc.setJobGroup(tag, tag, interruptOnCancel = true)
+        try run finally sc.clearJobGroup()
+      }
+      try { Await.result(f, timeoutSec.seconds); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case _: TimeoutException => sc.cancelJobGroup(tag); -2.0
+        case _: Throwable => -1.0
+      }
+    }
     // count-based (ladder-comparable) AND noop-sink full evaluation —
     // same two-protocol rationale as [[Bench]]: count() lets the
     // optimizer prune expression work and even whole joins, so a
     // ladder rung can read fake-flat while the real cost grows
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => querySet(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, out).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = timed(s"scale-count-$name") { fn(spark, out).count() }
       System.gc()
-      val t1 = System.nanoTime()
-      try {
+      val dtf = timed(s"scale-full-$name") {
         fn(spark, out).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => }
-      val dtf = (System.nanoTime() - t1) / 1e9
+      }
       System.gc()
+      System.err.println(f"[scale] $name%-28s count=$dt%8.2f full=$dtf%8.2f")
       (name, dt, dtf)
     }
     val qs = results.map { case (n, v, _) => "\"" + n + "\":" + v }

@@ -140,6 +140,35 @@ object Classifier {
           .as("logodds_micro"))
       .withColumn("is_hq", col("logodds_micro") > 0L)
 
+  /** Map-side score expression against a COLLECTED model — the
+    * streaming-gate form: the ≤ 256 (bucket → wi) weights embed in
+    * the plan as a literal map (the decontamGate sketch-in-plan
+    * pattern), so a live pipeline scores each arriving document with
+    * zero joins and zero state. Arithmetic is identical to
+    * [[scoreWith]]: pc + Σ_tokens (wi(b) + kc), so
+    * StreamingClassifierSpec can assert score equality with the
+    * batch query, not approximate agreement. A document with no
+    * tokens scores bare pc — the batch query never emits such docs,
+    * while a GATE must still decide them (they fall with the prior).
+    */
+  def scoreExpr(text: org.apache.spark.sql.Column,
+                wi: Map[Long, Long], kc: Long, pc: Long):
+      org.apache.spark.sql.Column =
+    aggregate(tokens(text), lit(pc), (acc, w) =>
+      acc + coalesce(
+        element_at(typedLit(wi), portableHash(w) % ClsBuckets), lit(0L))
+          + lit(kc))
+
+  /** Collect a model frame into the (wi map, kc, pc) triple
+    * [[scoreExpr]] embeds. Empty model (untrained) → None.
+    */
+  def collectModel(model: DataFrame): Option[(Map[Long, Long], Long, Long)] = {
+    val rows = model.collect()
+    if (rows.isEmpty) None
+    else Some((rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+               rows.head.getLong(2), rows.head.getLong(3)))
+  }
+
   /** Gate query: train on the corpus's metadata labels and score
     * every document — model build + scoring composed as ONE lazy
     * plan (the dsirWeightsOf shape).

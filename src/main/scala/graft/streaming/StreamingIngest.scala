@@ -63,6 +63,26 @@ object StreamingIngest {
       graft.functions.CrossEngine.tokens(col("text")), n, sketch))
   }
 
+  /** Learned-quality gate for live ingest: each arriving document is
+    * scored by the FROZEN Naive Bayes classifier
+    * ([[graft.operators.Classifier]]) and kept only when its log-odds
+    * clear zero. The ≤ 256-weight model collects once when the
+    * pipeline starts (the decontamGate sketch-build pattern; load it
+    * from [[graft.operators.Classifier.loadModel]] in production) and
+    * embeds in the plan as a literal map, so the per-document check
+    * is a stateless map-side expression — no joins, no state, and
+    * scores are bit-identical to the batch `txt_classifier` query
+    * (spec-pinned). Documents with no tokens carry the bare class
+    * prior and fall with it.
+    */
+  def classifierGate(stream: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.Classifier.collectModel(model) match {
+      case None => stream // untrained model: nothing to gate on
+      case Some((wi, kc, pc)) =>
+        stream.filter(
+          graft.operators.Classifier.scoreExpr(col("text"), wi, kc, pc) > 0L)
+    }
+
   /** [[ingest]] with the decontamination gate ahead of the quality
     * gate — the four-stage live pipeline: decontam → quality gate →
     * exact dedup → near-dup candidates, still ONE continuous query.
