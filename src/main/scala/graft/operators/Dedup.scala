@@ -898,9 +898,60 @@ object Dedup {
     * representative, where the pairwise drop list can keep two docs
     * that never shared an LSH bucket edge directly.
     */
-  def components(s: SparkSession, d: String): DataFrame =
-    componentsOf(verifiedPairs(s, d).select(col("doc_a"), col("doc_b")))
+  def components(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    componentsCollapsedOf(docs, bandGeometryOf(docs))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[components]] with the EXACT-DUPLICATE COLLAPSE prepass — the
+    * plan that survives a clone-heavy corpus. Byte-identical texts
+    * have identical shingle sets, so for any clone a of rep r and any
+    * doc x, J(a, x) = J(r, x): every LSH/verify/label decision about
+    * a is the one already made about r. The pipeline therefore
+    * groups by text (the dedup_exact pass), runs the full near-dup
+    * machinery over one REPRESENTATIVE per group (the min doc_id),
+    * and expands labels back to members. Output is provably
+    * IDENTICAL to the uncollapsed plan — reps carry their group's
+    * min id, so the component min over members equals the min over
+    * reps; multi-copy groups whose rep pairs with nothing are
+    * components of their own (their members pair with each other at
+    * J = 1 in the uncollapsed graph); singleton reps with no pairs
+    * stay absent — and the DuckDB oracle still replays the
+    * UNCOLLAPSED derivation, so the gate checks the equivalence, not
+    * assumes it.
+    *
+    * Why it matters at 100 TB: a corpus where each document has k
+    * byte-identical copies makes the TRUE near-dup pair set ~k²/2 per
+    * group — the exhaustive 100× ladder sweep measured the
+    * uncollapsed plan timing out (> 240 s) on the clone-replicated
+    * rung, where this plan collapses 500k docs to 5k reps and
+    * finishes at sf0.1 cost plus a few linear text-shuffle passes.
+    * Near-dup banding per copy is pure waste; exact-collapse first is
+    * the production ordering (Lee et al. 2022 run exact substring/
+    * document dedup before fuzzy passes for the same reason).
+    *
+    * Geometry is pinned to the ORIGINAL corpus size (not the
+    * collapsed rep count): the oracle's uncollapsed candidate
+    * generator bands at corpus scale, and clone signatures equal
+    * their rep's, so candidate equivalence needs the same geometry on
+    * both plans.
+    */
+  private[graft] def componentsCollapsedOf(docs: DataFrame,
+                                           geom: DataFrame): DataFrame = {
+    val groups = exactGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val bands = bandedOf(slotArrays(reps), geom)
+      .repartition(col("band"), col("sig"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val repPairs = verifiedPairsOver(cand, gramHashRowsOf(reps))
+      .select(col("doc_a"), col("doc_b"))
+    expandRepLabels(docs, groups, componentsOf(repPairs))
+  }
 
   /** Min-label propagation with a FINAL SHORTCUT over an undirected
     * pair list. Rounds are pure relaxes
@@ -964,10 +1015,10 @@ object Dedup {
     * doc_id < 2⁴², and it fails LOUDLY outside that envelope instead
     * of silently corrupting the winner.
     */
-  def keepBest(s: SparkSession, d: String): DataFrame =
-    keepBestOf(
-      componentsOf(verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))),
-      Tables.documents(s, d))
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    keepBestOf(componentsCollapsedOf(docs, bandGeometryOf(docs)), docs)
+  }
 
   /** [[keepBest]] over explicit (doc_id, component_id) and documents
     * frames (spec entry — the argmax/tie/guard logic under planted
@@ -1037,11 +1088,45 @@ object Dedup {
     * Each stage reads its predecessor's frozen parquet, so the saved
     * artifacts are self-consistent by construction.
     */
+  /** Text-group frame shared by the collapsed plans: one row per
+    * distinct text — (rep = min member doc_id, n_copies, text).
+    */
+  private def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+
+  /** Expand rep-level component labels back to every member:
+    * member → its group's rep → the rep's label, with multi-copy
+    * groups whose rep carries no rep-level label becoming components
+    * of their own (their members pair at J = 1 in the uncollapsed
+    * graph). `repLabels`: (doc_id = rep, component_id).
+    */
+  private def expandRepLabels(docs: DataFrame, groups: DataFrame,
+                              repLabels: DataFrame): DataFrame = {
+    val selfComps = groups.filter(col("n_copies") >= 2)
+      .select(col("rep"))
+      .join(repLabels.select(col("doc_id").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("rep").as("component_id"))
+    val repAll = repLabels.unionByName(selfComps)
+    docs.select(col("doc_id"), col("text"))
+      .join(groups.select(col("text"), col("rep")), Seq("text"))
+      .select(col("doc_id"), col("rep"))
+      .join(repAll.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("component_id"))
+  }
+
   private[graft] def buildDedupGraphIndex(s: SparkSession, docs: DataFrame,
       path: String, geom: DataFrame = null): Unit = {
     val g = Option(geom).getOrElse(bandGeometryOf(docs))
     g.write.mode("overwrite").parquet(s"$path/geom")
-    minhashBandsOf(docs, loadGraphGeom(s, path))
+    // bands/pairs persist at REPRESENTATIVE level (the exact-collapse
+    // prepass of [[componentsCollapsedOf]]): clone signatures equal
+    // their rep's, so rep bands answer every probe the member bands
+    // would — at a fraction of the size on a clone-heavy corpus —
+    // while labels persist at FULL membership (the serving surface).
+    val groups = exactGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    minhashBandsOf(reps, loadGraphGeom(s, path))
       .write.mode("overwrite").parquet(s"$path/bands")
     val saved = loadGraphBands(s, path).repartition(col("band"), col("sig"))
     val cand = saved.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -1049,10 +1134,11 @@ object Dedup {
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifiedPairsOver(cand, gramHashRowsOf(docs))
+    verifiedPairsOver(cand, gramHashRowsOf(reps))
       .write.mode("overwrite").parquet(s"$path/pairs")
-    componentsOf(s.read.schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
-        .parquet(s"$path/pairs").select(col("doc_a"), col("doc_b")))
+    expandRepLabels(docs, groups,
+        componentsOf(s.read.schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
+          .parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))))
       .write.mode("overwrite").parquet(s"$path/labels")
   }
 
@@ -1149,7 +1235,17 @@ object Dedup {
   private[graft] def componentsIncOf(allDocs: DataFrame, newDocs: DataFrame,
       oldLabels: DataFrame, oldBands: DataFrame,
       geom: DataFrame): DataFrame = {
-    val newBands = minhashBandsOf(newDocs, geom)
+    // the new batch gets the SAME exact-collapse prepass as the full
+    // plan (daily ingest is clone-heavy too: without it, new–new
+    // clone pairs alone are quadratic per group at the 100× rung):
+    // band/verify one rep per distinct text, expand at the end.
+    // J-equivalence of clones makes rep-level connectivity identical
+    // to member-level, and the persisted index's bands are themselves
+    // rep-level — a probe that would hit a member hits its rep's
+    // identical signature instead.
+    val newGroups = exactGroups(newDocs)
+    val newReps = newGroups.select(col("rep").as("doc_id"), col("text"))
+    val newBands = minhashBandsOf(newReps, geom)
     val probe = newBands.select(col("doc_id").as("doc_n"), col("band"), col("sig"))
     val table = oldBands.unionByName(newBands)
       .select(col("doc_id").as("doc_o"), col("band"), col("sig"))
@@ -1172,12 +1268,25 @@ object Dedup {
     val merged = componentsOf(contracted) // (doc_id = super-node, label)
     val upd = merged.select(col("doc_id").as("component_id"),
                             col("component_id").as("newlab"))
+    // three output legs, disjoint by construction:
+    //  1. every historical doc, its label re-pointed where touched
     val oldOut = oldLabels.join(upd, Seq("component_id"), "left")
       .select(col("doc_id"),
         coalesce(col("newlab"), col("component_id")).as("component_id"))
-    val newOut = merged
+    //  2. new-batch members, expanded through their reps (multi-copy
+    //     groups whose rep merged with nothing are components alone)
+    val newOut = expandRepLabels(newDocs, newGroups,
+      merged.join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(newGroups.select(col("rep").as("doc_id")), Seq("doc_id"),
+          "left_semi"))
+    //  3. historical PAIRLESS singletons first linked by this delta:
+    //     super-nodes that are neither old labels nor new reps
+    val oldTouched = merged
       .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    oldOut.unionByName(newOut).orderBy(col("doc_id"))
+      .join(newGroups.select(col("rep").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+    oldOut.unionByName(newOut).unionByName(oldTouched)
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -323,6 +323,31 @@ object Relational {
            pround(avg(col("k")), 2).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** Supplier variety per part profile (the TPC-H Q16 shape on the
+    * shipped tables): distinct suppliers per (brand, type, size)
+    * among parts that actually shipped, excluding flagged suppliers
+    * (negative account balance standing in for Q16's complaint
+    * filter). Plan: the supplier exclusion is a broadcast ANTI join
+    * and the part attributes a broadcast dim join — the fact stream
+    * shuffles once, for the distinct-count aggregate (two-phase:
+    * partial distinct on (attrs, suppkey), then the count).
+    */
+  def q16SupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val flagged = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    li.join(broadcast(flagged),
+        li("l_suppkey") === flagged("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** CUBE over region x market segment (full grouping-set lattice). */
   def q17Cube(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d); val n = Tables.nation(s, d)
@@ -1032,6 +1057,7 @@ object Relational {
     "q23_calendar"      -> q23Calendar _,
     "q20_asof_join"     -> q20AsofJoin _,
     "q15_json_extract"  -> q15JsonExtract _,
+    "q16_supplier_variety" -> q16SupplierVariety _,
     "q17_cube"          -> q17Cube _,
     "q18_big_spenders"  -> q18BigSpenders _,
     "q19_percentiles"   -> q19Percentiles _,
@@ -1349,6 +1375,15 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q17_cube" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         |  coalesce(c_mktsegment, 'ALL') AS segment,
