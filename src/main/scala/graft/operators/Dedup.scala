@@ -844,10 +844,63 @@ object Dedup {
     * actually runs; the corpus contains planted near-dups at
     * J ≈ 0.99 that LSH surfaces.
     */
-  def dropList(s: SparkSession, d: String): DataFrame =
-    verifiedPairs(s, d).groupBy(col("doc_b").as("drop_id"))
-      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
+  def dropList(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dropListCollapsedOf(docs, bandGeometryOf(docs))
+  }
+
+  /** [[dropList]] through the exact-collapse prepass (see
+    * [[componentsCollapsedOf]] for the equivalence argument's core:
+    * J(member, x) = J(rep, x)). The uncollapsed pair list is
+    * quadratic per clone group; here it is never materialized —
+    * member b's drop row derives in closed form from rep-level pairs:
+    *  - a within-group pair at J = 1 exists below b iff b is not its
+    *    group's rep (the rep is the group minimum);
+    *  - a cross-group pair (a, b) with a < b exists iff b's rep has a
+    *    verified neighbor rep r* with r* < b (r* is its group's min,
+    *    so r* < b decides member availability, and the pair (r*, b)
+    *    itself is real), contributing kept candidate r* at the rep
+    *    pair's jaccard.
+    * kept_id = min over those candidates = min doc_a over the
+    * uncollapsed pairs; max_jaccard likewise. The DuckDB oracle still
+    * replays the UNCOLLAPSED derivation, so the gate checks the
+    * equivalence. Scale shape: the symmetric rep-pair list is tiny
+    * (near-dup pairs among distinct texts), so the member join is a
+    * broadcast — the whole query is the exact-dedup groupBy plus
+    * map-side work.
+    */
+  private[graft] def dropListCollapsedOf(docs: DataFrame,
+                                         geom: DataFrame): DataFrame = {
+    val groups = exactGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val bands = bandedOf(slotArrays(reps), geom)
+      .repartition(col("band"), col("sig"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val repPairs = verifiedPairsOver(cand, gramHashRowsOf(reps))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sym = repPairs.select(col("doc_a").as("rep"), col("doc_b").as("r_other"),
+        col("jaccard"))
+      .unionByName(repPairs.select(col("doc_b").as("rep"),
+        col("doc_a").as("r_other"), col("jaccard")))
+    val members = docs.select(col("doc_id"), col("text"))
+      .join(groups.select(col("text"), col("rep")), Seq("text"))
+      .select(col("doc_id"), col("rep"))
+    val within = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("drop_id"), col("rep").as("kept_cand"),
+        lit(1.0).as("j"))
+    val cross = members.join(broadcast(sym), Seq("rep"))
+      .filter(col("r_other") < col("doc_id"))
+      .select(col("doc_id").as("drop_id"), col("r_other").as("kept_cand"),
+        col("jaccard").as("j"))
+    within.unionByName(cross)
+      .groupBy(col("drop_id"))
+      .agg(min(col("kept_cand")).as("kept_id"), max(col("j")).as("max_jaccard"))
       .orderBy(col("drop_id"))
+  }
 
   /** LSH candidate pairs exact-Jaccard-verified at [[DropThreshold]]:
     * (doc_a < doc_b, jaccard) — the near-dup edge set [[dropList]]

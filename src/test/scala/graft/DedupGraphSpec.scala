@@ -107,6 +107,26 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(full.nonEmpty && inc == full)
   }
 
+  test("collapsed drop list equals the uncollapsed pair-level derivation") {
+    val s = spark
+    import s.implicits._
+    val cand = Dedup.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val sh = Dedup.shingles(spark, sf).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = cand.flatMap { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b)); val c = (sa & sb).size
+      val j = math.floor(c.toDouble / (sa.size + sb.size - c) * 1e4 + 0.5) / 1e4
+      if (j >= 0.8) Some((a, b, j)) else None
+    }
+    val expect = pairs.groupBy(_._2).map { case (b, ps) =>
+      (b, ps.map(_._1).min, ps.map(_._3).max) }.toSet
+    val got = Dedup.queries("dedup_drop_list")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == expect,
+      s"\nonly-expect ${expect -- got}\nonly-got ${got -- expect}")
+  }
+
   test("corpus: dedup_keep_best_idx equals dedup_keep_best row for row") {
     val live = Dedup.queries("dedup_keep_best")(spark, sf).collect().toSeq
     val idx = Dedup.queries("dedup_keep_best_idx")(spark, sf).collect().toSeq
