@@ -1144,7 +1144,7 @@ object Dedup {
   /** Text-group frame shared by the collapsed plans: one row per
     * distinct text — (rep = min member doc_id, n_copies, text).
     */
-  private def exactGroups(docs: DataFrame): DataFrame =
+  private[graft] def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
 
@@ -1287,7 +1287,23 @@ object Dedup {
     */
   private[graft] def componentsIncOf(allDocs: DataFrame, newDocs: DataFrame,
       oldLabels: DataFrame, oldBands: DataFrame,
-      geom: DataFrame): DataFrame = {
+      geom: DataFrame): DataFrame =
+    componentsIncOverGrams(newDocs, oldLabels, oldBands, geom,
+      gramHashRowsOf(allDocs))
+
+  /** [[componentsIncOf]] with the verify-gram frame EXPLICIT — the
+    * streaming maintainer ([[graft.streaming.StreamingComponents]])
+    * has no historical TEXT to re-shingle (the corpus left the
+    * stream long ago); it verifies delta pairs against the rep-level
+    * gram rows persisted in its state instead. `verifyGrams` must
+    * cover every candidate endpoint exactly once (duplicated gram
+    * rows would double-count the intersection); candidates only ever
+    * touch representative ids (bands are rep-level on both sides),
+    * so rep-level grams suffice.
+    */
+  private[graft] def componentsIncOverGrams(newDocs: DataFrame,
+      oldLabels: DataFrame, oldBands: DataFrame,
+      geom: DataFrame, verifyGrams: DataFrame): DataFrame = {
     // the new batch gets the SAME exact-collapse prepass as the full
     // plan (daily ingest is clone-heavy too: without it, new–new
     // clone pairs alone are quadratic per group at the 100× rung):
@@ -1307,7 +1323,7 @@ object Dedup {
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
               greatest(col("doc_n"), col("doc_o")).as("doc_b"))
       .distinct()
-    val delta = verifiedPairsOver(cand, gramHashRowsOf(allDocs))
+    val delta = verifiedPairsOver(cand, verifyGrams)
       .select(col("doc_a"), col("doc_b"))
     val la = oldLabels.select(col("doc_id").as("doc_a"),
                               col("component_id").as("la"))

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.CrossEngine.{portableHash, portableHashSql}
+import graft.tools.IndependentCodecs
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus the decode / feature-extract / frame-
@@ -140,12 +141,78 @@ object Multimodal {
               length(col("frame")).as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** The in-plan cross-decoder equality guard — the `stats_hll_inc`
+    * raise_error-guard precedent applied to the codec rows: the value
+    * column passes through untouched when the JDK decode and the
+    * from-scratch [[IndependentCodecs]] decode agree, and the QUERY
+    * ITSELF fails loudly when they diverge — so the driver's
+    * rows-only check on the `no_oracle` entries rides on a
+    * cross-implementation equality proof evaluated on every row of
+    * every run, not on a spec pin alone.
+    */
+  private[graft] def crossGuard(out: Column, ok: Column, id: Column,
+                                what: String): Column =
+    when(ok, out).otherwise(raise_error(concat(
+      lit(s"cross-decoder mismatch [$what] media_id="), id.cast("string"))))
+
+  /** [[decodeRoundTrip]]'s map-side body WITHOUT the guard applied:
+    * each payload decoded TWICE in the scan stage — the JDK codec
+    * ([[MediaDecoder.Real]]) and the from-scratch chunk-walk
+    * ([[IndependentCodecs]]) — emitting both feature sets. Factored
+    * out so MultimodalSpec can tamper one independent column and
+    * prove [[crossGuard]] fires, through the exact frame the
+    * registered query guards.
+    */
+  private[graft] def decodedBoth(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val f = MediaDecoder.Real.decode(id, kind, payload)
+          val (iFrames, iW, iH, iDig) = kind match {
+            case "image" =>
+              val (w, h, dig) = IndependentCodecs.pngFeatures(payload)
+              (1, w, h, dig)
+            case "audio" =>
+              val (n, rate, dig) = IndependentCodecs.decodeWav(payload)
+              (1, n, rate, dig)
+            case _ =>
+              IndependentCodecs.decodeVideo(payload)
+          }
+          (id, kind, f.nBytes, f.frames, f.width, f.height, f.digest,
+            iFrames, iW, iH, iDig)
+        }
+      }.toDF("media_id", "kind", "n_bytes", "n_frames", "width", "height",
+             "digest", "i_frames", "i_width", "i_height", "i_digest")
+  }
+
+  /** Guard leg of [[decodeRoundTrip]]: digest column passes only when
+    * ALL four independent features match the JDK decode's.
+    */
+  private[graft] def applyCrossGuard(both: DataFrame): DataFrame =
+    both.select(col("media_id"), col("kind"), col("n_bytes"),
+        col("n_frames"), col("width"), col("height"),
+        crossGuard(col("digest"),
+          col("n_frames") === col("i_frames") &&
+            col("width") === col("i_width") &&
+            col("height") === col("i_height") &&
+            col("digest") === col("i_digest"),
+          col("media_id"), "decode").as("digest"))
+
   /** End-to-end REAL codec round trip: deterministic pixels/samples/
     * frames → actual PNG/WAV/GFV1 encode (mapPartitions, payload born
     * in the scan stage) → actual decode through [[MediaDecoder.Real]]
     * → features. No SQL oracle (DuckDB can't decode PNG) — the driver
-    * records the rows-only check; MultimodalSpec pins the exact
-    * decoded values.
+    * records the rows-only check, which the [[crossGuard]] upgrades
+    * to a self-verifying row: every feature row is decoded a SECOND
+    * time by the from-scratch [[IndependentCodecs]] (shared-nothing
+    * with javax.imageio/javax.sound) in the same scan stage, and the
+    * query raises on any disagreement. MultimodalSpec still pins the
+    * exact decoded values.
     */
   def decodeRoundTrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -163,10 +230,7 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "kind", "payload")
-    featurize(media, MediaDecoder.Real).toDF()
-      .select(col("mediaId").as("media_id"), col("kind"),
-              col("nBytes").as("n_bytes"), col("frames").as("n_frames"),
-              col("width"), col("height"), col("digest"))
+    applyCrossGuard(decodedBoth(media))
       .orderBy(col("media_id"))
   }
 
@@ -192,11 +256,20 @@ object Multimodal {
           val h = 8 + (id % 16).toInt
           val png = MediaCodecs.pngBytes(w, h, id)
           val (thumb, digest) = MediaCodecs.resizePng(png, ThumbW, ThumbH)
-          (id, w, h, ThumbW, ThumbH, thumb.length, digest)
+          // independent leg: the re-encoded thumbnail PNG decoded by
+          // the from-scratch chunk walk must yield the same pixel
+          // digest the JDK resize path reported
+          val (_, _, iDigest) = IndependentCodecs.pngFeatures(thumb)
+          (id, w, h, ThumbW, ThumbH, thumb.length, digest, iDigest)
         }
       }
       .toDF("media_id", "src_w", "src_h", "thumb_w", "thumb_h",
-            "thumb_bytes", "thumb_digest")
+            "thumb_bytes", "thumb_digest", "i_digest")
+      .select(col("media_id"), col("src_w"), col("src_h"), col("thumb_w"),
+        col("thumb_h"), col("thumb_bytes"),
+        crossGuard(col("thumb_digest"),
+          col("thumb_digest") === col("i_digest"),
+          col("media_id"), "resize").as("thumb_digest"))
       .orderBy(col("media_id"))
   }
 
@@ -232,9 +305,16 @@ object Multimodal {
             case _ => MediaCodecs.pngBytes(
               16 + (id % 32).toInt, 8 + (id % 16).toInt, id)
           }
-          (id, MediaCodecs.dHashPng(png))
+          (id, MediaCodecs.dHashPng(png), IndependentCodecs.pngDHash(png))
         }
-      }.toDF("doc_id", "simhash")
+      }.toDF("doc_id", "simhash", "i_hash")
+      // cross-decoder guard: the 64-bit dHash recomputed over the
+      // INDEPENDENTLY decoded pixels must agree bit for bit before
+      // any pairing happens — a decoder bug fails the query, not the
+      // pair set
+      .select(col("doc_id"),
+        crossGuard(col("simhash"), col("simhash") === col("i_hash"),
+          col("doc_id"), "dhash").as("simhash"))
     Dedup.hammingPairs64(hashes)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
               col("hamming"))
@@ -271,9 +351,14 @@ object Multimodal {
             case 4 => MediaCodecs.dropoutWav(baseWav)
             case _ => MediaCodecs.wavBytes(256 + (id % 512).toInt, id)
           }
-          (id, MediaCodecs.fpWav(wav))
+          (id, MediaCodecs.fpWav(wav), IndependentCodecs.wavFingerprint(wav))
         }
-      }.toDF("doc_id", "simhash")
+      }.toDF("doc_id", "simhash", "i_hash")
+      // same guard at the audio seam: energy-contour fingerprint over
+      // the from-scratch RIFF parse must equal the JDK-backed one
+      .select(col("doc_id"),
+        crossGuard(col("simhash"), col("simhash") === col("i_hash"),
+          col("doc_id"), "wavfp").as("simhash"))
     Dedup.hammingPairs64(hashes)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
               col("hamming"))

@@ -420,9 +420,13 @@ object Sampling {
     * counts/bytes (balance check: uniform hash → shards within a few
     * % of each other), the hash range covered, and the first doc in
     * training order. first_doc ties on 32-bit hash collisions are
-    * broken by doc_id via the packed key H·2³¹ + doc_id — exact in
-    * signed 64-bit for doc_id < 2³¹ (max value 2⁶³-1), engine-portable
-    * where a struct/tuple min_by key is not.
+    * broken by doc_id via a FIXED-WIDTH HEX string key
+    * `%016x(H) || %016x(doc_id)` — lexicographic order on zero-padded
+    * hex equals numeric order on (H, doc_id), both engines render it
+    * identically, and unlike an integer packing H·2³¹ + doc_id it
+    * imposes NO doc_id ceiling (the packed form capped ids at 2³¹ and
+    * its guard tripped on the 100× replicated rung, ids to ~10¹⁰ — a
+    * 100 TB corpus has more than 2³¹ documents).
     */
   def shuffleShards(s: SparkSession, d: String): DataFrame =
     shuffleShardsOf(Tables.documents(s, d))
@@ -430,14 +434,14 @@ object Sampling {
   private[graft] def shuffleShardsOf(docs: DataFrame): DataFrame = {
     val h = portableHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
     // in-plan range guard (the keepBestOf/clusterPurityOf pattern):
-    // the packed tie-break key h·2³¹ + doc_id is exact only for
-    // doc_id < 2³¹ — beyond that Spark would wrap silently in signed
-    // 64-bit while the DuckDB oracle raises BIGINT overflow, a silent
-    // gate divergence. Fail LOUDLY on both engines instead.
-    val packKey = when(col("doc_id").between(0L, 2147483647L),
-        col("h") * lit(2147483648L) + col("doc_id"))
+    // %x of a NEGATIVE id renders differently across engines (Java
+    // two's-complement vs DuckDB signed rendering) — a silent gate
+    // divergence. Fail LOUDLY instead; non-negative ids are unbounded.
+    val packKey = when(col("doc_id") >= 0L,
+        concat(format_string("%016x", col("h")),
+               format_string("%016x", col("doc_id"))))
       .otherwise(raise_error(concat(
-        lit("shuffleShards: doc_id outside packed range (< 2^31): "),
+        lit("shuffleShards: negative doc_id unsupported: "),
         col("doc_id").cast("string"))))
     docs
       .select(col("doc_id"), col("n_chars"), h.as("h"),
@@ -612,7 +616,7 @@ object Sampling {
       val hSql = portableHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  min_by(doc_id, CAST(h * 2147483648 + doc_id AS BIGINT)) AS first_doc,
+         |  min_by(doc_id, printf('%016x', h) || printf('%016x', doc_id)) AS first_doc,
          |  min(h) AS min_h, max(h) AS max_h
          |FROM (SELECT doc_id, n_chars, $hSql AS h, $hSql % $Shards AS shard
          |      FROM documents) t

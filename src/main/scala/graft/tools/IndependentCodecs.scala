@@ -172,6 +172,15 @@ object IndependentCodecs {
     (img.width, img.height)
   }
 
+  /** (width, height, pixel digest) in ONE decode — the in-plan
+    * cross-decoder guard calls this per image (guarding every row of
+    * `mm_decode`), so the independent side must not decode twice.
+    */
+  def pngFeatures(bytes: Array[Byte]): (Int, Int, String) = {
+    val img = decodePng(bytes)
+    (img.width, img.height, md5hex(_.update(img.rgb)))
+  }
+
   /** The 9×8-grid 64-bit dHash recomputed over the independently
     * decoded pixels — same integer formula as
     * [[graft.operators.MediaCodecs.dHashPng]], different decoder.

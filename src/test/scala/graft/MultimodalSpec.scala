@@ -225,4 +225,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
            !plan.contains("CartesianProduct"), plan)
   }
+
+  // --- in-plan cross-decoder guards: the no_oracle codec rows carry
+  // their own cross-implementation equality proof ------------------
+
+  test("all four codec queries carry the cross-decoder raise_error guard in-plan") {
+    for (q <- Seq("mm_decode", "mm_resize", "dedup_image", "dedup_audio")) {
+      val plan = Multimodal.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(plan.contains("raise_error"),
+        s"$q must guard the JDK decode against the independent decode in-plan")
+    }
+  }
+
+  test("cross-decoder guard fires on a tampered independent decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val media = Seq(
+      (0L, "image", MediaCodecs.pngBytes(16, 8, 0L)),
+      (1L, "audio", MediaCodecs.wavBytes(256, 1L)),
+      (2L, "video", MediaCodecs.videoBytes(8, 4, 2, 2L)))
+      .toDF("media_id", "kind", "payload")
+    val both = Multimodal.decodedBoth(media)
+    // untampered: both decoders agree on every row, guard passes
+    assert(Multimodal.applyCrossGuard(both).count() == 3)
+    // tamper ONE independent digest → the query itself must raise,
+    // not emit the row
+    val tampered = both.withColumn("i_digest",
+      when($"media_id" === 1L, lit("deadbeef")).otherwise($"i_digest"))
+    val e = intercept[Exception] {
+      Multimodal.applyCrossGuard(tampered).collect()
+    }
+    assert(e.getMessage.contains("cross-decoder mismatch"),
+      s"guard must name the mismatch: ${e.getMessage}")
+  }
+
+  test("corrupted payload cannot slip through the guarded decode") {
+    import spark.implicits._
+    // truncating the PNG mid-IDAT breaks BOTH decoders — the guarded
+    // decode surfaces the failure instead of emitting a feature row
+    val png = MediaCodecs.pngBytes(16, 8, 0L)
+    val corrupt = png.take(png.length / 2)
+    val media = Seq((0L, "image", corrupt)).toDF("media_id", "kind", "payload")
+    intercept[Exception] {
+      Multimodal.applyCrossGuard(Multimodal.decodedBoth(media)).collect()
+    }
+  }
 }
