@@ -1088,32 +1088,26 @@ object TextPipeline {
   def chunkCdc(s: SparkSession, d: String): DataFrame =
     chunkCdcOf(Tables.documents(s, d))
 
-  /** [[chunkCdc]] over an explicit documents frame (spec entry). */
-  private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
-    val gram = concat_ws(" ",
-      element_at(col("tk"), col("p0") - 1),
-      element_at(col("tk"), col("p0")),
-      element_at(col("tk"), col("p0") + 1))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+  /** [[chunkCdc]] over an explicit documents frame (spec entry).
+    *
+    * ONE map-side pass via the [[graft.functions.CdcChunks]]
+    * generator — no token explode, no per-doc window, no
+    * collect_list rebuild: the original relational derivation
+    * shuffled every (pos, token) struct through the chunk-group
+    * exchange and rebuilt chunk text with interpreted HOF lambdas,
+    * measured 222 s full-eval at the 100× rung (compute-bound, 101×
+    * its 1× cost). Chunking is per-document sequential work, so it
+    * runs in the scan stage; only chunk rows leave it. The oracle
+    * STILL replays the explode/window/group derivation in DuckDB, so
+    * the gate proves the fusion bit-exact at every SF (the
+    * GramRunStats/DistinctGramHashes fusion discipline), and
+    * CdcChunkSpec's plain-Scala differential pins it in-suite.
+    */
+  private[graft] def chunkCdcOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) > 0)
-      .select(col("doc_id"), col("tk"),
-        posexplode(col("tk")).as(Seq("p0", "t")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"),
-        when(col("p0") >= CdcGram - 1 &&
-            portableHash(gram) % CdcMask === 0, 1L)
-          .otherwise(0L).as("cut"))
-      .withColumn("chunk_seq",
-        lit(1L) + coalesce(sum(col("cut")).over(wd), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_seq"))
-      .agg(min(col("p")).as("start_pos"), count(lit(1)).as("n_tokens"),
-        md5(expr("array_join(transform(sort_array(collect_list(" +
-          "struct(p, t))), x -> x.t), ' ')").cast("binary")).as("chunk_md5"))
+      .select(col("doc_id"),
+        graft.functions.CdcChunks.cdc_chunks(tokens(col("text")), CdcMask))
       .orderBy(col("doc_id"), col("chunk_seq"))
-  }
 
   /** Chunk-level dedup over the CDC chunks — [[chunkCdc]]'s purpose,
     * composed end to end (the dedup_lines shape at chunk granularity):
