@@ -871,7 +871,7 @@ object Dedup {
     */
   private[graft] def dropListCollapsedOf(docs: DataFrame,
                                          geom: DataFrame): DataFrame = {
-    val groups = exactGroups(docs)
+    val groups = collapsedGroups(docs)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     val bands = bandedOf(slotArrays(reps), geom)
       .repartition(col("band"), col("sig"))
@@ -886,8 +886,9 @@ object Dedup {
         col("jaccard"))
       .unionByName(repPairs.select(col("doc_b").as("rep"),
         col("doc_a").as("r_other"), col("jaccard")))
-    val members = docs.select(col("doc_id"), col("text"))
-      .join(groups.select(col("text"), col("rep")), Seq("text"))
+    val members = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(groups.select(col("h"), col("rep")), Seq("h"))
       .select(col("doc_id"), col("rep"))
     val within = members.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("drop_id"), col("rep").as("kept_cand"),
@@ -992,7 +993,7 @@ object Dedup {
     */
   private[graft] def componentsCollapsedOf(docs: DataFrame,
                                            geom: DataFrame): DataFrame = {
-    val groups = exactGroups(docs)
+    val groups = collapsedGroups(docs)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     val bands = bandedOf(slotArrays(reps), geom)
       .repartition(col("band"), col("sig"))
@@ -1027,12 +1028,25 @@ object Dedup {
     // k^rounds-fold — the two-ref relax + two-ref shortcut form
     // measured 45.9 s at sf0.1 (256× duplicated subtree, pure
     // planning cost) vs ~2 s for this 2^rounds shape.
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val verts = edges.select(col("src").as("v")).distinct()
-    val edgesS = edges.unionByName(
-      verts.select(col("v").as("src"), col("v").as("dst")))
+    //
+    // The symmetric closure + self-loops come from ONE explode over
+    // ONE `pairs` reference — NOT a union of selects (a union
+    // re-evaluates its input subtree once per branch, the
+    // ann_ivf_pq_res lesson): the union-built edge list referenced
+    // `pairs` 4× per edgesS, ~18× across the unrolled rounds, which
+    // multiplied against the collapse prepass' deeper pair pipeline
+    // into a 330-scan plan (14.9 s at sf0.1 where the uncollapsed
+    // r10 form ran 2.5 s — pure tree growth, the data is 241 pairs).
+    // Self-loops emit once per INCIDENCE (duplicates), which the
+    // min-aggregate relax absorbs by construction.
+    val edgesS = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_a").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val verts = edgesS.filter(col("src") === col("dst"))
+      .select(col("src").as("v")).distinct()
     var lab = verts.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to LabelRounds) {
       lab = edgesS
@@ -1142,11 +1156,51 @@ object Dedup {
     * artifacts are self-consistent by construction.
     */
   /** Text-group frame shared by the collapsed plans: one row per
-    * distinct text — (rep = min member doc_id, n_copies, text).
+    * distinct text — (h = md5, rep = min member doc_id, n_copies,
+    * text). Grouped on the 16-byte md5, NEVER the raw text (the
+    * [[exact]] discipline): the text-keyed first cut made the hash
+    * aggregate compare kilobyte keys and the member-expansion join
+    * shuffle corpus bytes — measured 3.9 → 11.1 s on
+    * `dedup_keep_best` at sf0.1; md5 keys brought it back to ~4 s
+    * with the 100× collapse win intact. `first(text)` is sound
+    * because every member of a group is byte-identical (md5
+    * collisions excluded by the same cryptographic assumption
+    * [[exact]] rides on — and the gate's uncollapsed oracle would
+    * catch one).
     */
   private[graft] def exactGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"),
+           // max, NOT first: every member of a group is byte-identical
+           // so both return the text — but Catalyst marks First
+           // non-deterministic, which fails sameResult for every
+           // subtree ABOVE it and silently disables ALL exchange
+           // reuse in the collapsed plans (measured: 327 parquet
+           // scans / 421 exchanges / 0 ReusedExchange in one
+           // dedup_components plan)
+           max(col("text")).as("text"))
+
+  /** [[exactGroups]] behind a no-op guard referencing EVERY column —
+    * the ccnet/smp_dsir exchange-reuse discipline: the collapsed
+    * plans reference the group frame from ~5 branches (bands, grams,
+    * member expansion, self-components), and per-branch column
+    * pruning would otherwise drop different aggregate functions per
+    * branch, de-identifying the partial-agg exchange so AQE re-runs
+    * the full-corpus groupBy once PER BRANCH (measured: the collapse
+    * prepass tripled dedup_keep_best at sf0.1, 3.9 → 12.2 s, almost
+    * entirely repeated exactGroups evals). The filter forces all four
+    * columns below it in every branch, so every consumer plans the
+    * VERBATIM-identical exchange and runtime reuse computes it once.
+    * Semantics: only all-null-text groups are dropped — which the
+    * uncollapsed derivation never pairs anyway (no tokens → no
+    * shingles). `n_copies >= 0` (not isNotNull) because count is
+    * non-nullable and a provably-true IsNotNull constant-folds away,
+    * taking the column reference with it.
+    */
+  private def collapsedGroups(docs: DataFrame): DataFrame =
+    exactGroups(docs).filter(
+      col("h").isNotNull && col("rep").isNotNull &&
+        col("n_copies") >= 0 && col("text").isNotNull)
 
   /** Expand rep-level component labels back to every member:
     * member → its group's rep → the rep's label, with multi-copy
@@ -1155,18 +1209,23 @@ object Dedup {
     * graph). `repLabels`: (doc_id = rep, component_id).
     */
   private def expandRepLabels(docs: DataFrame, groups: DataFrame,
-                              repLabels: DataFrame): DataFrame = {
-    val selfComps = groups.filter(col("n_copies") >= 2)
-      .select(col("rep"))
-      .join(repLabels.select(col("doc_id").as("rep")), Seq("rep"), "left_anti")
-      .select(col("rep").as("doc_id"), col("rep").as("component_id"))
-    val repAll = repLabels.unionByName(selfComps)
-    docs.select(col("doc_id"), col("text"))
-      .join(groups.select(col("text"), col("rep")), Seq("text"))
-      .select(col("doc_id"), col("rep"))
-      .join(repAll.withColumnRenamed("doc_id", "rep"), Seq("rep"))
-      .select(col("doc_id"), col("component_id"))
-  }
+                              repLabels: DataFrame): DataFrame =
+    // ONE reference each to docs, groups and repLabels (repLabels is
+    // the unrolled label-propagation tree — referencing it twice, as
+    // the first cut's anti-join + union did, doubles that whole
+    // subtree): member → group on the 16-byte md5 key computed
+    // map-side (text never enters the exchange), left-join the rep's
+    // label, and resolve in closed form — labeled rep → its label;
+    // unlabeled rep of a multi-copy group → self-component (members
+    // pair at J = 1 in the uncollapsed graph); unlabeled singleton →
+    // absent.
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(groups.select(col("h"), col("rep"), col("n_copies")), Seq("h"))
+      .join(repLabels.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"),
+          when(col("n_copies") >= 2, col("rep"))).as("component_id"))
+      .filter(col("component_id").isNotNull)
 
   private[graft] def buildDedupGraphIndex(s: SparkSession, docs: DataFrame,
       path: String, geom: DataFrame = null): Unit = {
@@ -1177,7 +1236,7 @@ object Dedup {
     // their rep's, so rep bands answer every probe the member bands
     // would — at a fraction of the size on a clone-heavy corpus —
     // while labels persist at FULL membership (the serving surface).
-    val groups = exactGroups(docs)
+    val groups = collapsedGroups(docs)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     minhashBandsOf(reps, loadGraphGeom(s, path))
       .write.mode("overwrite").parquet(s"$path/bands")
@@ -1312,7 +1371,7 @@ object Dedup {
     // to member-level, and the persisted index's bands are themselves
     // rep-level — a probe that would hit a member hits its rep's
     // identical signature instead.
-    val newGroups = exactGroups(newDocs)
+    val newGroups = collapsedGroups(newDocs)
     val newReps = newGroups.select(col("rep").as("doc_id"), col("text"))
     val newBands = minhashBandsOf(newReps, geom)
     val probe = newBands.select(col("doc_id").as("doc_n"), col("band"), col("sig"))
