@@ -584,6 +584,65 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** The range-join oracle, shared verbatim by [[q27RangeJoin]] and
+    * [[q27RangeJoinBucketed]] (output-identical by construction —
+    * one oracle, two plans, the dedup_keep_best_idx discipline).
+    */
+  private val RangeJoinOracleSql: String =
+    """SELECT p.purchase_id, p.user_id,
+      |  CAST(sum(CASE WHEN c.cts >= p.pts - INTERVAL 10 MINUTE
+      |                 AND c.cts < p.pts THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_recent_clicks
+      |FROM (SELECT user_id, event_id AS purchase_id, ts AS pts
+      |      FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts AS cts
+      |           FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |GROUP BY p.purchase_id, p.user_id
+      |ORDER BY p.purchase_id""".stripMargin
+
+  /** 10 minutes in µs — [[q27RangeJoin]]'s window width, which is
+    * exactly the right coarse-bucket width: a click inside the
+    * window lands in the purchase's bucket or the one before it,
+    * never further.
+    */
+  private val RangeBucketUs = 600000000L
+
+  /** [[q27RangeJoin]]'s bucketed form — the extreme-volume mitigation
+    * that query documents, promoted to a registered oracle-gated
+    * operator after the exhaustive 100× sweep measured the plain
+    * range join at 30 s (67× its 1× cost): the replication keeps
+    * user_ids fixed, so the per-user purchase×click candidate space
+    * grows quadratically in the replication factor. Adding
+    * `floor(µs / window)` to the equi key (purchases probe their own
+    * bucket AND the previous one — a window-width bucket means an
+    * in-window click can sit nowhere else, and it matches exactly ONE
+    * of the two probe rows, its own bucket's) bounds the join's
+    * candidate space per (user, 10-min bucket) instead of per user.
+    * Unmatched probe rows survive the left join as null clicks and
+    * `count(cts)` ignores them, so output — and the ORACLE, reused
+    * verbatim from `q27_range_join` — are identical.
+    */
+  def q27RangeJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val pb = floor(expr("unix_micros(ts)") / RangeBucketUs)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("pts"),
+              explode(array(pb, pb - 1)).as("bkt"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+              pb.as("c_bkt"))
+    p.join(c,
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") < col("pts"),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("cts")).as("n_recent_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Time-series resample: per-user hourly grid over the user's
     * active span, hourly mean of `value` (integerized before summing
     * — see q18's money note), gaps forward-filled from the last
@@ -1048,6 +1107,7 @@ object Relational {
     "q31_corr"          -> q31Corr _,
     "q29_deciles"       -> q29Deciles _,
     "q27_range_join"    -> q27RangeJoin _,
+    "q27_range_join_bucketed" -> q27RangeJoinBucketed _,
     "q28_resample"      -> q28Resample _,
     "q26_parts_supply"  -> q26PartsSupply _,
     "q24_grouping_sets" -> q24GroupingSets _,
@@ -1267,18 +1327,10 @@ object Relational {
         |      FROM customer) t
         |GROUP BY c_nationkey, decile
         |ORDER BY c_nationkey, decile""".stripMargin,
-    "q27_range_join" ->
-      """SELECT p.purchase_id, p.user_id,
-        |  CAST(sum(CASE WHEN c.cts >= p.pts - INTERVAL 10 MINUTE
-        |                 AND c.cts < p.pts THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_recent_clicks
-        |FROM (SELECT user_id, event_id AS purchase_id, ts AS pts
-        |      FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN (SELECT user_id, ts AS cts
-        |           FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        |GROUP BY p.purchase_id, p.user_id
-        |ORDER BY p.purchase_id""".stripMargin,
+    // shared VERBATIM by the bucketed twin: the bucketed plan is
+    // output-identical by construction, so the gate proves it
+    "q27_range_join" -> RangeJoinOracleSql,
+    "q27_range_join_bucketed" -> RangeJoinOracleSql,
     "q28_resample" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 10),
         |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
