@@ -1252,6 +1252,11 @@ object Dedup {
         componentsOf(s.read.schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
           .parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))))
       .write.mode("overwrite").parquet(s"$path/labels")
+    // rep-level gram hash rows — the verify side tomorrow's delta
+    // candidates join against, so the incremental merge never
+    // re-shingles text it already indexed (the same artifact the
+    // streaming maintainer keeps in its state)
+    gramHashRowsOf(reps).write.mode("overwrite").parquet(s"$path/grams")
   }
 
   /** Frozen-artifact loaders with PINNED schemas — schema inference
@@ -1272,6 +1277,10 @@ object Dedup {
     */
   private[graft] def loadGraphGeom(s: SparkSession, path: String): DataFrame =
     s.read.schema("r BIGINT, nb BIGINT").parquet(s"$path/geom")
+
+  private[graft] def loadGraphGrams(s: SparkSession, path: String): DataFrame =
+    s.read.schema("doc_id BIGINT, gh BIGINT, n BIGINT")
+      .parquet(s"$path/grams")
 
   /** Serving twin of [[keepBest]] over FROZEN component labels — the
     * 20×-cheaper form a pipeline actually queries between ingests
@@ -1294,11 +1303,18 @@ object Dedup {
   /** Incremental connected components: merge a NEW ingest batch into
     * persisted dedup-graph state WITHOUT re-running LSH over the
     * historical corpus — the operation a daily 100 TB ingest actually
-    * needs. Historical state = the frozen `labels` + `bands` of the
-    * even-doc_id half (standing in for "yesterday's corpus"); the new
-    * batch is the odd half. The gate's claim is exact: the merged
-    * output equals the full recompute (`dedup_components`) row for
-    * row — the oracle IS that query's SQL verbatim.
+    * needs. Historical state = the frozen `labels` + `bands` +
+    * rep-level `grams` of the even-doc_id half (standing in for
+    * "yesterday's corpus"); the new batch is the odd half. The delta
+    * candidates verify against the PERSISTED gram rows ∪ the new
+    * batch's own rep grams — historical TEXT is never re-shingled
+    * (the first cut passed gramHashRowsOf(allDocs) to the verify
+    * join, which quietly re-tokenized the whole corpus twice per
+    * run — exactly the rescan this query exists to avoid; the
+    * streaming maintainer's state layout, applied back to batch).
+    * The gate's claim is exact: the merged output equals the full
+    * recompute (`dedup_components`) row for row — the oracle IS that
+    * query's SQL verbatim.
     */
   def componentsInc(s: SparkSession, d: String): DataFrame = {
     val path = builtGraph.computeIfAbsent(s"hist:$d", _ => {
@@ -1313,10 +1329,13 @@ object Dedup {
         geom = bandGeometryOf(Tables.documents(s, d)))
       p
     })
-    componentsIncOf(Tables.documents(s, d),
-      Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+    val newDocs = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+    val newReps = collapsedGroups(newDocs)
+      .select(col("rep").as("doc_id"), col("text"))
+    componentsIncOverGrams(newDocs,
       loadGraphLabels(s, path), loadGraphBands(s, path),
-      loadGraphGeom(s, path))
+      loadGraphGeom(s, path),
+      loadGraphGrams(s, path).unionByName(gramHashRowsOf(newReps)))
   }
 
   /** The merge itself, over explicit frames (spec entry).

@@ -54,21 +54,11 @@ object StreamingComponents {
     * not the initial snapshot.
     */
   def init(s: SparkSession, initialDocs: DataFrame, root: String,
-           geom: DataFrame): Unit = {
-    val path = v(root, 0L)
-    Dedup.buildDedupGraphIndex(s, initialDocs, path, geom)
-    // the one artifact the batch index build does not persist: rep-
-    // level gram hash rows, the verify side a future delta joins
-    // against (the stream cannot re-shingle text it no longer has)
-    val reps = Dedup.exactGroups(initialDocs)
-      .select(col("rep").as("doc_id"), col("text"))
-    Dedup.gramHashRowsOf(reps).write.mode("overwrite")
-      .parquet(s"$path/grams")
-  }
-
-  private def loadGrams(s: SparkSession, path: String): DataFrame =
-    s.read.schema("doc_id BIGINT, gh BIGINT, n BIGINT")
-      .parquet(s"$path/grams")
+           geom: DataFrame): Unit =
+    // the index build persists everything the merge needs, including
+    // the rep-level gram rows a future delta verifies against (the
+    // stream cannot re-shingle text it no longer has)
+    Dedup.buildDedupGraphIndex(s, initialDocs, v(root, 0L), geom)
 
   /** One micro-batch merge: read state `v{batchId}`, merge the batch,
     * write state `v{batchId+1}`. Deterministic in (state, batch), so
@@ -82,7 +72,7 @@ object StreamingComponents {
     val geom = Dedup.loadGraphGeom(s, in)
     val oldLabels = Dedup.loadGraphLabels(s, in)
     val oldBands = Dedup.loadGraphBands(s, in)
-    val oldGrams = loadGrams(s, in)
+    val oldGrams = Dedup.loadGraphGrams(s, in)
     val docs = batch.select(col("doc_id"), col("text"))
     val groups = Dedup.exactGroups(docs)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
