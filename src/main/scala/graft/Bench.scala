@@ -47,7 +47,12 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      once() // warm-up, untimed
+      // warm-up (untimed for the steady means) — but RECORDED: for the
+      // build-backed queries (SparkEntry.buildBackedQueries) this first
+      // call pays the one-time memoized index/model build, so
+      // first − steady-mean is the build cost the JSON reports
+      // separately instead of letting it contaminate a first-call mean
+      val first = once()
       // drop broadcast/shuffle refs before measuring: letting them pile
       // up across 80+ queries drives old-gen full GCs that contaminate
       // later measurements (observed 5-20x inflation)
@@ -60,19 +65,33 @@ object Bench {
       val sd =
         if (ok.size < 2) 0.0
         else math.sqrt(ok.map(x => (x - mean) * (x - mean)).sum / (ok.size - 1))
-      (name, mean, sd, full)
+      val build =
+        if (SparkEntry.buildBackedQueries(name) && first >= 0 && mean >= 0)
+          math.max(0.0, first - mean)
+        else 0.0
+      (name, mean, sd, full, build)
     }
     def num(d: Double): String = if (d == d.floor && d.abs < 1e15) d.toString else f"$d%.6f"
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + num(m) }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + num(m) }
       .mkString("{", ",", "}")
-    val sds = results.map { case (k, _, s, _) => "\"" + k + "\":" + num(s) }
+    val sds = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + num(s) }
       .mkString("{", ",", "}")
-    val fulls = results.map { case (k, _, _, f) => "\"" + k + "\":" + num(f) }
+    val fulls = results.map { case (k, _, _, f, _) => "\"" + k + "\":" + num(f) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, m, _, _) if m < 0 => "\"" + k + "\"" }
+    val builds = results.collect { case (k, _, _, _, b) if b > 0 =>
+        "\"" + k + "\":" + num(b) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, m, _, _, _) if m < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, m, _, _) if m >= 0 => m }.sum
-    val totalFull = results.collect { case (_, _, _, f) if f >= 0 => f }.sum
+    val total = results.collect { case (_, m, _, _, _) if m >= 0 => m }.sum
+    val totalFull = results.collect { case (_, _, _, f, _) if f >= 0 => f }.sum
+    val totalBuild = results.map(_._5).sum
+    // steady totals per scale tier: the baseline twins are registered
+    // for the oracle gate, not as production plans — surfacing their
+    // share keeps cross-round totals adjudicable
+    val baseNames = SparkEntry.baselineQueries.keySet
+    val totalBaseline = results
+      .collect { case (k, m, _, _, _) if m >= 0 && baseNames(k) => m }.sum
     // "total_detail", NOT "total": exactly ONE stdout line may carry
     // "metric":"total" (the truncation-surviving LAST line below), so
     // a consumer grepping for it can't nondeterministically pick this
@@ -80,7 +99,12 @@ object Bench {
     println(s"""{"metric":"total_detail","layout":"full_detail",""" +
       s""""value":$total,"unit":"sec","runs":$Runs,""" +
       s""""total_full":${num(totalFull)},""" +
+      s""""build":${num(totalBuild)},""" +
+      s""""steady_production":${num(total - totalBaseline)},""" +
+      s""""steady_baseline_twins":${num(totalBaseline)},""" +
       s""""queries":$qs,"queries_sd":$sds,"queries_full":$fulls,""" +
+      s""""queries_build":$builds,""" +
+      s""""baseline_queries":${baseNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json keeps only the last ~2000 chars of
     // stdout, which in round 8 truncated away the per-query MEANS (the
@@ -93,14 +117,17 @@ object Bench {
     // very END where the tail always preserves it.
     def num2(d: Double): String = f"$d%.2f"
     val asc = results.sortBy(_._2)
-    val meansAsc = asc.map { case (k, m, _, _) => "\"" + k + "\":" + num2(m) }
+    val meansAsc = asc.map { case (k, m, _, _, _) => "\"" + k + "\":" + num2(m) }
       .mkString("{", ",", "}")
     val sdSlowest = asc.takeRight(12)
-      .map { case (k, _, s, _) => "\"" + k + "\":" + num2(s) }
+      .map { case (k, _, s, _, _) => "\"" + k + "\":" + num2(s) }
       .mkString("{", ",", "}")
     println(s"""{"layout":"truncation_tail",""" +
       s""""queries_mean_asc":$meansAsc,"sd_slowest":$sdSlowest,""" +
       s""""failed":$failed,"total_full":${num(totalFull)},""" +
+      s""""build":${num2(totalBuild)},""" +
+      s""""steady_production":${num2(total - totalBaseline)},""" +
+      s""""steady_baseline_twins":${num2(totalBaseline)},""" +
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }

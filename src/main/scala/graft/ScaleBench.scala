@@ -82,21 +82,38 @@ object ScaleBench {
     // thread-local) so the cancel reaches the in-flight stages.
     val timeoutSec =
       sys.env.get("SPARK_GRAFT_SCALE_TIMEOUT").map(_.toInt).getOrElse(240)
+    // Dedicated thread per measurement, JOINED after a cancel: the
+    // first cut ran queries on the global ExecutionContext and
+    // abandoned the Future on timeout, so the cancelled job's teardown
+    // (stage cleanup, shuffle file deletion) overlapped the NEXT
+    // query's timing window. The join (bounded — interruptOnCancel
+    // makes the stages die promptly) keeps measurements disjoint; a
+    // thread that ignores the cancel past the grace period is reported
+    // loudly instead of silently contaminating the sweep. Failures log
+    // their exception before recording -1 (the blanket swallow hid
+    // the difference between OOM and a missing table).
     def timed(tag: String)(run: => Unit): Double = {
-      import scala.concurrent.{Await, Future, TimeoutException}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
       val sc = spark.sparkContext
+      @volatile var err: Throwable = null
       val t0 = System.nanoTime()
-      val f = Future {
+      val th = new Thread(() => {
         sc.setJobGroup(tag, tag, interruptOnCancel = true)
-        try run finally sc.clearJobGroup()
-      }
-      try { Await.result(f, timeoutSec.seconds); (System.nanoTime() - t0) / 1e9 }
-      catch {
-        case _: TimeoutException => sc.cancelJobGroup(tag); -2.0
-        case _: Throwable => -1.0
-      }
+        try run
+        catch { case t: Throwable => err = t }
+        finally sc.clearJobGroup()
+      }, s"scalebench-$tag")
+      th.start()
+      th.join(timeoutSec * 1000L)
+      if (th.isAlive) {
+        sc.cancelJobGroup(tag)
+        th.join(60000L) // let the cancelled job settle before the next query
+        if (th.isAlive)
+          System.err.println(s"[scale] WARNING: $tag still running 60 s after cancel")
+        -2.0
+      } else if (err != null) {
+        System.err.println(s"[scale] $tag FAILED: ${err.getClass.getName}: ${err.getMessage}")
+        -1.0
+      } else (System.nanoTime() - t0) / 1e9
     }
     // count-based (ladder-comparable) AND noop-sink full evaluation —
     // same two-protocol rationale as [[Bench]]: count() lets the

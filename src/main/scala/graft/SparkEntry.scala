@@ -35,6 +35,60 @@ object SparkEntry {
     operators.Classifier.queries ++
     operators.Expectations.queries
 
+  /** DIFFERENTIAL-BASELINE queries: registered (and oracle-gated)
+    * because they are the brute/audit twins the scale-safe forms are
+    * proven against — NOT the plan a 100 TB pipeline runs. Each entry
+    * names its production counterpart; everything not listed here is
+    * production-tier, meaning its plan completes the 100× ladder
+    * sweep inside the per-query budget or carries an explicit
+    * output/compute lower-bound note in [[scaleNotes]]. The bench
+    * reports the two tiers separately so a cross-round perf read
+    * never mistakes a documented-quadratic baseline for a production
+    * regression.
+    */
+  val baselineQueries: Map[String, String] = Map(
+    "dedup_minhash_recall" -> "dedup_minhash_recall_sample", // full banding audit: exact side is the uncapped gram self-join, quadratic on clone-degenerate corpora
+    "dedup_ngram_jaccard"  -> "dedup_ngram_prefix",          // brute inverted-index Jaccard; prefix-filtered form is output-identical at the 0.8 threshold
+    "dedup_semantic"       -> "dedup_semantic_capped",       // uncapped SemDeDup baseline; capped form bounds per-bucket fan-out
+    "sim_near_dup"         -> "sim_near_dup_lsh",            // brute all-pairs cosine twin; LSH bucket join is the scale path
+    "q27_range_join"       -> "q27_range_join_bucketed",     // interval join keyed per user: candidates quadratic in per-user activity
+  )
+
+  /** Queries backed by a ONE-TIME persisted artifact (dedup-graph
+    * index, IVF-PQ index, frozen classifier model) memoized per
+    * (JVM, corpus dir): their FIRST call pays build + serve, every
+    * later call only serve. The bench times the two separately
+    * (`queries_build` = first-call − steady mean) so cross-round
+    * comparisons never conflate a one-time build with steady cost.
+    */
+  val buildBackedQueries: Set[String] = Set(
+    "dedup_keep_best_idx", "dedup_components_inc",
+    "ann_ivf_pq_idx", "ann_ivf_pq_res_idx", "smp_classifier_docs_idx")
+
+  /** Scale tier per registered query: "production" | "baseline". */
+  def scaleClass: Map[String, String] =
+    queries.keysIterator
+      .map(k => k -> (if (baselineQueries.contains(k)) "baseline"
+                      else "production"))
+      .toMap
+
+  /** Production-tier queries whose 100× ladder cost is LOWER-BOUNDED
+    * by their output or per-row compute — linear/output-proportional
+    * plans that legitimately scale super-linearly on the
+    * clone-replicated rung (SCALE.md documents each), kept distinct
+    * from plans that would be FIXED by a better shape.
+    */
+  val scaleNotes: Map[String, String] = Map(
+    "dedup_minhash_pairs"  -> "output-bound: the true near-dup pair set grows ~quadratically in the clone factor",
+    "dedup_simhash_pairs"  -> "output-bound (same clone-pair growth) + Manku pigeonhole background term C(N,2)/2^16",
+    "dedup_source_overlap" -> "output-bound: attributes the full candidate pair stream",
+    "dedup_audio"          -> "compute-bound map-side codec + blocked-Hamming background term; sampled-guard knob halves steady decode cost",
+    "dedup_image"          -> "compute-bound map-side PNG decode (x2 with the in-plan cross-decoder guard; knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
+    "mm_decode"            -> "compute-bound map-side codec work, nothing amortizes (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
+    "mm_resize"            -> "compute-bound map-side codec + resample work (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
+    "dedup_minhash_recall_sample" -> "audit with corpus-adaptive probe rate: exact-side fan-out bounded at ~constant probe mass",
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -32,8 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Boundary semantics (pinned by CdcChunkSpec's plain-Scala
   * differential and the prefix-insertion resync test): a position
-  * p0 ≥ 2 whose 3-gram `tk[p0-2] ⌴ tk[p0-1] ⌴ tk[p0]` portable-hash
-  * masks to 0 (mod `mask`) is the LAST token of its chunk — the
+  * p0 ≥ gram−1 whose `gram`-gram `tk[p0-gram+1] ⌴ … ⌴ tk[p0]`
+  * portable-hash masks to 0 (mod `mask`) is the LAST token of its chunk — the
   * relational form's exclusive prefix sum increments chunk_seq on
   * the row AFTER the cut. The final partial chunk always emits; an
   * empty token array emits nothing (the old `filter(size > 0)`).
@@ -43,10 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `conv(substring(md5(gram), 1, 8), 16, 10)` — NOT xxhash: the
   * boundary rule must be replayable by the oracle.
   */
-case class CdcChunks(child: Expression, mask: Long)
+case class CdcChunks(child: Expression, mask: Long, gram: Int)
   extends UnaryExpression with Generator with CodegenFallback {
 
   require(mask >= 1, s"mask must be >= 1, got $mask")
+  require(gram >= 1, s"gram must be >= 1, got $gram")
 
   override def elementSchema: StructType = StructType(
     StructField("chunk_seq", LongType, nullable = false) ::
@@ -94,10 +95,10 @@ case class CdcChunks(child: Expression, mask: Long)
         chunkHasTok = true
       }
       nInChunk += 1
-      val cut = i >= 2 && {
+      val cut = i >= gram - 1 && {
         gramMd.reset()
         var first = true
-        var j = i - 2
+        var j = i - (gram - 1)
         while (j <= i) {
           if (toks(j) != null) {
             if (!first) gramMd.update(space)
@@ -129,7 +130,12 @@ case class CdcChunks(child: Expression, mask: Long)
 }
 
 object CdcChunks {
-  /** Column-API entry point: token array → one row per CDC chunk. */
-  def cdc_chunks(tokens: Column, mask: Long): Column =
-    ColumnBridge.column(CdcChunks(ColumnBridge.expression(tokens), mask))
+  /** Column-API entry point: token array → one row per CDC chunk.
+    * `gram` is the boundary-window width — callers MUST pass the same
+    * constant their oracle/replay derivation uses (TextPipeline passes
+    * its `CdcGram`; a hardcoded width here once desynced silently when
+    * only the generator was read).
+    */
+  def cdc_chunks(tokens: Column, mask: Long, gram: Int): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(tokens), mask, gram))
 }

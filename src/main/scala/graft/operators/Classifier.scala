@@ -77,6 +77,22 @@ object Classifier {
     * exactly [[scoreWith]]'s integer sum.
     */
   private[graft] def modelOf(docs: DataFrame): DataFrame = {
+    val (buckets, kc, pc) = modelPieces(docs)
+    buckets.crossJoin(broadcast(kc)).crossJoin(broadcast(pc))
+  }
+
+  /** The model's three independent frames — (per-bucket weights,
+    * kc scalar, pc scalar) — for composed plans that score in the
+    * SAME plan as they train: scoring consumes the weights through a
+    * bucket join and the two scalars through a cross-join (they are
+    * corpus constants, not per-bucket values — recovering them from
+    * MATCHED model rows, as the first cut did, scored a document
+    * whose every token misses the model with kc = pc = 0 instead of
+    * the normalizer and prior). Composed callers take the pieces so
+    * the scalar cross-join never re-evaluates the bucket aggregate.
+    */
+  private def modelPieces(docs: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val toks = docs
       .select(col("source"), explode(tokens(col("text"))).as("word"))
       .withColumn("b", portableHash(col("word")) % ClsBuckets)
@@ -102,8 +118,19 @@ object Classifier {
       .select(floor((log(col("dp") + lit(1.0)) -
                      log(col("dall") - col("dp") + lit(1.0)))
         * lit(1000000d) + lit(0.5)).cast("long").as("pc"))
-    buckets.crossJoin(broadcast(kc)).crossJoin(broadcast(pc))
+    (buckets, kc, pc)
   }
+
+  /** The (kc, pc) scalar row of an ASSEMBLED model frame (the model
+    * repeats both constants on every row, so max() recovers them
+    * without caring which rows a scoring join would match); empty
+    * model (untrained) → 0/0, matching [[collectModel]]'s None
+    * contract. Cheap for its callers: [[scoreWith]] consumes LOADED
+    * ≤ 256-row models, never the in-plan composed aggregate.
+    */
+  private def modelConsts(model: DataFrame): DataFrame =
+    model.agg(coalesce(max(col("kc")), lit(0L)).as("kc"),
+              coalesce(max(col("pc")), lit(0L)).as("pc"))
 
   /** Persist a trained model (≤ 256 rows) as parquet. */
   def saveModel(docs: DataFrame, path: String): Unit =
@@ -118,23 +145,32 @@ object Classifier {
   /** Score an arbitrary (doc_id, text) frame against an explicit
     * model — the incremental-ingest entry. Buckets the model never
     * saw score the smoothing-faithful wi = 0 (unseen in both classes
-    * is uninformative), identical to an inner join for same-corpus
-    * models. Zero-token documents never enter the token stream and
-    * are absent from the output, as in every token-derived query.
+    * is uninformative); kc and pc apply to EVERY scored document —
+    * including one whose every token misses the model — because they
+    * are corpus constants cross-joined onto the score, not values
+    * recovered from matched model rows (identical to [[scoreExpr]],
+    * which always applies the prior; ClassifierSpec pins the all-miss
+    * document's score = n·kc + pc against it). Zero-token documents
+    * never enter the token stream and are absent from the output, as
+    * in every token-derived query.
     */
   def scoreWith(docs: DataFrame, model: DataFrame): DataFrame =
-    scoresUnsorted(docs, model).orderBy(col("doc_id"))
+    scoresUnsorted(docs, model.select(col("b"), col("wi")),
+        modelConsts(model))
+      .orderBy(col("doc_id"))
 
-  private def scoresUnsorted(docs: DataFrame, model: DataFrame): DataFrame =
+  private def scoresUnsorted(docs: DataFrame, weights: DataFrame,
+                             consts: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .withColumn("b", portableHash(col("word")) % ClsBuckets)
       .filter(col("b").isNotNull)
-      .join(broadcast(model), Seq("b"), "left")
+      .join(broadcast(weights), Seq("b"), "left")
       .withColumn("wi", coalesce(col("wi"), lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wi")).as("sw"),
-           coalesce(max(col("kc")), lit(0L)).as("kc"),
-           coalesce(max(col("pc")), lit(0L)).as("pc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wi")).as("sw"))
+      // the scalar row joins AFTER the per-doc aggregate — one row
+      // per doc, so the constants never widen the token shuffle
+      .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("n_tokens"),
         (col("sw") + col("n_tokens") * col("kc") + col("pc"))
           .as("logodds_micro"))
@@ -176,8 +212,11 @@ object Classifier {
   def classifierScores(s: SparkSession, d: String): DataFrame =
     classifierScoresOf(Tables.documents(s, d))
 
-  private[graft] def classifierScoresOf(docs: DataFrame): DataFrame =
-    scoreWith(docs, modelOf(docs))
+  private[graft] def classifierScoresOf(docs: DataFrame): DataFrame = {
+    val (buckets, kc, pc) = modelPieces(docs)
+    scoresUnsorted(docs, buckets, kc.crossJoin(broadcast(pc)))
+      .orderBy(col("doc_id"))
+  }
 
   /** Gate query: the selection itself — the [[SelectBudget]] best-
     * scoring documents (ties by doc_id), with their sources. The
@@ -186,7 +225,45 @@ object Classifier {
     */
   def classifierDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val top = scoresUnsorted(docs, modelOf(docs))
+    val (buckets, kc, pc) = modelPieces(docs)
+    val top = scoresUnsorted(docs, buckets, kc.crossJoin(broadcast(pc)))
+      .orderBy(col("logodds_micro").desc, col("doc_id"))
+      .limit(SelectBudget)
+    top.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logodds_micro"))
+      .orderBy(col("logodds_micro").desc, col("doc_id"))
+  }
+
+  private val builtModel =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def modelRootFor(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_clsmodel_$h"
+  }
+
+  /** Serving twin of [[classifierDocs]] over a FROZEN model (the
+    * `dedup_keep_best_idx` discipline): the in-plan twin re-trains the
+    * NB model every run; a pipeline trains ONCE, freezes the ≤ 256-row
+    * model to parquet, and scores every later batch against it — this
+    * query is that steady state, so the bench's build/steady split has
+    * a real steady-state number for the classifier family. Result —
+    * and oracle — are identical to `smp_classifier_docs`: training is
+    * deterministic and the integerized weights round-trip parquet
+    * bit-exactly.
+    */
+  def classifierDocsIdx(s: SparkSession, d: String): DataFrame = {
+    val path = builtModel.computeIfAbsent(d, _ => {
+      val p = modelRootFor(d)
+      saveModel(Tables.documents(s, d), p)
+      p
+    })
+    val docs = Tables.documents(s, d)
+    val model = loadModel(s, path)
+    val top = scoresUnsorted(docs, model.select(col("b"), col("wi")),
+        modelConsts(model))
       .orderBy(col("logodds_micro").desc, col("doc_id"))
       .limit(SelectBudget)
     top.join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -198,6 +275,7 @@ object Classifier {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_classifier" -> classifierScores _,
     "smp_classifier_docs" -> classifierDocs _,
+    "smp_classifier_docs_idx" -> classifierDocsIdx _,
   )
 
   private val hqSql =
@@ -229,7 +307,7 @@ object Classifier {
        |          CAST(sum(k.wi) AS BIGINT) AS sw
        |        FROM ctoks t JOIN cbk k ON t.b = k.b GROUP BY t.doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "txt_classifier" ->
       s"""WITH $clsCte
          |SELECT doc_id, n_tokens,
@@ -248,4 +326,11 @@ object Classifier {
          |FROM top t JOIN documents d ON d.doc_id = t.doc_id
          |ORDER BY t.logodds_micro DESC, t.doc_id""".stripMargin,
   )
+
+  // the frozen-model serving twin is output-identical by construction
+  // (deterministic train, bit-exact BIGINT round-trip), so its oracle
+  // is the in-plan twin's SQL verbatim — the gate CHECKS the
+  // equivalence instead of assuming it
+  val oracles: Map[String, String] = oraclesBase +
+    ("smp_classifier_docs_idx" -> oraclesBase("smp_classifier_docs"))
 }

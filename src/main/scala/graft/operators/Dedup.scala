@@ -32,7 +32,7 @@ import graft.functions.CrossEngine.{pround, portableHash, tokens}
 object Dedup {
 
   private val MinhashK = 16
-  private val BandRows = 4
+  private[graft] val BandRows = 4
   private val MersennePrime = 2147483647L // 2^31-1
   private val JaccardThreshold = 0.1
   private val SimhashBits = 64
@@ -306,8 +306,27 @@ object Dedup {
         pround(col("n_found") / col("n_candidates"), 4).as("precision"))
   }
 
-  /** Probe-sample modulus for [[minhashRecallSample]]: 1-in-10 docs. */
+  /** Floor of the probe-sample modulus for [[minhashRecallSample]]:
+    * never probe more than 1-in-10 docs.
+    */
   private val RecallProbeMod = 10
+
+  /** Probe-mass target the adaptive modulus aims at: the modulus
+    * grows with corpus size so the probe set stays ~this many docs
+    * and exact-side fan-out stays ~CONSTANT per audit, not linear.
+    */
+  private val RecallProbeTarget = 5000L
+
+  /** Corpus-adaptive probe modulus — ONE broadcast-scalar row
+    * (`pmod`), derived IN-PLAN from the corpus count (the
+    * [[bandGeometryOf]] pattern): max(10, ⌈n / target⌉), in exact
+    * integer arithmetic both engines replay identically.
+    */
+  private[graft] def probeModOf(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(RecallProbeMod.toLong),
+        expr(s"(n + ${RecallProbeTarget - 1}) div $RecallProbeTarget"))
+        .as("pmod"))
 
   /** SAMPLED LSH quality audit — the production form of
     * [[minhashRecall]], per SCALE.md's honest negative: the full
@@ -315,21 +334,28 @@ object Dedup {
     * whose candidate fan-out grows with the square of posting-list
     * length (46 GB of spill at the replicated 100× rung). This form
     * audits only pairs INCIDENT TO a hash-sampled probe set (1 in
-    * $RecallProbeMod docs, portable hash, independent of every other
+    * `pmod` docs — portable hash, independent of every other
     * sampler's salt): the probe docs' grams join the full index, so
-    * exact-side fan-out is bounded by |probe|·posting-length — LINEAR
-    * in corpus size at a fixed sample rate, not quadratic. Because
-    * the probe hash is independent of the banding hashes, recall
-    * over incident pairs is an unbiased estimator of corpus recall.
-    * Candidates are the banded pairs filtered to the same incidence
-    * predicate; both sides meet in the same full-outer + scalar agg,
-    * with the probe count folded in as a broadcast scalar.
+    * exact-side fan-out is bounded by |probe|·posting-length. The
+    * modulus is CORPUS-ADAPTIVE ([[probeModOf]]: ~[[RecallProbeTarget]]
+    * probes at any scale), so the audit's cost is ~posting-length ×
+    * a CONSTANT probe mass — the fixed-rate form still ballooned
+    * 620× on the clone-replicated 100× rung, where posting lists and
+    * probe count both grew 100×. Unbiasedness is unchanged: at any
+    * modulus the probe hash is a function of doc_id alone (never of
+    * content or of the banding hashes), so recall over
+    * probe-incident pairs estimates corpus recall without bias —
+    * the modulus only sets the sample's variance. Candidates are the
+    * banded pairs filtered to the same incidence predicate; both
+    * sides meet in the same full-outer + scalar agg, with the probe
+    * count folded in as a broadcast scalar.
     */
   def minhashRecallSample(s: SparkSession, d: String): DataFrame = {
+    val pm = probeModOf(Tables.documents(s, d))
     def probe(c: org.apache.spark.sql.Column) =
-      portableHash(concat(lit("recall:"), c.cast("string"))) % RecallProbeMod === 0
+      portableHash(concat(lit("recall:"), c.cast("string"))) % col("pmod") === 0
     val ngn = gramHashRows(s, d).repartition(col("gh"))
-    val a = ngn.filter(probe(col("doc_id")))
+    val a = ngn.crossJoin(broadcast(pm)).filter(probe(col("doc_id")))
       .select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
     val b = ngn.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
     val exact = a.join(b, Seq("gh")).filter(col("doc_a") =!= col("doc_b"))
@@ -341,10 +367,10 @@ object Dedup {
               greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
       .withColumn("ex", lit(1))
-    val cand = minhashPairs(s, d)
+    val cand = minhashPairs(s, d).crossJoin(broadcast(pm))
       .filter(probe(col("doc_a")) || probe(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(1).as("cd"))
-    val nProbe = Tables.documents(s, d)
+    val nProbe = Tables.documents(s, d).crossJoin(broadcast(pm))
       .filter(probe(col("doc_id")))
       .agg(count(lit(1)).as("n_probe"))
     exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
@@ -564,7 +590,55 @@ object Dedup {
     * prefix order biases toward df ≈ 1.
     */
   def ngramPrefixJoin(s: SparkSession, d: String): DataFrame =
-    ngramPrefixJoinOf(gramHashRows(s, d))
+    // duplicate-mass-adaptive (the dropList branch rule): a
+    // clone-replicated corpus destroys the df≈1 tail the prefix
+    // filter's pruning rides on (every gram's df ≥ the clone factor —
+    // the 100× rung timed the direct plan out), and the exact-collapse
+    // prepass RESTORES it: J(clone, x) = J(rep, x), so the rep-level
+    // prefix join over distinct texts sees the original df
+    // distribution, and member pairs expand in closed form. On a
+    // clone-light corpus the direct plan is cheaper (no prepass).
+    branchByDupMass(Tables.documents(s, d))(ngramPrefixCollapsedOf)(dd =>
+        ngramPrefixJoinOf(gramHashRowsOf(dd)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramPrefixJoinOf]] through the exact-collapse prepass —
+    * rep-level prefix join + closed-form member-pair expansion:
+    *  - within-group pairs: every (a < b) of a clone group at J = 1,
+    *    iff the group's text yields ≥ 1 shingle (gram-less clones
+    *    share nothing in the uncollapsed join);
+    *  - cross-group pairs: a verified rep pair (ra, rb, j) expands to
+    *    all (member(ra), member(rb)) at the SAME j — J(a, b) =
+    *    J(ra, rb) because clones carry identical gram sets.
+    * Output is provably the uncollapsed join's ≥ 0.8 pair set — and
+    * the oracle still replays the UNCOLLAPSED brute slice, so the
+    * gate checks the equivalence. Scale: the expansion joins are
+    * output-proportional (pair enumeration is output-bound on a clone
+    * rung for ANY algorithm); the quadratic candidate space the
+    * direct plan drowned in is never touched.
+    */
+  private[graft] def ngramPrefixCollapsedOf(docs: DataFrame): DataFrame = {
+    val groups = collapsedGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val repPairs = ngramPrefixJoinOf(gramHashRowsOf(reps))
+    val members = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(groups.select(col("h"), col("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+      .select(col("doc_id"), col("rep"), col("gramful"))
+    val mG = members.filter(col("gramful"))
+    val within = mG.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(mG.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("ida"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("idb"))
+    val cross = repPairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("jaccard"))
+    within.unionByName(cross)
+  }
 
   /** The complete candidate set of the prefix filter: doc pairs
     * sharing at least one gram inside both docs' df-ascending
@@ -606,7 +680,6 @@ object Dedup {
       .filter(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 4)
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Span width for substring-level exact dedup: a duplicated region
@@ -846,7 +919,34 @@ object Dedup {
     */
   def dropList(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    dropListCollapsedOf(docs, bandGeometryOf(docs))
+    val geom = bandGeometryOf(docs)
+    // duplicate-mass-adaptive: the collapse prepass transforms the
+    // clone-replicated rung (direct plan t/o → seconds) but is pure
+    // overhead on a clone-light corpus (measured 0.73 → 1.73 s at
+    // sf0.1) — so the plan branches on the in-plan dup-mass scalar.
+    // Geometry is pinned to the FULL corpus count either way (the
+    // oracle bands at corpus scale).
+    branchByDupMass(docs)(dc => dropListCollapsedOf(dc, geom))(dd =>
+        dropListDirectOf(dd, geom))
+      .orderBy(col("drop_id"))
+  }
+
+  /** The direct (uncollapsed) drop list — band every document, verify
+    * LSH candidates against full gram rows, reduce greedily. The
+    * cheaper plan when clone mass is low (the collapsed twin's rep
+    * set would ≈ the corpus, making its prepass pure overhead).
+    */
+  private[graft] def dropListDirectOf(docs: DataFrame, geom: DataFrame): DataFrame = {
+    val bands = bandedOf(slotArrays(docs), geom)
+      .repartition(col("band"), col("sig"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifiedPairsOver(cand, gramHashRowsOf(docs))
+      .groupBy(col("doc_b").as("drop_id"))
+      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
   }
 
   /** [[dropList]] through the exact-collapse prepass (see
@@ -888,9 +988,13 @@ object Dedup {
         col("doc_a").as("r_other"), col("jaccard")))
     val members = docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(groups.select(col("h"), col("rep")), Seq("h"))
-      .select(col("doc_id"), col("rep"))
-    val within = members.filter(col("doc_id") =!= col("rep"))
+      .join(groups.select(col("h"), col("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+      .select(col("doc_id"), col("rep"), col("gramful"))
+    // within-group drops exist only where clones actually SHARE grams
+    // (a duplicated <3-token text pairs with nothing in the
+    // uncollapsed join — the expandRepLabels gramful rule)
+    val within = members.filter(col("doc_id") =!= col("rep") && col("gramful"))
       .select(col("doc_id").as("drop_id"), col("rep").as("kept_cand"),
         lit(1.0).as("j"))
     val cross = members.join(broadcast(sym), Seq("rep"))
@@ -900,7 +1004,6 @@ object Dedup {
     within.unionByName(cross)
       .groupBy(col("drop_id"))
       .agg(min(col("kept_cand")).as("kept_id"), max(col("j")).as("max_jaccard"))
-      .orderBy(col("drop_id"))
   }
 
   /** LSH candidate pairs exact-Jaccard-verified at [[DropThreshold]]:
@@ -1202,6 +1305,54 @@ object Dedup {
       col("h").isNotNull && col("rep").isNotNull &&
         col("n_copies") >= 0 && col("text").isNotNull)
 
+  /** Average copies per distinct text above which the exact-collapse
+    * prepass pays for itself: below it the "collapsed" rep set ≈ the
+    * corpus and the prepass (md5 groupBy + member-expansion join) is
+    * pure overhead on top of the direct plan; above it, banding and
+    * shingling per clone is the waste. Measured boundary behavior:
+    * at ratio ≈ 1 (sf0.1 gate corpus) the prepass cost
+    * `dedup_drop_list` 0.73 → 1.73 s; at ratio 100 (the replicated
+    * 100× rung) the DIRECT plan times out while the collapsed one
+    * finishes in seconds — 2 is comfortably inside both regimes.
+    */
+  private val CollapseWorthItCopies = 2L
+
+  /** One broadcast-scalar row `(collapse BOOLEAN)` — the corpus'
+    * duplicate mass, derived IN-PLAN (the [[bandGeometryOf]]
+    * adaptive-boundary pattern: no driver job at plan build):
+    * n_docs ≥ [[CollapseWorthItCopies]] · n_distinct_texts. The
+    * distinct count shuffles 16-byte md5 keys only.
+    */
+  private[graft] def dupMassFlag(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text").cast("binary"))).as("nd"))
+      .select((col("n") >= col("nd") * lit(CollapseWorthItCopies))
+        .as("collapse"))
+
+  /** Corpus-adaptive plan branch: run `collapsed(docs)` when the
+    * duplicate mass clears [[CollapseWorthItCopies]], `direct(docs)`
+    * otherwise — as ONE lazy plan. Both branches exist statically;
+    * the [[dupMassFlag]] scalar cross-joins onto each branch's INPUT
+    * docs with complementary filters, so at runtime exactly one
+    * branch sees rows and the other's operators all run on empty
+    * partitions (its only real cost is one extra corpus scan, which
+    * the disabled branch's pruned column set keeps cheap). The two
+    * callbacks must be output-equivalent — the gate's uncollapsed
+    * oracle checks that on whichever branch the gate corpus selects,
+    * and AdaptiveCollapseSpec pins branch-for-branch equality on
+    * planted corpora that force each side.
+    */
+  private[graft] def branchByDupMass(docs: DataFrame)(
+      collapsed: DataFrame => DataFrame)(
+      direct: DataFrame => DataFrame): DataFrame = {
+    val flag = dupMassFlag(docs)
+    val docsC = docs.crossJoin(broadcast(flag))
+      .filter(col("collapse")).drop("collapse")
+    val docsD = docs.crossJoin(broadcast(flag))
+      .filter(!col("collapse")).drop("collapse")
+    collapsed(docsC).unionByName(direct(docsD))
+  }
+
   /** Expand rep-level component labels back to every member:
     * member → its group's rep → the rep's label, with multi-copy
     * groups whose rep carries no rep-level label becoming components
@@ -1217,14 +1368,19 @@ object Dedup {
     // map-side (text never enters the exchange), left-join the rep's
     // label, and resolve in closed form — labeled rep → its label;
     // unlabeled rep of a multi-copy group → self-component (members
-    // pair at J = 1 in the uncollapsed graph); unlabeled singleton →
-    // absent.
+    // pair at J = 1 in the uncollapsed graph — PROVIDED the text
+    // yields ≥ 1 shingle: a duplicated <3-token text shares no grams
+    // with its own clones in the uncollapsed join, so it must stay
+    // absent here too; `gramful` is a map-side token count over the
+    // one group row, no join); unlabeled singleton → absent.
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(groups.select(col("h"), col("rep"), col("n_copies")), Seq("h"))
+      .join(groups.select(col("h"), col("rep"), col("n_copies"),
+        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
       .join(repLabels.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("component_id"),
-          when(col("n_copies") >= 2, col("rep"))).as("component_id"))
+          when(col("n_copies") >= 2 && col("gramful"), col("rep")))
+          .as("component_id"))
       .filter(col("component_id").isNotNull)
 
   private[graft] def buildDedupGraphIndex(s: SparkSession, docs: DataFrame,
@@ -1713,10 +1869,15 @@ object Dedup {
          |         count(CASE WHEN cd THEN 1 END), 4) AS precision
          |FROM j""".stripMargin,
     "dedup_minhash_recall_sample" -> {
+      // adaptive probe modulus, replayed in the SAME exact integer
+      // arithmetic as probeModOf (DuckDB // floors, Spark div
+      // truncates — identical on the non-negative operands here)
       def probeSql(e: String) =
-        s"(CAST(('0x' || substr(md5('recall:' || CAST($e AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)"
+        s"(CAST(('0x' || substr(md5('recall:' || CAST($e AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT pmod FROM pm) = 0)"
       s"""WITH $mhCte,
          |$bandsCteSql,
+         |pm AS (SELECT greatest(10, (count(*) + ${RecallProbeTarget - 1}) // $RecallProbeTarget) AS pmod
+         |       FROM documents),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |         WHERE a.doc_id < b.doc_id

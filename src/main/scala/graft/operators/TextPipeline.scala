@@ -1106,7 +1106,8 @@ object TextPipeline {
   private[graft] def chunkCdcOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        graft.functions.CdcChunks.cdc_chunks(tokens(col("text")), CdcMask))
+        graft.functions.CdcChunks.cdc_chunks(tokens(col("text")), CdcMask,
+          CdcGram))
       .orderBy(col("doc_id"), col("chunk_seq"))
 
   /** Chunk-level dedup over the CDC chunks — [[chunkCdc]]'s purpose,

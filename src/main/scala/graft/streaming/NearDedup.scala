@@ -19,8 +19,10 @@ import graft.operators.Dedup
   * per LSH band, and grouped by (band, sig). A `transformWithState`
   * processor keeps the documents previously seen in each bucket and
   * emits a candidate pair for every (existing, new) combination —
-  * exactly the pairs the batch equi-join on (band, sig) would
-  * produce. A pair colliding in several bands is emitted once per
+  * exactly the pairs the batch equi-join on (band, sig) produces
+  * UNDER THE SAME GEOMETRY (the batch plan adapts its banding to the
+  * corpus size; the stream pins its geometry at start — see
+  * [[candidatePairs]]). A pair colliding in several bands is emitted once per
   * colliding bucket; the downstream `dropDuplicatesWithinWatermark`
   * collapses them to the batch twin's `.distinct()`.
   *
@@ -131,21 +133,35 @@ object NearDedup {
 
   /** stream: (doc_id, text, ts). Emits distinct near-dup candidate
     * pairs (doc_a < doc_b) with event time = the later document's.
+    *
+    * `bandRows` pins the LSH geometry EXPLICITLY — the batch
+    * `Dedup.minhashPairs` derives its geometry from the corpus size
+    * (8×2 bands below the adaptive boundary, 4×4 above), while a
+    * stream has no corpus count to adapt to, so the caller must pin
+    * the geometry of the state this stream's pairs feed (the
+    * persisted-index contract: size it for the corpus the stream
+    * GROWS INTO). The parity claim is geometry-explicit: at the same
+    * `bandRows`, emitted pairs are exactly the batch equi-join's —
+    * NearDedupSpec pins both the default-geometry equality on a
+    * large-corpus-shaped setting and the 8×2 form against a
+    * small-corpus batch run.
     */
   def candidatePairs(stream: DataFrame,
-                     watermark: String = "10 seconds"): DataFrame =
-    pairs(bandRows(stream).withWatermark("ts", watermark))
+                     watermark: String = "10 seconds",
+                     bandRows: Int = Dedup.BandRows): DataFrame =
+    pairs(bandRowsOf(stream, bandRows).withWatermark("ts", watermark))
 
   /** Same, for a stream that ALREADY carries a watermark on `ts` —
     * a chained stateful pipeline (e.g. downstream of
     * [[ContentDedup.firstSeen]]) must not redefine the watermark,
     * Spark propagates it through the upstream stateful operator.
     */
-  def candidatePairsPreWatermarked(stream: DataFrame): DataFrame =
-    pairs(bandRows(stream))
+  def candidatePairsPreWatermarked(stream: DataFrame,
+                                   bandRows: Int = Dedup.BandRows): DataFrame =
+    pairs(bandRowsOf(stream, bandRows))
 
-  private def bandRows(stream: DataFrame): DataFrame =
-    Dedup.withBandKeys(stream, "text")
+  private def bandRowsOf(stream: DataFrame, bandRows: Int): DataFrame =
+    Dedup.withBandKeys(stream, "text", bandRows)
       .select(col("doc_id"), explode(col("bands")).as("bs"), col("ts"))
       .select(col("doc_id"), col("bs.band").as("band"),
               col("bs.sig").as("sig"), col("ts"))

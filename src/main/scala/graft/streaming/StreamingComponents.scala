@@ -28,12 +28,25 @@ import graft.operators.Dedup
   *    `v{b}` and deterministically writes `v{b+1}`, so a replayed
   *    batch after a failure rewrites the same version with the same
   *    bytes instead of double-merging (the write-ahead batchId is the
-  *    version number);
+  *    version number). A version is only OBSERVABLE once its
+  *    `_COMPLETE` marker lands (written last, deleted first on a
+  *    replay rewrite), so a reader can never see a partially-written
+  *    version — the first cut published `labels` before `bands`, and
+  *    a mid-batch read straddled them;
   *  - '''bounded state''': the state carries rep-level LSH bands, rep-
   *    level gram HASHES, the frozen band geometry, and the full label
   *    table — no document text is ever retained (a clone-heavy stream
   *    collapses to one representative per distinct text before
-  *    signing, the exact-collapse prepass of `dedup_components`).
+  *    signing, the exact-collapse prepass of `dedup_components`);
+  *  - '''delta-proportional I/O''': labels and geometry rewrite per
+  *    version (labels change globally under a merge), but bands and
+  *    grams — the artifacts that grow with the CORPUS — are written
+  *    as per-version DELTAS (this batch's new reps only) and read as
+  *    base ∪ deltas. Every [[CompactEvery]] versions the chain folds
+  *    into a fresh full base, bounding the read fan-in, and versions
+  *    older than the live chain are garbage-collected, bounding disk.
+  *    The first cut rewrote the full accumulated state every batch:
+  *    O(corpus) I/O per micro-batch and O(corpus × batches) disk.
   *
   * Exactness (StreamingComponentsSpec): after any number of
   * micro-batches, the current labels equal the batch
@@ -44,7 +57,37 @@ import graft.operators.Dedup
   */
 object StreamingComponents {
 
+  /** Fold the bands/grams delta chain into a fresh full base every
+    * this many versions — bounds the multi-path read fan-in at the
+    * price of one corpus-sized rewrite per window (amortized
+    * O(corpus / CompactEvery) per batch).
+    */
+  private val CompactEvery = 16L
+
   private def v(root: String, version: Long): String = s"$root/v$version"
+
+  private def markerFile(root: String, version: Long) =
+    new java.io.File(v(root, version), "_COMPLETE")
+
+  /** Version `version`'s base: the newest version ≤ it whose
+    * bands/grams are FULL (the marker's payload). The state at
+    * `version` is base's bands/grams ∪ the deltas of (base, version].
+    */
+  private[graft] def baseOf(root: String, version: Long): Long = {
+    val f = markerFile(root, version)
+    require(f.exists(), s"version v$version under $root is not COMPLETE")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+  }
+
+  private def bandsChain(s: SparkSession, root: String, version: Long): DataFrame =
+    s.read.schema("doc_id BIGINT, band BIGINT, sig STRING")
+      .parquet((baseOf(root, version) to version)
+        .map(k => s"${v(root, k)}/bands"): _*)
+
+  private def gramsChain(s: SparkSession, root: String, version: Long): DataFrame =
+    s.read.schema("doc_id BIGINT, gh BIGINT, n BIGINT")
+      .parquet((baseOf(root, version) to version)
+        .map(k => s"${v(root, k)}/grams"): _*)
 
   /** Freeze version 0 of the state from an initial corpus (possibly
     * empty — a stream starting cold). `geom` pins the band geometry
@@ -54,25 +97,40 @@ object StreamingComponents {
     * not the initial snapshot.
     */
   def init(s: SparkSession, initialDocs: DataFrame, root: String,
-           geom: DataFrame): Unit =
+           geom: DataFrame): Unit = {
     // the index build persists everything the merge needs, including
     // the rep-level gram rows a future delta verifies against (the
     // stream cannot re-shingle text it no longer has)
     Dedup.buildDedupGraphIndex(s, initialDocs, v(root, 0L), geom)
+    publish(root, 0L, base = 0L)
+  }
+
+  /** Make version `version` observable: write its `_COMPLETE` marker
+    * (payload = the version its delta chain is based on) LAST, after
+    * every parquet artifact has landed.
+    */
+  private def publish(root: String, version: Long, base: Long): Unit =
+    java.nio.file.Files.write(markerFile(root, version).toPath,
+      base.toString.getBytes("UTF-8"))
 
   /** One micro-batch merge: read state `v{batchId}`, merge the batch,
     * write state `v{batchId+1}`. Deterministic in (state, batch), so
-    * an at-least-once replay of a batch is idempotent by overwrite.
+    * an at-least-once replay of a batch is idempotent by overwrite —
+    * the replay drops the stale version's marker before touching its
+    * artifacts, so the version disappears from readers for the
+    * duration of the rewrite instead of serving a half-written mix.
     */
   private[graft] def applyBatch(batch: DataFrame, root: String,
                                 batchId: Long): Unit = {
     val s = batch.sparkSession
     val in = v(root, batchId)
-    val out = v(root, batchId + 1)
+    val outVer = batchId + 1
+    val out = v(root, outVer)
+    markerFile(root, outVer).delete() // stale marker from a crashed run
     val geom = Dedup.loadGraphGeom(s, in)
     val oldLabels = Dedup.loadGraphLabels(s, in)
-    val oldBands = Dedup.loadGraphBands(s, in)
-    val oldGrams = Dedup.loadGraphGrams(s, in)
+    val oldBands = bandsChain(s, root, batchId)
+    val oldGrams = gramsChain(s, root, batchId)
     val docs = batch.select(col("doc_id"), col("text"))
     val groups = Dedup.exactGroups(docs)
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
@@ -81,11 +139,39 @@ object StreamingComponents {
     Dedup.componentsIncOverGrams(docs, oldLabels, oldBands, geom,
         oldGrams.unionByName(newGrams))
       .write.mode("overwrite").parquet(s"$out/labels")
-    oldBands.unionByName(newBands).write.mode("overwrite")
-      .parquet(s"$out/bands")
-    oldGrams.unionByName(newGrams).write.mode("overwrite")
-      .parquet(s"$out/grams")
+    val compact = outVer % CompactEvery == 0L
+    if (compact) {
+      oldBands.unionByName(newBands).write.mode("overwrite")
+        .parquet(s"$out/bands")
+      oldGrams.unionByName(newGrams).write.mode("overwrite")
+        .parquet(s"$out/grams")
+    } else {
+      newBands.write.mode("overwrite").parquet(s"$out/bands")
+      newGrams.write.mode("overwrite").parquet(s"$out/grams")
+    }
     geom.write.mode("overwrite").parquet(s"$out/geom")
+    publish(root, outVer, base = if (compact) outVer else baseOf(root, batchId))
+    gc(root, keepFrom = baseOf(root, batchId))
+  }
+
+  /** Drop versions the live chains can never read again. Batch `b`
+    * (the one that just wrote v{b+1}) may still REPLAY until its
+    * checkpoint commits, and that replay reads v{b}'s chain — so
+    * everything from v{b}'s base onward stays; strictly older
+    * versions are unreachable from both chains (bases only move
+    * forward) and are deleted.
+    */
+  private def gc(root: String, keepFrom: Long): Unit = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+    dirs.iterator
+      .filter(d => d.getName.matches("v\\d+") &&
+                   d.getName.drop(1).toLong < keepFrom)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array()).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Start the maintainer over a document stream `(doc_id, text)`.
@@ -99,14 +185,17 @@ object StreamingComponents {
       .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, root, id) }
       .start()
 
-  /** The highest frozen state version under `root` (v0 = just
-    * initialized). Driver-side directory listing — a serving-path
-    * helper, never part of a query plan.
+  /** The highest COMPLETE frozen state version under `root` (v0 =
+    * just initialized) — versions without their `_COMPLETE` marker
+    * (mid-write, or a crashed batch's partial output) are invisible.
+    * Driver-side directory listing — a serving-path helper, never
+    * part of a query plan.
     */
   def currentVersion(root: String): Long = {
     val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
     dirs.iterator.map(_.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .filter(markerFile(root, _).exists())
       .foldLeft(0L)(math.max)
   }
 

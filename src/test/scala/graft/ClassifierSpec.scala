@@ -58,6 +58,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(slice === full.filter(r => r.head.asInstanceOf[Long] % 7 == 0))
   }
 
+  test("all-miss document still scores with the model's kc and pc") {
+    val s = spark
+    import s.implicits._
+    // train on the planted corpus, score a document whose every token
+    // hashes only to buckets the model may not have populated — the
+    // first cut recovered kc/pc from MATCHED model rows, so a full-miss
+    // document scored 0·wi + 0·kc + 0·pc = 0 instead of n·kc + pc
+    val path = java.nio.file.Files.createTempDirectory("cls_allmiss").toString
+    Classifier.saveModel(planted, path)
+    val model = Classifier.loadModel(spark, path)
+    val (wi, kc, pc) = Classifier.collectModel(model).get
+    // find 3 tokens whose buckets are absent from the trained model
+    def pHash(w: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    // letter-only candidates (digits would be split off by the
+    // tokenizer, collapsing every candidate to the same token)
+    val missTokens = (1 to 10000).iterator
+      .map(i => "zz" + i.toString.map(c => ('a' + (c - '0')).toChar))
+      .filter(w => !wi.contains(pHash(w) % 256)).take(3).toSeq
+    assume(missTokens.size == 3, "corpus hashed every bucket; widen the probe")
+    val probe = Seq((7L, missTokens.mkString(" "))).toDF("doc_id", "text")
+    val got = Classifier.scoreWith(probe, model).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 3L * kc + pc,
+      s"expected n*kc+pc = ${3L * kc + pc}, got ${got.head.getLong(2)}")
+    // and scoreExpr (the streaming gate) agrees exactly
+    val expr = probe.select(
+      Classifier.scoreExpr(col("text"), wi, kc, pc).as("sc")).collect()
+    assert(expr.head.getLong(0) == got.head.getLong(2))
+  }
+
   test("model branches share one exchange (token pass runs once)") {
     val df = Classifier.queries("txt_classifier")(spark, sf)
     df.collect()

@@ -55,8 +55,12 @@ class NearDedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
 
     val in = MemoryStream[(Long, String, Timestamp)]
+    // geometry-EXPLICIT parity: the batch plan adapts to this tiny
+    // corpus (8×2 bands), so the stream must pin the same geometry —
+    // the default 4×4 would only agree on corpora whose near-dups are
+    // exact clones (which collide under any banding)
     val q = NearDedup.candidatePairs(
-        in.toDF().toDF("doc_id", "text", "ts"))
+        in.toDF().toDF("doc_id", "text", "ts"), bandRows = 2)
       .writeStream.format("memory").queryName("nd_out")
       .outputMode("append").start()
     try {

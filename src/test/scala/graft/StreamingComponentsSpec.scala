@@ -124,6 +124,43 @@ class StreamingComponentsSpec extends AnyFunSuite {
       "all 50 clones form one component labeled by the min id")
   }
 
+  test("delta chain compacts, old versions GC, incomplete versions stay invisible") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("gc")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val geom = Dedup.bandGeometryOf(empty)
+    StreamingComponents.init(s, empty, root, geom)
+    // 17 one-doc batches: near-dup chain docs so labels stay non-trivial
+    val docs = (0 until 17).map { i =>
+      val words = baseWords ++ (0 until i).map(j => s"extra${('a' + j).toChar}")
+      (100L + i, words.mkString(" "))
+    }
+    docs.zipWithIndex.foreach { case ((id, t), b) =>
+      StreamingComponents.applyBatch(Seq((id, t)).toDF("doc_id", "text"),
+        root, b.toLong)
+    }
+    assert(StreamingComponents.currentVersion(root) == 17L)
+    // batch 15 wrote v16 = a compaction point (16 % 16 == 0); batch 16
+    // then GC'd everything below its base → only v16 (full) + v17
+    // (delta) remain on disk
+    val left = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(left == Seq("v16", "v17"), s"expected compacted chain, got $left")
+    // labels after compaction+GC still equal the batch recompute
+    val expected = labelSet(Dedup.componentsCollapsedOf(
+      docs.toDF("doc_id", "text"), geom))
+    assert(labelSet(StreamingComponents.labels(s, root)) == expected)
+    // a partially-written version (no _COMPLETE marker) is invisible
+    val partial = new java.io.File(s"$root/v18/labels")
+    partial.mkdirs()
+    java.nio.file.Files.write(new java.io.File(partial, "part-junk").toPath,
+      "not parquet".getBytes)
+    assert(StreamingComponents.currentVersion(root) == 17L,
+      "a version without its marker must not become current")
+    assert(labelSet(StreamingComponents.labels(s, root)) == expected)
+  }
+
   test("a replayed micro-batch is idempotent (versioned state overwrite)") {
     val s = spark
     import s.implicits._
