@@ -540,8 +540,16 @@ object Similarity {
     * production ANN service ships to serving, rebuilt on ingest
     * epochs, not per query.
     */
-  def buildIvfPqIndex(s: SparkSession, d: String, path: String): Unit = {
-    val e = vectors(s, d)
+  def buildIvfPqIndex(s: SparkSession, d: String, path: String): Unit =
+    buildIvfPqIndexOf(vectors(s, d), path)
+
+  /** [[buildIvfPqIndex]] over an EXPLICIT (vec_id, v, nrm) vector
+    * frame — the entry the streaming index maintainer
+    * ([[graft.streaming.StreamingAnnIndex]]) initializes and retrains
+    * through (its corpus is a stream; there is no table dir to name).
+    */
+  def buildIvfPqIndexOf(e: DataFrame, path: String): Unit = {
+    val s = e.sparkSession
     val en = e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     saveCentroids(sampledVecs(e)
@@ -552,6 +560,13 @@ object Similarity {
     saveCoarseAssignment(ivfAssignmentOf(e)
       .select(col("vec_id"), col("cid")), s"$path/coarse")
   }
+
+  /** (vec_id, v, nrm) from an explicit raw (vec_id, embedding) frame —
+    * [[vectors]] without the table read (streaming batches).
+    */
+  private[graft] def vectorsOf(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Search-only IVF-PQ against a persisted index: identical output
     * to [[annIvfPq]] (the build is deterministic), but the plan scans
@@ -826,7 +841,7 @@ object Similarity {
     * @param coarse coarse assignment (vec_id, cid)
     * @param cents  coarse centroids (cid, cv, cnrm)
     */
-  private def ivfPqSearchFrom(e: DataFrame, cb: DataFrame,
+  private[graft] def ivfPqSearchFrom(e: DataFrame, cb: DataFrame,
       codes: DataFrame, coarse: DataFrame, cents: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
