@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
   * throws reports -1 (and is listed in "failed") rather than its
   * time-to-throw — a fast failure must never read as a speedup.
   *
+  * Build vs steady (round 12): the recorded warm-up (first call) pays
+  * any one-time memoized index/model build for the queries in
+  * SparkEntry.buildBackedQueries; the JSON reports
+  * `queries_build` = max(0, first − steady mean) per such query and a
+  * `build` total, so cross-round per-query comparisons never conflate
+  * one-time build cost with steady serving cost. Steady totals are
+  * also split per registry tier (`steady_production` vs
+  * `steady_baseline_twins` — the five documented-quadratic
+  * differential twins), so a baseline's designed cost can't read as a
+  * production regression.
+  *
   * Two timings per query:
   *  - `queries` (count-based, the protocol since round 1, kept for
   *    round-over-round comparability): `df.count()` lets Catalyst

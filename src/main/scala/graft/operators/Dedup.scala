@@ -589,7 +589,7 @@ object Dedup {
     * lists to Σ df² over prefix postings, which the df-ascending
     * prefix order biases toward df ≈ 1.
     */
-  def ngramPrefixJoin(s: SparkSession, d: String): DataFrame =
+  def ngramPrefixJoin(s: SparkSession, d: String): DataFrame = {
     // duplicate-mass-adaptive (the dropList branch rule): a
     // clone-replicated corpus destroys the df≈1 tail the prefix
     // filter's pruning rides on (every gram's df ≥ the clone factor —
@@ -597,35 +597,48 @@ object Dedup {
     // prepass RESTORES it: J(clone, x) = J(rep, x), so the rep-level
     // prefix join over distinct texts sees the original df
     // distribution, and member pairs expand in closed form. On a
-    // clone-light corpus the direct plan is cheaper (no prepass).
-    branchByDupMass(Tables.documents(s, d))(ngramPrefixCollapsedOf)(dd =>
-        ngramPrefixJoinOf(gramHashRowsOf(dd)))
+    // clone-light corpus the identity frames make the prepass a no-op.
+    val docs = Tables.documents(s, d)
+    val (reps, members) = adaptiveGroups(docs, dupMassFlag(docs))
+    ngramPrefixOverGroups(reps, members)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** [[ngramPrefixJoinOf]] through the exact-collapse prepass —
-    * rep-level prefix join + closed-form member-pair expansion:
+    * spec entry for the adaptive branch's side-for-side pin.
+    */
+  private[graft] def ngramPrefixCollapsedOf(docs: DataFrame): DataFrame = {
+    val groups = collapsedGroups(docs)
+    ngramPrefixOverGroups(
+      groups.select(col("rep").as("doc_id"), col("text")),
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(groups.select(col("h"), col("rep"),
+          (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+        .select(col("doc_id"), col("rep"), col("gramful")))
+  }
+
+  /** Prefix-filtered exact Jaccard over explicit (reps, members)
+    * frames — rep-level AllPairs join + closed-form member-pair
+    * expansion:
     *  - within-group pairs: every (a < b) of a clone group at J = 1,
     *    iff the group's text yields ≥ 1 shingle (gram-less clones
     *    share nothing in the uncollapsed join);
     *  - cross-group pairs: a verified rep pair (ra, rb, j) expands to
     *    all (member(ra), member(rb)) at the SAME j — J(a, b) =
     *    J(ra, rb) because clones carry identical gram sets.
-    * Output is provably the uncollapsed join's ≥ 0.8 pair set — and
-    * the oracle still replays the UNCOLLAPSED brute slice, so the
-    * gate checks the equivalence. Scale: the expansion joins are
-    * output-proportional (pair enumeration is output-bound on a clone
-    * rung for ANY algorithm); the quadratic candidate space the
-    * direct plan drowned in is never touched.
+    * Identity members (the direct side) make `within` empty and the
+    * expansion joins identity maps, so this same pipeline IS the
+    * uncollapsed plan there. Output is provably the uncollapsed
+    * join's ≥ 0.8 pair set — and the oracle still replays the
+    * UNCOLLAPSED brute slice, so the gate checks the equivalence.
+    * Scale: the expansion joins are output-proportional (pair
+    * enumeration is output-bound on a clone rung for ANY algorithm);
+    * the quadratic candidate space the direct plan drowned in is
+    * never touched.
     */
-  private[graft] def ngramPrefixCollapsedOf(docs: DataFrame): DataFrame = {
-    val groups = collapsedGroups(docs)
-    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+  private def ngramPrefixOverGroups(reps: DataFrame,
+                                    members: DataFrame): DataFrame = {
     val repPairs = ngramPrefixJoinOf(gramHashRowsOf(reps))
-    val members = docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(groups.select(col("h"), col("rep"),
-        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
-      .select(col("doc_id"), col("rep"), col("gramful"))
     val mG = members.filter(col("gramful"))
     val within = mG.select(col("rep"), col("doc_id").as("doc_a"))
       .join(mG.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
@@ -919,35 +932,30 @@ object Dedup {
     */
   def dropList(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val geom = bandGeometryOf(docs)
     // duplicate-mass-adaptive: the collapse prepass transforms the
     // clone-replicated rung (direct plan t/o → seconds) but is pure
     // overhead on a clone-light corpus (measured 0.73 → 1.73 s at
-    // sf0.1) — so the plan branches on the in-plan dup-mass scalar.
-    // Geometry is pinned to the FULL corpus count either way (the
-    // oracle bands at corpus scale).
-    branchByDupMass(docs)(dc => dropListCollapsedOf(dc, geom))(dd =>
-        dropListDirectOf(dd, geom))
+    // sf0.1) — so the reps/members frames branch on the in-plan
+    // dup-mass scalar while the pipeline exists once. Geometry is
+    // pinned to the FULL corpus count either way (the oracle bands at
+    // corpus scale), and geometry + flag derive from ONE fused stats
+    // aggregate (exchange reuse — not two scans).
+    val stats = corpusStats(docs)
+    val (reps, members) = adaptiveGroups(docs, flagOfStats(stats))
+    dropListOverGroups(reps, members, geomOfStats(stats))
       .orderBy(col("drop_id"))
   }
 
-  /** The direct (uncollapsed) drop list — band every document, verify
-    * LSH candidates against full gram rows, reduce greedily. The
-    * cheaper plan when clone mass is low (the collapsed twin's rep
-    * set would ≈ the corpus, making its prepass pure overhead).
+  /** The direct (uncollapsed) drop list — every doc its own rep (the
+    * identity frames): band every document, verify LSH candidates
+    * against full gram rows, reduce greedily. Spec entry for the
+    * adaptive branch's side-for-side equality pin.
     */
-  private[graft] def dropListDirectOf(docs: DataFrame, geom: DataFrame): DataFrame = {
-    val bands = bandedOf(slotArrays(docs), geom)
-      .repartition(col("band"), col("sig"))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    verifiedPairsOver(cand, gramHashRowsOf(docs))
-      .groupBy(col("doc_b").as("drop_id"))
-      .agg(min(col("doc_a")).as("kept_id"), max(col("jaccard")).as("max_jaccard"))
-  }
+  private[graft] def dropListDirectOf(docs: DataFrame, geom: DataFrame): DataFrame =
+    dropListOverGroups(docs.select(col("doc_id"), col("text")),
+      docs.select(col("doc_id"), col("doc_id").as("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")),
+      geom)
 
   /** [[dropList]] through the exact-collapse prepass (see
     * [[componentsCollapsedOf]] for the equivalence argument's core:
@@ -972,7 +980,26 @@ object Dedup {
   private[graft] def dropListCollapsedOf(docs: DataFrame,
                                          geom: DataFrame): DataFrame = {
     val groups = collapsedGroups(docs)
-    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    dropListOverGroups(
+      groups.select(col("rep").as("doc_id"), col("text")),
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(groups.select(col("h"), col("rep"),
+          (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+        .select(col("doc_id"), col("rep"), col("gramful")),
+      geom)
+  }
+
+  /** The drop-list pipeline over explicit (reps, members) frames —
+    * shared verbatim by the collapsed, direct and runtime-adaptive
+    * forms (see [[adaptiveGroups]]): band the reps, verify LSH
+    * candidates exactly, then derive each member's drop row in closed
+    * form from rep-level pairs. `members` = (doc_id, rep, gramful);
+    * identity members (rep = doc_id) make `within` empty and `cross`
+    * the plain per-pair reduction, so the direct plan is this same
+    * pipeline.
+    */
+  private def dropListOverGroups(reps: DataFrame, members: DataFrame,
+                                 geom: DataFrame): DataFrame = {
     val bands = bandedOf(slotArrays(reps), geom)
       .repartition(col("band"), col("sig"))
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -986,11 +1013,6 @@ object Dedup {
         col("jaccard"))
       .unionByName(repPairs.select(col("doc_b").as("rep"),
         col("doc_a").as("r_other"), col("jaccard")))
-    val members = docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(groups.select(col("h"), col("rep"),
-        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
-      .select(col("doc_id"), col("rep"), col("gramful"))
     // within-group drops exist only where clones actually SHARE grams
     // (a duplicated <3-token text pairs with nothing in the
     // uncollapsed join — the expandRepLabels gramful rule)
@@ -1023,6 +1045,13 @@ object Dedup {
     * storage.
     */
   private def verifiedPairsOver(cand: DataFrame, grams: DataFrame): DataFrame = {
+    // A PPJoin-style length prefilter (5·na ≥ 4·nb ∧ 5·nb ≥ 4·na,
+    // exact for J ≥ 0.8) was measured here in round 12 and REMOVED:
+    // at the gate SF the corpus' docs are too similar in length for
+    // it to prune, and on the clone-replicated rung the collapsed rep
+    // sets are small and 4×4-banded (t* ≈ 0.71) so sub-threshold
+    // candidate mass is already minor — the extra sizes aggregate +
+    // two joins cost more than they saved at every measured rung.
     val aSide = grams.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
     val bSide = grams.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
     cand
@@ -1317,40 +1346,74 @@ object Dedup {
     */
   private val CollapseWorthItCopies = 2L
 
-  /** One broadcast-scalar row `(collapse BOOLEAN)` — the corpus'
-    * duplicate mass, derived IN-PLAN (the [[bandGeometryOf]]
-    * adaptive-boundary pattern: no driver job at plan build):
-    * n_docs ≥ [[CollapseWorthItCopies]] · n_distinct_texts. The
-    * distinct count shuffles 16-byte md5 keys only.
+  /** One corpus-stats row (n docs, nd distinct texts) shared by the
+    * band-geometry and duplicate-mass scalars — derived IN-PLAN (the
+    * [[bandGeometryOf]] adaptive-boundary pattern: no driver job at
+    * plan build); the distinct count shuffles 16-byte md5 keys only.
+    * The no-op guard references BOTH columns so every consumer plans
+    * the identical aggregate and exchange reuse computes it once
+    * (the [[collapsedGroups]] pruning discipline).
     */
-  private[graft] def dupMassFlag(docs: DataFrame): DataFrame =
+  private def corpusStats(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n"),
         countDistinct(md5(col("text").cast("binary"))).as("nd"))
-      .select((col("n") >= col("nd") * lit(CollapseWorthItCopies))
-        .as("collapse"))
+      .filter(col("n") >= 0 && col("nd") >= 0)
 
-  /** Corpus-adaptive plan branch: run `collapsed(docs)` when the
-    * duplicate mass clears [[CollapseWorthItCopies]], `direct(docs)`
-    * otherwise — as ONE lazy plan. Both branches exist statically;
-    * the [[dupMassFlag]] scalar cross-joins onto each branch's INPUT
-    * docs with complementary filters, so at runtime exactly one
-    * branch sees rows and the other's operators all run on empty
-    * partitions (its only real cost is one extra corpus scan, which
-    * the disabled branch's pruned column set keeps cheap). The two
-    * callbacks must be output-equivalent — the gate's uncollapsed
-    * oracle checks that on whichever branch the gate corpus selects,
-    * and AdaptiveCollapseSpec pins branch-for-branch equality on
-    * planted corpora that force each side.
+  /** [[bandGeometryOf]]'s formula over an explicit stats row. */
+  private def geomOfStats(stats: DataFrame): DataFrame =
+    stats.select(
+      when(col("n") <= AdaptSmallMax, lit(2L))
+        .otherwise(lit(BandRows.toLong)).as("r"),
+      when(col("n") <= AdaptSmallMax, lit(MinhashK.toLong / 2))
+        .otherwise(lit(MinhashK.toLong / BandRows)).as("nb"))
+
+  private def flagOfStats(stats: DataFrame): DataFrame =
+    stats.select((col("n") >= col("nd") * lit(CollapseWorthItCopies))
+      .as("collapse"))
+
+  /** One broadcast-scalar row `(collapse BOOLEAN)`:
+    * n_docs ≥ [[CollapseWorthItCopies]] · n_distinct_texts.
     */
-  private[graft] def branchByDupMass(docs: DataFrame)(
-      collapsed: DataFrame => DataFrame)(
-      direct: DataFrame => DataFrame): DataFrame = {
-    val flag = dupMassFlag(docs)
+  private[graft] def dupMassFlag(docs: DataFrame): DataFrame =
+    flagOfStats(corpusStats(docs))
+
+  /** Corpus-adaptive (reps, members) frames — the exact-collapse
+    * prepass as a RUNTIME branch folded into ONE downstream pipeline.
+    * The duplicate-mass flag cross-joins onto the docs with
+    * complementary filters; the collapse side groups by text and
+    * yields (rep per distinct text, member → rep), the direct side
+    * yields the IDENTITY frames (every doc its own rep) — so exactly
+    * one side contributes rows at runtime, and the heavy machinery
+    * downstream (banding, gram verify, pair reduction) exists ONCE in
+    * the plan over the UNION of the two rep frames instead of once
+    * per branch (the first cut united two full query plans: ~2× the
+    * static tree, ~2× the planning cost per run and a full extra
+    * corpus scan per disabled pipeline). Identity members make the
+    * within-group legs provably empty (doc_id = rep) and the
+    * member-expansion joins no-ops, so the direct side degenerates to
+    * exactly the uncollapsed plan's semantics. Output-equivalence of
+    * the two sides is the documented J(clone, x) = J(rep, x) argument;
+    * AdaptiveCollapseSpec pins side-for-side equality on planted
+    * corpora that force each side, and the gate's UNCOLLAPSED oracle
+    * checks whichever side the gate corpus selects.
+    */
+  private def adaptiveGroups(docs: DataFrame,
+                             flag: DataFrame): (DataFrame, DataFrame) = {
     val docsC = docs.crossJoin(broadcast(flag))
       .filter(col("collapse")).drop("collapse")
     val docsD = docs.crossJoin(broadcast(flag))
       .filter(!col("collapse")).drop("collapse")
-    collapsed(docsC).unionByName(direct(docsD))
+    val groups = collapsedGroups(docsC)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+      .unionByName(docsD.select(col("doc_id"), col("text")))
+    val members = docsC
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(groups.select(col("h"), col("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+      .select(col("doc_id"), col("rep"), col("gramful"))
+      .unionByName(docsD.select(col("doc_id"), col("doc_id").as("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")))
+    (reps, members)
   }
 
   /** Expand rep-level component labels back to every member:
