@@ -235,6 +235,45 @@ object Classifier {
       .orderBy(col("logodds_micro").desc, col("doc_id"))
   }
 
+  /** Calibration/reliability audit of the trained classifier — the
+    * table a pipeline reads before trusting the gate's threshold:
+    * scores bucketed into 10 equal-width bins over the observed
+    * integer log-odds range, each bin reporting document count,
+    * predicted-HQ count (score > 0) and ACTUAL-HQ count (the
+    * metadata label the model trained on). A well-calibrated model
+    * shows actual-HQ fraction rising monotonically with the bin; a
+    * collapsed table (everything in 2 bins) flags an over-confident
+    * model. All arithmetic is BIGINT (bin width
+    * (max−min+10) div 10, bin = (score−min) div width, both engines
+    * truncate identically on the non-negative operands) so the gate
+    * is hash-exact. Scale: one broadcast min/max scalar row + the
+    * shared one-token-pass score aggregate; the no-op guard on the
+    * scored frame keeps its two consumers (range scalar, binning)
+    * planning the identical subtree so exchange reuse computes the
+    * token aggregate once (the ccnet discipline).
+    */
+  def classifierCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (buckets, kc, pc) = modelPieces(docs)
+    val sc = scoresUnsorted(docs, buckets, kc.crossJoin(broadcast(pc)))
+      .join(docs.select(col("doc_id"), isHq(col("source")).as("hq_actual")),
+        "doc_id")
+      .filter(col("doc_id").isNotNull && col("n_tokens") >= 0 &&
+        col("logodds_micro").isNotNull && col("hq_actual").isNotNull)
+    val rng = sc.agg(min(col("logodds_micro")).as("mn"),
+                     max(col("logodds_micro")).as("mx"))
+    sc.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(expr("(logodds_micro - mn) div ((mx - mn + 10) div 10)"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("logodds_micro") > 0L, 1L).otherwise(0L)).as("n_pred_hq"),
+           sum(when(col("hq_actual"), 1L).otherwise(0L)).as("n_actual_hq"),
+           min(col("logodds_micro")).as("lo_min"),
+           max(col("logodds_micro")).as("lo_max"))
+      .orderBy(col("bucket"))
+  }
+
   private val builtModel =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -274,6 +313,7 @@ object Classifier {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_classifier" -> classifierScores _,
+    "txt_classifier_calib" -> classifierCalibration _,
     "smp_classifier_docs" -> classifierDocs _,
     "smp_classifier_docs_idx" -> classifierDocsIdx _,
   )
@@ -327,10 +367,28 @@ object Classifier {
          |ORDER BY t.logodds_micro DESC, t.doc_id""".stripMargin,
   )
 
+  private val calibSql: String =
+    s"""WITH $clsCte,
+       |act AS (SELECT doc_id, $hqSql AS hq FROM documents),
+       |sc2 AS (SELECT t.doc_id,
+       |          CAST(t.sw + t.n_tokens * ckc.kc + cpc.pc AS BIGINT) AS lo,
+       |          a.hq
+       |        FROM csc t, ckc, cpc, act a
+       |        WHERE a.doc_id = t.doc_id),
+       |rng AS (SELECT min(lo) AS mn, max(lo) AS mx FROM sc2)
+       |SELECT CAST(least((lo - mn) // ((mx - mn + 10) // 10), 9) AS BIGINT) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN lo > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_hq,
+       |  CAST(sum(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_actual_hq,
+       |  min(lo) AS lo_min, max(lo) AS lo_max
+       |FROM sc2, rng
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // the frozen-model serving twin is output-identical by construction
   // (deterministic train, bit-exact BIGINT round-trip), so its oracle
   // is the in-plan twin's SQL verbatim — the gate CHECKS the
   // equivalence instead of assuming it
   val oracles: Map[String, String] = oraclesBase +
-    ("smp_classifier_docs_idx" -> oraclesBase("smp_classifier_docs"))
+    ("smp_classifier_docs_idx" -> oraclesBase("smp_classifier_docs")) +
+    ("txt_classifier_calib" -> calibSql)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.CrossEngine.pround
+import graft.functions.CrossEngine.{portableHash, pround, tokens}
 
 /** Similarity search over the `embeddings` table (array<float>, 64-d).
   *
@@ -1215,7 +1215,132 @@ object Similarity {
       .orderBy(col("drop_id"))
   }
 
+  /** Eval-holdout modulus for [[semanticDecontam]]: vec_id % 50 = 0
+    * stands in for the eval/benchmark set (the decontamination
+    * precedent: `smp_decontam`'s eval slice, at the embedding level).
+    */
+  private val SemEvalMod = 50
+
+  /** Field width of the nearest-eval argmax encoding (2⁴²) — the
+    * [[graft.operators.Dedup]] keep-best packing: micro-cosine
+    * (shifted non-negative, ≤ 2·10⁶ so the product stays < 2⁶³) in
+    * the high bits, complemented eval id in the low bits for
+    * deterministic smallest-id ties.
+    */
+  private val SemEncUnit = 1L << 42
+
+  /** SEMANTIC eval-set decontamination report — the embedding-level
+    * complement of the 13-gram `txt_decontam`: n-gram overlap misses
+    * paraphrased benchmark leakage, so pipelines ALSO screen by
+    * embedding similarity against the eval set (the published
+    * contamination audits' "semantic dedup vs test set" pass). For
+    * every non-eval document, its NEAREST eval-set vector and the
+    * micro-integerized cosine — the surface a drop threshold is
+    * applied to (thresholding is a filter on this report; emitting
+    * the whole report keeps the gate's coverage corpus-wide instead
+    * of empty-at-low-contamination).
+    *
+    * 100 TB shape: eval sets are SMALL and FIXED (thousands of
+    * vectors) — they broadcast, the corpus never shuffles, and the
+    * per-doc argmax resolves map-side inside one packed-integer
+    * aggregate (partial = one row per doc per partition). Linear in
+    * the corpus at fixed eval size; an eval set too large to
+    * broadcast would go through the LSH bucket join
+    * ([[embedNearDupLsh]]'s path) instead. Ties (equal micro-cosine
+    * to two eval vectors) resolve to the LOWEST eval id in both
+    * engines via the packed encoding; the id range is guarded
+    * in-plan (the clusterPurity raise_error discipline).
+    */
+  def semanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val guard = when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
+      .otherwise(raise_error(concat(
+        lit("semanticDecontam: eval_id outside packed range: "),
+        col("eval_id").cast("string"))))
+    val ev = e.filter(col("vec_id") % SemEvalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"),
+        col("nrm").as("evnrm"))
+      .withColumn("eval_id", guard)
+    e.filter(col("vec_id") % SemEvalMod =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id").as("doc_id"),
+        (floor(pround(dot(col("v"), col("evv")) / (col("nrm") * col("evnrm")),
+            6) * lit(1000000d) + lit(0.5)).cast("long")
+          + lit(1000000L)).as("cosm"),
+        col("eval_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cosm") * lit(SemEncUnit)
+        + (lit(SemEncUnit - 1) - col("eval_id"))).as("enc"))
+      .select(col("doc_id"),
+        (lit(SemEncUnit - 1) - col("enc") % lit(SemEncUnit)).as("eval_id"),
+        (expr(s"enc div $SemEncUnit") - lit(1000000L)).as("max_cos_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-balanced temperature selection — the temperature-scaled
+    * sampler (`smp_temperature_docs`, Conneau et al. 2020 §3.1) with
+    * EMBEDDING CLUSTERS as the strata instead of languages: the
+    * cluster-rebalancing curation pass of SemDeDup/DSIR-era pipelines
+    * (flatten topical over-representation the metadata can't see).
+    * Per IVF cluster (doc_id ↔ vec_id, the corpus contract): natural
+    * token share p_c, temperature share q_c ∝ p_c^0.3, boost = q/p;
+    * rates normalize so the most-boosted cluster keeps every
+    * document, and selection is the salted-hash bucket predicate
+    * ("ctemp:" purpose prefix — reproducible, extendable,
+    * independent of every other sampler's salt).
+    *
+    * Scale shape: the per-cluster aggregate is one corpus pass with
+    * map-side partials (≤ √N cluster rows out); the temperature chain
+    * re-aggregates those rows and rides back as broadcast scalars;
+    * selection is a broadcast rate join + map-side predicate. The
+    * guarded doc⋈assignment frame is referenced by the aggregate and
+    * the selection through the identical subtree (exchange reuse —
+    * the temperatureDocs discipline). Integerization mirrors
+    * temperatureMixture exactly (floor(x·10⁶ + 0.5), BIGINT sums).
+    */
+  def clusterTemperatureDocs(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssignmentOf(vectors(s, d))
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val dc = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .join(assign, "doc_id")
+      .filter(col("doc_id").isNotNull && col("ntok") >= 0 &&
+        col("cid").isNotNull)
+    val perC = dc.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens_total"))
+    val grand = perC.agg(sum(col("n_docs")).as("docs_grand"),
+                         sum(col("tokens_total")).as("grand"))
+    val scaled = perC.crossJoin(broadcast(grand))
+      .withColumn("p_ppm",
+        floor(col("tokens_total").cast("double") / col("grand")
+          * lit(1000000d) + lit(0.5)).cast("long"))
+      .withColumn("s_temp",
+        floor(pow(col("tokens_total").cast("double") / col("grand"), lit(0.3))
+          * lit(1000000d) + lit(0.5)).cast("long"))
+    val denom = scaled.groupBy().agg(sum(col("s_temp")).as("s_sum"))
+    val boosted = scaled.crossJoin(broadcast(denom))
+      .withColumn("q_ppm",
+        floor(col("s_temp").cast("double") / col("s_sum")
+          * lit(1000000d) + lit(0.5)).cast("long"))
+      .withColumn("boost_x1000",
+        floor(col("q_ppm").cast("double") / greatest(col("p_ppm"), lit(1L))
+          * lit(1000d) + lit(0.5)).cast("long"))
+    val mx = boosted.agg(max(col("boost_x1000")).as("boost_max"))
+    val rates = boosted.crossJoin(broadcast(mx))
+      .withColumn("rate_buckets", expr("boost_x1000 * 1000 div boost_max"))
+      .select(col("cid"), col("rate_buckets"))
+    dc.join(broadcast(rates), Seq("cid"))
+      .withColumn("bucket",
+        portableHash(concat(lit("ctemp:"), col("doc_id").cast("string")))
+          % lit(1000L))
+      .filter(col("bucket") < col("rate_buckets"))
+      .select(col("doc_id"), col("cid"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_decontam_sem" -> semanticDecontam _,
+    "smp_cluster_temp" -> clusterTemperatureDocs _,
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,
     "ann_lsh"       -> annLsh _,
@@ -1375,6 +1500,56 @@ object Similarity {
        |    FROM sub s JOIN cb$PqIters c ON c.m = s.m) t WHERE rnk = 1)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    "smp_decontam_sem" ->
+      s"""WITH $vecCte,
+         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+         |       WHERE vec_id % $SemEvalMod = 0),
+         |sc AS (SELECT e.vec_id AS doc_id,
+         |         CAST(floor(pround(list_cosine_similarity(e.v, ev.evv), 6)
+         |           * 1000000 + 0.5) AS BIGINT) + 1000000 AS cosm,
+         |         ev.eval_id
+         |       FROM e, ev WHERE e.vec_id % $SemEvalMod <> 0),
+         |mx AS (SELECT doc_id,
+         |         max(cosm * $SemEncUnit + ($SemEncUnit - 1 - eval_id)) AS enc
+         |       FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST($SemEncUnit - 1 - enc % $SemEncUnit AS BIGINT) AS eval_id,
+         |  CAST(enc // $SemEncUnit - 1000000 AS BIGINT) AS max_cos_x1e6
+         |FROM mx ORDER BY doc_id""".stripMargin,
+    "smp_cluster_temp" ->
+      s"""WITH $ivfCte,
+         |dt AS (SELECT d.doc_id, a.cid,
+         |         CAST(len(list_filter(regexp_split_to_array(d.text, '[^\\p{L}]+'),
+         |           t -> t <> '')) AS BIGINT) AS ntok
+         |       FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+         |pc AS (SELECT cid, count(*) AS n_docs,
+         |         CAST(sum(ntok) AS BIGINT) AS tokens_total
+         |       FROM dt GROUP BY cid),
+         |gr AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS grand FROM pc),
+         |sc AS (SELECT cid, tokens_total,
+         |         CAST(floor(CAST(tokens_total AS DOUBLE) / grand * 1000000
+         |           + 0.5) AS BIGINT) AS p_ppm,
+         |         CAST(floor(pow(CAST(tokens_total AS DOUBLE) / grand, 0.3)
+         |           * 1000000 + 0.5) AS BIGINT) AS s_temp
+         |       FROM pc, gr),
+         |dn AS (SELECT CAST(sum(s_temp) AS BIGINT) AS s_sum FROM sc),
+         |bo AS (SELECT cid,
+         |         CAST(floor(CAST(q_ppm AS DOUBLE) / greatest(p_ppm, 1) * 1000
+         |           + 0.5) AS BIGINT) AS boost_x1000
+         |       FROM (SELECT cid, p_ppm,
+         |               CAST(floor(CAST(s_temp AS DOUBLE) / s_sum * 1000000
+         |                 + 0.5) AS BIGINT) AS q_ppm
+         |             FROM sc, dn) q),
+         |mxb AS (SELECT max(boost_x1000) AS boost_max FROM bo),
+         |rt AS (SELECT cid, boost_x1000 * 1000 // boost_max AS rate_buckets
+         |       FROM bo, mxb)
+         |SELECT doc_id, cid, bucket FROM (
+         |  SELECT dt.doc_id AS doc_id, dt.cid AS cid,
+         |    ${graft.operators.Sampling.bucketSql("ctemp:")} AS bucket,
+         |    rt.rate_buckets AS rate_buckets
+         |  FROM dt JOIN rt ON rt.cid = dt.cid) z
+         |WHERE bucket < rate_buckets
+         |ORDER BY doc_id""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $trainedCte,
          |cents AS (SELECT cid, cv FROM c$TrainIters),
