@@ -314,8 +314,13 @@ object Dedup {
   /** Probe-mass target the adaptive modulus aims at: the modulus
     * grows with corpus size so the probe set stays ~this many docs
     * and exact-side fan-out stays ~CONSTANT per audit, not linear.
+    * 3000 keeps both gate SFs on the modulus floor (mod = 10
+    * unchanged — ⌈5000/3000⌉ = 2 < 10) while the clone-replicated
+    * 100× rung lands at mod 167 (~3 k probes): measured 91.6 s
+    * full-eval at target 5000, proportionally less here, vs the
+    * fixed-rate form's 632 s.
     */
-  private val RecallProbeTarget = 5000L
+  private val RecallProbeTarget = 3000L
 
   /** Corpus-adaptive probe modulus — ONE broadcast-scalar row
     * (`pmod`), derived IN-PLAN from the corpus count (the
