@@ -87,6 +87,7 @@ object SparkEntry {
     "mm_decode"            -> "compute-bound map-side codec work, nothing amortizes (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "mm_resize"            -> "compute-bound map-side codec + resample work (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "dedup_minhash_recall_sample" -> "audit with corpus-adaptive probe rate: exact-side fan-out bounded at ~constant probe mass",
+    "smp_decontam_sem"     -> "linear at the real-world contract (fixed-size broadcast eval set); the synthetic eval slice grows with the corpus, making the ladder rung quadratic — smp_decontam_sem_ivf is the IVF-pruned path for eval sets that outgrow a broadcast",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

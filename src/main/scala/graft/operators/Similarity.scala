@@ -1277,6 +1277,75 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF-pruned semantic decontamination — [[semanticDecontam]]'s
+    * scale path for the case its scaladoc defers: an eval set too
+    * large to broadcast against every document (the synthetic
+    * contract's eval slice grows WITH the corpus, so the brute
+    * doc×eval screen is quadratic on the ladder; real pipelines hit
+    * this when screening against aggregated benchmark suites or a
+    * held-out shard). Standard IVF pruning, the [[annIvf]] recipe
+    * applied corpus-wide: eval vectors land in their nearest coarse
+    * list (top-1, [[assignAgainst]]), every document probes its
+    * [[NProbe]] nearest lists, and the nearest-eval argmax runs only
+    * over (doc, eval) pairs that share a probed list — the same
+    * packed-integer encoding and id guard as the brute form, so ties
+    * and rounding are bit-compatible.
+    *
+    * Differences from the brute report, by construction: a document
+    * whose probed lists contain no eval vector has no candidates and
+    * is ABSENT from the report (brute emits every doc), and the
+    * reported max is a lower bound of the true one when the nearest
+    * eval hides outside the probed lists — per-doc dominance and
+    * high-cosine recall are pinned in SemDecontamCalibSpec. A
+    * contaminated document whose embedding EQUALS an eval vector is
+    * always caught: identical vectors rank centroids identically, so
+    * the doc's top-1 probed list is the eval's list.
+    *
+    * 100 TB shape: centroids (~√N) broadcast once; both ranking
+    * passes are narrow (vec_id, cid, cos) — vectors re-join by id
+    * after the row_number filter (the [[ivfAssignment]] narrowing
+    * lesson); the candidate join is cid-equi (AQE broadcasts the
+    * eval side while it fits, shuffles by cid beyond) with per-doc
+    * fan-out ≈ NProbe·|evals|/C instead of |evals|.
+    */
+  def semanticDecontamIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val cents = sampledVecs(e)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val guard = when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
+      .otherwise(raise_error(concat(
+        lit("semanticDecontamIvf: eval_id outside packed range: "),
+        col("eval_id").cast("string"))))
+    val ev = assignAgainst(e.filter(col("vec_id") % SemEvalMod === 0), cents)
+      .select(col("vec_id").as("eval_id"), col("cid"))
+      .join(e.select(col("vec_id").as("eval_id"), col("v").as("evv"),
+        col("nrm").as("evnrm")), Seq("eval_id"))
+      .withColumn("eval_id", guard)
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(pround(col("pcos"), 6).desc, col("cid"))
+    val probed = e.filter(col("vec_id") % SemEvalMod =!= 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("pcos"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= NProbe)
+      .select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+    probed.join(ev, Seq("cid"))
+      .select(col("vec_id").as("doc_id"),
+        (floor(pround(dot(col("v"), col("evv")) / (col("nrm") * col("evnrm")),
+            6) * lit(1000000d) + lit(0.5)).cast("long")
+          + lit(1000000L)).as("cosm"),
+        col("eval_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cosm") * lit(SemEncUnit)
+        + (lit(SemEncUnit - 1) - col("eval_id"))).as("enc"))
+      .select(col("doc_id"),
+        (lit(SemEncUnit - 1) - col("enc") % lit(SemEncUnit)).as("eval_id"),
+        (expr(s"enc div $SemEncUnit") - lit(1000000L)).as("max_cos_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-balanced temperature selection — the temperature-scaled
     * sampler (`smp_temperature_docs`, Conneau et al. 2020 §3.1) with
     * EMBEDDING CLUSTERS as the strata instead of languages: the
@@ -1340,6 +1409,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_decontam_sem" -> semanticDecontam _,
+    "smp_decontam_sem_ivf" -> semanticDecontamIvf _,
     "smp_cluster_temp" -> clusterTemperatureDocs _,
     "ann_brute"     -> annBrute _,
     "ann_lsh_buckets" -> lshBuckets _,
@@ -1509,6 +1579,32 @@ object Similarity {
          |           * 1000000 + 0.5) AS BIGINT) + 1000000 AS cosm,
          |         ev.eval_id
          |       FROM e, ev WHERE e.vec_id % $SemEvalMod <> 0),
+         |mx AS (SELECT doc_id,
+         |         max(cosm * $SemEncUnit + ($SemEncUnit - 1 - eval_id)) AS enc
+         |       FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST($SemEncUnit - 1 - enc % $SemEncUnit AS BIGINT) AS eval_id,
+         |  CAST(enc // $SemEncUnit - 1000000 AS BIGINT) AS max_cos_x1e6
+         |FROM mx ORDER BY doc_id""".stripMargin,
+    "smp_decontam_sem_ivf" ->
+      s"""WITH $vecCte,
+         |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
+         |ev AS (SELECT eval_id, cid, evv FROM (
+         |    SELECT e.vec_id AS eval_id, e.v AS evv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS crnk
+         |    FROM e, cents c WHERE e.vec_id % $SemEvalMod = 0) t WHERE crnk = 1),
+         |pl AS (SELECT doc_id, v, cid FROM (
+         |    SELECT e.vec_id AS doc_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY pround(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM e, cents c WHERE e.vec_id % $SemEvalMod <> 0) t WHERE prnk <= $NProbe),
+         |sc AS (SELECT p.doc_id,
+         |         CAST(floor(pround(list_cosine_similarity(p.v, ev.evv), 6)
+         |           * 1000000 + 0.5) AS BIGINT) + 1000000 AS cosm,
+         |         ev.eval_id
+         |       FROM pl p JOIN ev ON ev.cid = p.cid),
          |mx AS (SELECT doc_id,
          |         max(cosm * $SemEncUnit + ($SemEncUnit - 1 - eval_id)) AS enc
          |       FROM sc GROUP BY doc_id)

@@ -65,6 +65,52 @@ class SemDecontamCalibSpec extends AnyFunSuite {
     assert(got(1L)._1 == 0L && got(1L)._2 < 1000000L)
   }
 
+  test("smp_decontam_sem_ivf is dominated by brute and catches every high-cos doc") {
+    val brute = Similarity.queries("smp_decontam_sem")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ivf = Similarity.queries("smp_decontam_sem_ivf")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ivf.nonEmpty)
+    // the pruned report never claims MORE similarity than the exact one,
+    // and only ever reports docs the brute form reports
+    ivf.foreach { case (doc, (_, cos)) =>
+      assert(brute.contains(doc), s"doc $doc absent from brute report")
+      assert(cos <= brute(doc)._2,
+        s"doc $doc: ivf cos $cos exceeds brute ${brute(doc)._2}")
+    }
+    // recall of the contamination screen at a high-similarity threshold:
+    // every doc the exact screen would flag at >= 0.95 must be flagged
+    // at the same threshold by the pruned screen (measured 1.0 on the
+    // gate corpus; the planted exact-copy argument makes cos==1 certain)
+    val thresh = 950000L
+    val flaggedBrute = brute.collect { case (d, (_, c)) if c >= thresh => d }.toSet
+    val flaggedIvf = ivf.collect { case (d, (_, c)) if c >= thresh => d }.toSet
+    assert((flaggedBrute -- flaggedIvf).isEmpty,
+      s"pruned screen missed high-cos docs: ${(flaggedBrute -- flaggedIvf).take(5)}")
+  }
+
+  test("smp_decontam_sem_ivf always catches an embedding-identical eval copy") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdcivf").toString
+    // 200 spread-out vectors so several coarse lists exist, one eval
+    // (id 0 and 100 are evals at mod 50... ids 0,50,100,150), plus a
+    // doc (id 73) byte-identical to eval 150: identical vectors rank
+    // centroids identically, so 73's top-1 probed list IS 150's list.
+    val fixed = (0L until 200L).map { i =>
+      val base = Array.tabulate(64)(d => math.sin(i * 0.37 + d * 1.13))
+      if (i == 73L) (i, Array.tabulate(64)(d => math.sin(150 * 0.37 + d * 1.13)), 0L)
+      else (i, base, 0L)
+    }
+    fixed.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("smp_decontam_sem_ivf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.contains(73L), "the planted eval copy must be reported")
+    assert(got(73L) == (150L, 1000000L),
+      s"planted copy must report eval 150 at cos 1.0, got ${got(73L)}")
+  }
+
   test("smp_cluster_temp equals a driver recompute over the IVF strata") {
     val s = spark
     import s.implicits._
