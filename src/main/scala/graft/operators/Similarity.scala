@@ -1301,16 +1301,33 @@ object Similarity {
     * always caught: identical vectors rank centroids identically, so
     * the doc's top-1 probed list is the eval's list.
     *
-    * 100 TB shape: centroids (~√N) broadcast once; both ranking
-    * passes are narrow (vec_id, cid, cos) — vectors re-join by id
-    * after the row_number filter (the [[ivfAssignment]] narrowing
-    * lesson); the candidate join is cid-equi (AQE broadcasts the
-    * eval side while it fits, shuffles by cid beyond) with per-doc
-    * fan-out ≈ NProbe·|evals|/C instead of |evals|.
+    * 100 TB shape: centroids broadcast once; both ranking passes are
+    * narrow (vec_id, cid, cos) — vectors re-join by id after the
+    * row_number filter (the [[ivfAssignment]] narrowing lesson); the
+    * candidate join is cid-equi (AQE broadcasts the eval side while
+    * it fits, shuffles by cid beyond) with per-doc fan-out ≈
+    * NProbe·|evals|/C instead of |evals|.
+    *
+    * Geometry is derived IN-PLAN from the corpus (the
+    * `bandGeometryOf` discipline): total cost ≈ N·C (assignment
+    * ranking) + N·NProbe·E/C (candidate cosines) is minimized at
+    * C = √(NProbe·E), which for the contract's E = N/[[SemEvalMod]]
+    * is √N/5 — a 4-5× COARSER grid than the shared ann stride's
+    * C ≈ √N, so the stride here is the shared formula widened two
+    * bits (≈ 4√N; measured at the 100× rung: the √N grid spent
+    * twice the whole brute screen on assignment ranking alone, the
+    * widened grid beats brute ~2×). Coarser lists cost no recall
+    * headroom for the screen's purpose: the argument above is
+    * geometry-independent, and per-list eval fan-out stays bounded
+    * at NProbe·E/C ≈ 2√N/10.
     */
   def semanticDecontamIvf(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val cents = sampledVecs(e)
+    val dstride = e.agg(count(lit(1)).as("nvecs"))
+      .select(expr(s"greatest(${CentroidEvery}L, " +
+        "shiftleft(1L, cast(2 + length(bin(nvecs)) / 2 as int)))").as("stride"))
+    val cents = e.crossJoin(broadcast(dstride))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val guard = when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
       .otherwise(raise_error(concat(
@@ -1588,7 +1605,7 @@ object Similarity {
          |FROM mx ORDER BY doc_id""".stripMargin,
     "smp_decontam_sem_ivf" ->
       s"""WITH $vecCte,
-         |st AS (SELECT greatest($CentroidEvery, 1 << (length(bin(count(*))) // 2)) AS stride FROM e),
+         |st AS (SELECT greatest($CentroidEvery, 1 << (2 + length(bin(count(*))) // 2)) AS stride FROM e),
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % stride = 0),
          |ev AS (SELECT eval_id, cid, evv FROM (
          |    SELECT e.vec_id AS eval_id, e.v AS evv, c.cid,
