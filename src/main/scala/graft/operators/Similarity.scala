@@ -156,6 +156,41 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-probe recall@[[LshTopK]] of an approximate ANN surface
+    * against the brute truth — the `dedup_minhash_recall` discipline
+    * applied to the vector index: the measurement a pipeline runs
+    * BEFORE trusting bucket/list parameters at scale, registered as
+    * a first-class oracle-gated query rather than buried in a spec.
+    * Truth = [[annBrute]]'s exact top-k restricted to the same k;
+    * hits resolve by a (query, neighbor) left join, so the report is
+    * integer-exact (n_true, n_hit, recall·1000 truncated) in both
+    * engines. Cost rides the two registered surfaces it audits —
+    * probe-bounded, so the truth side stays a broadcast nested loop
+    * over the corpus and the audit adds only a tiny join.
+    */
+  private def recallVsBrute(s: SparkSession, d: String,
+                            approx: DataFrame): DataFrame = {
+    val truth = annBrute(s, d).filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr("n_hit * 1000 div n_true").as("recall_x1000"))
+      .orderBy(col("query_id"))
+  }
+
+  /** recall@3 of the IVF probe search ([[annIvf]]) vs brute. */
+  def annIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallVsBrute(s, d, annIvf(s, d))
+
+  /** recall@3 of the sign-LSH bucket search ([[annLsh]]) vs brute. */
+  def annLshRecall(s: SparkSession, d: String): DataFrame =
+    recallVsBrute(s, d, annLsh(s, d))
+
   /** Embedding near-dup scan: nearest neighbor for a deterministic
     * probe slice, flagged when cosine exceeds the dup threshold.
     */
@@ -1435,6 +1470,8 @@ object Similarity {
     "ann_ivf_lists" -> ivfLists _,
     "ann_cluster_purity" -> clusterPurity _,
     "ann_ivf"       -> annIvf _,
+    "ann_ivf_recall" -> annIvfRecall _,
+    "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_trained" -> annIvfTrained _,
     "ann_ivf_pq"    -> annIvfPq _,
     "ann_ivf_pq_idx" -> annIvfPqIdx _,
@@ -1884,6 +1921,61 @@ object Similarity {
          |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""WITH $ivfCte,
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.v), 6) DESC, c.vec_id) AS rank
+         |    FROM probes p JOIN e c ON c.vec_id <> p.query_id) t
+         |  WHERE rank <= $LshTopK),
+         |plists AS (SELECT query_id, qv, cid FROM (
+         |    SELECT p.query_id, p.qv, c.cid,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.cv), 6) DESC, c.cid) AS prnk
+         |    FROM probes p, cents c) t
+         |  WHERE prnk <= $NProbe),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT pl.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY pl.query_id
+         |        ORDER BY pround(list_cosine_similarity(pl.qv, a.v), 6) DESC, a.vec_id) AS rank
+         |    FROM plists pl
+         |    JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
+         |  WHERE rank <= $LshTopK)
+         |SELECT b.query_id AS query_id, count(*) AS n_true,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // count(*) AS recall_x1000
+         |FROM bt b LEFT JOIN iv i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY query_id""".stripMargin,
+    "ann_lsh_recall" ->
+      s"""WITH $vecCte,
+         |bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY pround(list_cosine_similarity(p.qv, c.v), 6) DESC, c.vec_id) AS rank
+         |    FROM probes p JOIN e c ON c.vec_id <> p.query_id) t
+         |  WHERE rank <= $LshTopK),
+         |lv AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY pround(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+         |    FROM bk q JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $ProbeCount) t
+         |  WHERE rank <= $LshTopK)
+         |SELECT b.query_id AS query_id, count(*) AS n_true,
+         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // count(*) AS recall_x1000
+         |FROM bt b LEFT JOIN lv l
+         |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY query_id""".stripMargin,
     "sim_project" -> {
       val cols = projSignsSql.zipWithIndex.map { case (row, p) =>
         s"pround(list_dot_product(v, $row) / sqrt(64.0), 4) AS p$p"

@@ -55,6 +55,25 @@ class AnnRecallSpec extends AnyFunSuite {
       s"Lloyd-trained centroids ($trained) must not lose recall vs sampled ($ivf)")
   }
 
+  test("registered recall-audit queries equal the spec's own recall arithmetic") {
+    // the audit surface (ann_ivf_recall / ann_lsh_recall) must agree
+    // with this suite's independent recall computation from the two
+    // registered search surfaces it audits
+    val brute = topSets(Similarity.annBrute(spark, sf), 3)
+    def expected(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] = {
+      val got = topSets(df, 3)
+      brute.map { case (q, s) =>
+        val hit = (got.getOrElse(q, Set.empty) & s).size.toLong
+        q -> (s.size.toLong, hit, hit * 1000 / s.size)
+      }
+    }
+    def audited(name: String): Map[Long, (Long, Long, Long)] =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audited("ann_ivf_recall") == expected(Similarity.annIvf(spark, sf)))
+    assert(audited("ann_lsh_recall") == expected(Similarity.annLsh(spark, sf)))
+  }
+
   test("IVF-PQ: compression-funded nprobe=4 beats the nprobe=2 IVF plateau") {
     val brute = topSets(Similarity.annBrute(spark, sf), 3)
     val total = brute.values.map(_.size).sum.toDouble
