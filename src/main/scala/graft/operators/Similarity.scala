@@ -1312,6 +1312,23 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval embeddings collected ONCE at pipeline start — the build
+    * step of the streaming semantic gate
+    * ([[graft.streaming.StreamingIngest.semanticGate]]), following
+    * the decontamGate sketch-build pattern. Returns (vector, norm)
+    * pairs with zero-norm rows dropped (they can be near nothing);
+    * vectors stay RAW (not pre-normalized) so the gate's per-eval
+    * cosine arithmetic is bit-identical to [[semanticDecontam]]'s.
+    * Bounded by the real-world contract: eval sets are small and
+    * fixed — this is sanctioned one-time driver work, like the
+    * Bloom sketch and classifier-model builds.
+    */
+  def collectUnitEvals(evalVecs: DataFrame): Seq[(Seq[Double], Double)] =
+    evalVecs.select(asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+      .collect().map(r => (r.getSeq[Double](0).toSeq, r.getDouble(1))).toSeq
+
   /** IVF-pruned semantic decontamination — [[semanticDecontam]]'s
     * scale path for the case its scaladoc defers: an eval set too
     * large to broadcast against every document (the synthetic

@@ -63,6 +63,42 @@ object StreamingIngest {
       graft.functions.CrossEngine.tokens(col("text")), n, sketch))
   }
 
+  /** SEMANTIC decontamination gate for live ingest — the
+    * embedding-level twin of [[decontamGate]] (13-gram overlap
+    * misses paraphrased benchmark leakage, the `smp_decontam_sem`
+    * rationale applied live): each arriving row's `embedding` is
+    * scored against the FROZEN eval set and dropped when its max
+    * cosine reaches the threshold. Eval vectors collect once when
+    * the pipeline starts ([[graft.operators.Similarity.collectUnitEvals]]
+    * — eval sets are small and fixed, the broadcast contract) and
+    * embed in the plan as ONE array-of-struct literal, so the
+    * per-row check is a stateless map-side higher-order-function
+    * fold over the literal — no joins, no state, no per-batch work.
+    *
+    * Exactness: per-eval cosine arithmetic (dot / (nrm·evnrm)) and
+    * the pround-6 → micro-integer chain mirror the batch report
+    * term by term, and max commutes with the monotone rounding, so
+    * kept/dropped EQUALS filtering batch `smp_decontam_sem` at the
+    * same threshold — spec-pinned, not approximate. Zero-norm
+    * embeddings pass (cosine to everything is undefined; they are
+    * near nothing).
+    */
+  def semanticGate(stream: DataFrame, evalVecs: DataFrame,
+                   thresholdMicro: Long = 950000L): DataFrame = {
+    val evs = graft.operators.Similarity.collectUnitEvals(evalVecs)
+    if (evs.isEmpty) stream // empty eval set: nothing to gate
+    else {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val nrm = sqrt(graft.functions.DotProduct.dot_product(v, v))
+      val maxCos = array_max(transform(typedLit(evs), ev =>
+        graft.functions.DotProduct.dot_product(v, ev.getField("_1"))
+          / (nrm * ev.getField("_2"))))
+      val micro = floor(graft.functions.CrossEngine.pround(maxCos, 6)
+        * lit(1000000d) + lit(0.5)).cast("long")
+      stream.filter(nrm === 0d || micro < thresholdMicro)
+    }
+  }
+
   /** Learned-quality gate for live ingest: each arriving document is
     * scored by the FROZEN Naive Bayes classifier
     * ([[graft.operators.Classifier]]) and kept only when its log-odds
