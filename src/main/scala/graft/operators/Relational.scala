@@ -992,6 +992,36 @@ object Relational {
       Tables.orders(s, d).select(col("o_orderkey").as("k")),
       "lineitem_x_orders")
 
+  /** METADATA-ONLY aggregation — global COUNT/MIN/MAX answered from
+    * parquet row-group footers without touching a single data page:
+    * the scan-free path for the table-stats pass every 100 TB job
+    * runs first (row counts for mixture planning, key ranges for
+    * partition pruning and shard layout). The DataFrame is the plain
+    * declarative aggregate; the DSv2 parquet reader rewrites it to a
+    * footer read (`PushedAggregation: [COUNT(*), MIN(...), ...]` in
+    * the scan — asserted by AggPushdownSpec, which also proves the
+    * footer path equals the data-page scan bit for bit). Runs in its
+    * own child session because aggregate pushdown needs the v2
+    * reader (`useV1SourceList=""`) and flipping that for EVERY scan
+    * would change unrelated read paths; on a deployment that keeps
+    * v1 sources the same code silently degrades to a normal scan
+    * with identical results. At 100 TB the cost is #row-groups
+    * footer reads — I/O proportional to file COUNT, not byte size.
+    */
+  def opsAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        min(col("l_partkey")).as("min_pkey"),
+        max(col("l_partkey")).as("max_pkey"),
+        min(col("l_suppkey")).as("min_skey"),
+        max(col("l_suppkey")).as("max_skey"))
+  }
+
   /** [[opsJoinCard]] over explicit single-column key frames. */
   private[graft] def joinCardOf(left: DataFrame, right: DataFrame,
                                 joinName: String): DataFrame = {
@@ -1096,6 +1126,7 @@ object Relational {
     "evt_winsorize"     -> evtWinsorize _,
     "stats_hll_inc"     -> statsHllInc _,
     "ops_join_card"     -> opsJoinCard _,
+    "ops_agg_pushdown"  -> opsAggPushdown _,
     "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
@@ -1188,6 +1219,12 @@ object Relational {
         |    AS sum_milli
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, hour_id""".stripMargin,
+    "ops_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey,
+        |  min(l_suppkey) AS min_skey, max(l_suppkey) AS max_skey
+        |FROM lineitem""".stripMargin,
     "ops_compaction" ->
       s"""WITH cum AS (
          |  SELECT source, doc_id, n_chars,

@@ -93,10 +93,11 @@ class SemDecontamCalibSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("semdcivf").toString
-    // 200 spread-out vectors so several coarse lists exist, one eval
-    // (id 0 and 100 are evals at mod 50... ids 0,50,100,150), plus a
-    // doc (id 73) byte-identical to eval 150: identical vectors rank
-    // centroids identically, so 73's top-1 probed list IS 150's list.
+    // 200 spread-out vectors so several coarse lists exist; ids
+    // 0/50/100/150 are the eval slice (mod 50), and doc 73 is
+    // byte-identical to eval 150: identical vectors rank centroids
+    // identically, so 73's top-1 probed list IS 150's list and the
+    // copy is caught at any geometry.
     val fixed = (0L until 200L).map { i =>
       val base = Array.tabulate(64)(d => math.sin(i * 0.37 + d * 1.13))
       if (i == 73L) (i, Array.tabulate(64)(d => math.sin(150 * 0.37 + d * 1.13)), 0L)
