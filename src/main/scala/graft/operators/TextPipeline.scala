@@ -541,6 +541,40 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-length context-window size of [[packSeqs]], in BPE
+    * subword pieces. */
+  private val SeqLen = 512L
+
+  /** Context-window sequence packing — the tensor-layout step
+    * [[packShards]] stops short of: documents concatenate in stable
+    * doc_id order and are CUT at fixed [[SeqLen]]-token boundaries
+    * (the GPT-style pack-and-split batch layout), so a document can
+    * SPAN windows. Per document: its start window and offset, its
+    * end window, and how many windows it touches — exactly the
+    * metadata a loader needs to materialize training sequences from
+    * the corpus (and an attention-masking pass needs to find the
+    * boundaries inside each window). Same distributed prefix sum as
+    * the shard packer (range-bucketed partials + broadcast carry, no
+    * global-order window); everything after the running total is
+    * map-side integer arithmetic. Zero-token documents report
+    * n_seqs = 0 at their layout position.
+    */
+  def packSeqs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.subwordCount(col("text")).as("n_tokens"))
+    ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum")
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start div $SeqLen").as("start_seq"),
+        expr(s"start % $SeqLen").as("start_off"),
+        expr(s"CASE WHEN n_tokens > 0 THEN (cum - 1) div $SeqLen" +
+          s" ELSE start div $SeqLen END").as("end_seq"),
+        expr(s"CASE WHEN n_tokens > 0 THEN (cum - 1) div $SeqLen" +
+          s" - start div $SeqLen + 1 ELSE 0 END").as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full pretraining cleanse, composed end-to-end in ONE plan:
     * quality metrics → language ID → filter (enough tokens, English)
     * → normalized dedup (keep lowest doc_id per normalized content
@@ -1162,6 +1196,7 @@ object TextPipeline {
     "txt_chunk_bpe"   -> chunkDocsBpe _,
     "txt_repetition"  -> repetition _,
     "txt_pack_shards" -> packShards _,
+    "txt_pack_seqs"   -> packSeqs _,
     "txt_tfidf"       -> tfidf _,
     "wc_top_words"    -> wcTopWords _,
     "txt_token_stats" -> tokenStats _,
@@ -1605,6 +1640,22 @@ object TextPipeline {
          |      FROM (SELECT doc_id,
          |              ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_tokens
          |            FROM documents) t) c
+         |ORDER BY doc_id""".stripMargin,
+    "txt_pack_seqs" ->
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(start // $SeqLen AS BIGINT) AS start_seq,
+         |  CAST(start % $SeqLen AS BIGINT) AS start_off,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // $SeqLen
+         |       ELSE start // $SeqLen END AS BIGINT) AS end_seq,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // $SeqLen
+         |       - start // $SeqLen + 1 ELSE 0 END AS BIGINT) AS n_seqs
+         |FROM (SELECT doc_id, n_tokens, cum, cum - n_tokens AS start
+         |      FROM (SELECT doc_id, n_tokens,
+         |              sum(n_tokens) OVER (ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |            FROM (SELECT doc_id,
+         |                    ${graft.functions.BpeTokenizer.subwordCountSql("text")} AS n_tokens
+         |                  FROM documents) t) c) z
          |ORDER BY doc_id""".stripMargin,
     "txt_tfidf" ->
       """WITH tok AS (SELECT doc_id, word
