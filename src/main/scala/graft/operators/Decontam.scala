@@ -85,6 +85,31 @@ object Decontam {
                  docs.filter(col("doc_id") % 10 === 7))
   }
 
+  /** Per-SOURCE contamination audit — the dataset-audit view of the
+    * 13-gram scan (the `dedup_source_overlap` rationale applied to
+    * eval leakage): for every corpus source, how many documents and
+    * what fraction (ppm, integer-exact) are contaminated. The answer
+    * a curation pass acts on — a source with concentrated leakage is
+    * dropped or re-crawled wholesale, not filtered doc by doc.
+    * Rides [[decontamQuery]] unchanged (map-side Bloom probe, exact
+    * join on the sliver); the audit adds one slim (doc_id, source)
+    * projection left-joined against the flagged ids and a per-source
+    * aggregate — output is |sources| rows.
+    */
+  def decontamBySource(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+    val flagged = decontamQuery(s, d)
+      .select(col("doc_id"), lit(1L).as("is_contam"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("is_contam"), lit(0L))).as("n_contam"))
+      .select(col("source"), col("n_docs"), col("n_contam"),
+        expr("n_contam * 1000000 div n_docs").as("contam_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Decontamination-aware stratified sampling — the two operators
     * composed as ONE lazy plan, the way a pipeline ships them: the
     * per-language reproducible sample ([[Sampling.stratifiedOf]]) is
@@ -117,6 +142,7 @@ object Decontam {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_decontam" -> decontamQuery _,
+    "txt_decontam_src" -> decontamBySource _,
     "smp_decontam" -> decontamSample _,
   )
 
@@ -149,6 +175,16 @@ object Decontam {
          |JOIN den ON den.doc_id = cg.doc_id
          |GROUP BY cg.doc_id, den.n_grams
          |ORDER BY cg.doc_id""".stripMargin,
+    "txt_decontam_src" ->
+      s"""WITH $gramCtes,
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev ON cg.g = ev.g)
+         |SELECT d.source AS source, count(*) AS n_docs,
+         |  CAST(count(c.doc_id) AS BIGINT) AS n_contam,
+         |  CAST(count(c.doc_id) AS BIGINT) * 1000000 // count(*) AS contam_ppm
+         |FROM documents d LEFT JOIN contam c ON c.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 <> 7
+         |GROUP BY d.source
+         |ORDER BY source""".stripMargin,
     // the composed sample: stratified selection minus the exact
     // contaminated-id set (Bloom is pruning only on the Spark side)
     "smp_decontam" ->

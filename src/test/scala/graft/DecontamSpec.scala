@@ -76,6 +76,21 @@ class DecontamSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == got.toSeq, "output must be ordered")
   }
 
+  test("per-source audit conserves corpus and flagged counts") {
+    import org.apache.spark.sql.functions._
+    val audit = Decontam.queries("txt_decontam_src")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpusN = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 7).count()
+    val flaggedN = Decontam.queries("txt_decontam")(spark, sf).count()
+    assert(audit.map(_._2).sum == corpusN, "every corpus doc in exactly one source row")
+    assert(audit.map(_._3).sum == flaggedN, "every flagged doc attributed once")
+    audit.foreach { case (src, n, c, ppm) =>
+      assert(c <= n && ppm == c * 1000000L / n, s"$src: $n $c $ppm")
+    }
+    assert(audit.exists(_._3 > 0), "the planted clones must contaminate some source")
+  }
+
   test("plan: map-side bloom probe, equi-join only, no cartesian") {
     val plan = Decontam.decontamQuery(spark, sf)
       .queryExecution.executedPlan.toString
