@@ -1312,6 +1312,39 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-DIMENSION embedding statistics — the health/whitening audit
+    * a pipeline runs before trusting cosine geometry or scalar
+    * quantization: a dead dimension (zero variance) wastes code
+    * bits, a scale-outlier dimension dominates every distance, and a
+    * drifting mean breaks residual quantizers. One posexplode pass,
+    * per-dim exact integerized sums (the MeanScale discipline —
+    * values at 2²⁰, squares at 2³⁰: order-free BIGINT sums, so the
+    * stats are engine/partition/retry exact), mean and variance then
+    * DERIVED from those identical integers with a literally-mirrored
+    * double chain. Map-side partials; output is [[Dims]] rows.
+    */
+  def embDimStats(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * lit(1048576d) + lit(0.5)).cast("long")).as("sx"),
+        sum(floor(col("x") * col("x") * lit(1073741824d) + lit(0.5))
+          .cast("long")).as("sxx"),
+        pround(min(col("x")), 6).as("min_x"),
+        pround(max(col("x")), 6).as("max_x"))
+      .select(col("dim"), col("n"),
+        floor(col("sx").cast("double") / lit(1048576d) / col("n")
+          * lit(1000000d) + lit(0.5)).cast("long").as("mean_x1e6"),
+        floor((col("sxx").cast("double") / lit(1073741824d) / col("n")
+          - (col("sx").cast("double") / lit(1048576d) / col("n"))
+            * (col("sx").cast("double") / lit(1048576d) / col("n")))
+          * lit(1000000d) + lit(0.5)).cast("long").as("var_x1e6"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("dim"))
+  }
+
   /** Eval embeddings collected ONCE at pipeline start — the build
     * step of the streaming semantic gate
     * ([[graft.streaming.StreamingIngest.semanticGate]]), following
@@ -1494,6 +1527,7 @@ object Similarity {
     "ann_ivf_pq_idx" -> annIvfPqIdx _,
     "ann_ivf_pq_res" -> annIvfPqRes _,
     "ann_ivf_pq_res_idx" -> annIvfPqResIdx _,
+    "emb_dim_stats" -> embDimStats _,
     "sim_near_dup"  -> embedNearDup _,
     "sim_near_dup_lsh" -> embedNearDupLsh _,
     "sim_quantized" -> quantizedSearch _,
@@ -1938,6 +1972,26 @@ object Similarity {
          |  JOIN assign a ON a.cid = pl.cid AND a.vec_id <> pl.query_id) t
          |WHERE rank <= $LshTopK
          |ORDER BY query_id, rank""".stripMargin,
+    "emb_dim_stats" ->
+      s"""WITH $vecCte,
+         |x AS (SELECT unnest(v) AS x,
+         |        CAST(unnest(generate_series(1, $Dims)) AS BIGINT) AS dim
+         |      FROM e),
+         |agg AS (SELECT dim, count(*) AS n,
+         |          CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         |          CAST(sum(CAST(floor(x * x * 1073741824.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         |          pround(min(x), 6) AS min_x,
+         |          pround(max(x), 6) AS max_x
+         |        FROM x GROUP BY dim)
+         |SELECT dim, n,
+         |  CAST(floor(CAST(sx AS DOUBLE) / 1048576.0 / n
+         |    * 1000000.0 + 0.5) AS BIGINT) AS mean_x1e6,
+         |  CAST(floor((CAST(sxx AS DOUBLE) / 1073741824.0 / n
+         |    - (CAST(sx AS DOUBLE) / 1048576.0 / n)
+         |      * (CAST(sx AS DOUBLE) / 1048576.0 / n))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS var_x1e6,
+         |  min_x, max_x
+         |FROM agg ORDER BY dim""".stripMargin,
     "ann_ivf_recall" ->
       s"""WITH $ivfCte,
          |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $ProbeCount),
