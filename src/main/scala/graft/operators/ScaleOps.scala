@@ -175,6 +175,25 @@ object ScaleOps {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Persist a DataFrame under a Hive-style partitioned layout
+    * (`col=value/` directories). Readers with an equality/IN
+    * predicate on the partition column scan ONLY the matching
+    * directories — directory-level pruning, the coarsest and
+    * cheapest data-skipping tier, sitting above row-group skipping
+    * ([[zValue]]-sorted files) and below bucketing
+    * ([[writeBucketed]]). Partition by LOW-cardinality columns only
+    * (lang, source, date): a high-cardinality partition key shatters
+    * the table into the small-file problem [[graft.operators
+    * .Relational.opsCompaction]] exists to fix.
+    * `PartitionPruningSpec` proves the pruning on real file counts.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Per-group top-k through the custom [[graft.plans.TopKPerGroup]]
     * operator (logical node + strategy + exec injected by
     * GraftExtensions): unlike the window row_number plan, a map-side
