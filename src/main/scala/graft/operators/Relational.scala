@@ -1012,7 +1012,11 @@ object Relational {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.sources.useV1SourceList", "")
     s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    s2.read.parquet(s"$d/lineitem.parquet")
+    // schema pinned through the shared Tables cache: an inferred
+    // schema would re-run a footer job on EVERY build (each call is
+    // a fresh child session — the lazy-build contract bans that)
+    s2.read.schema(Tables.lineitem(s, d).schema)
+      .parquet(s"$d/lineitem.parquet")
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_orderkey")).as("min_okey"),
         max(col("l_orderkey")).as("max_okey"),
