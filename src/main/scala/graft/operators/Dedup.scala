@@ -1766,7 +1766,7 @@ object Dedup {
     * IDENTICAL unrolled label propagation (relax + shortcut rounds
     * mirroring [[componentsOf]] exactly).
     */
-  private lazy val ComponentsOracleSql: String = {
+  private[operators] lazy val ComponentsOracleSql: String = {
     val rounds = (1 to 4).map { i =>
       val prev = s"l${i - 1}"
       // AS MATERIALIZED: each round references its predecessor

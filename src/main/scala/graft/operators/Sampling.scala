@@ -456,8 +456,154 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  // --- Leakage-free split (near-dup-group-aware) ---------------------
+
+  /** [[splitCounts]]' bucket→split rule applied to an arbitrary
+    * grouping key (same "split:" salt, same thresholds — hashing a
+    * doc_id reproduces the naive document-level split exactly).
+    */
+  private def splitOfGroup(group: org.apache.spark.sql.Column) = {
+    val b = portableHash(concat(lit("split:"), group.cast("string"))) % Buckets
+    when(b < Buckets - 2 * ValBuckets, "train")
+      .when(b < Buckets - ValBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** Leakage-free train/val/test split — the salted-hash split
+    * assignment lifted from DOCUMENTS to NEAR-DUP COMPONENTS, so a
+    * near-duplicate pair can never straddle train and test. This is
+    * the benchmark-leakage failure mode document-level hashing cannot
+    * prevent: two 95%-identical documents hash independently, and at
+    * corpus scale thousands of near-dup pairs land on opposite sides
+    * of a naive split — the held-out side then measures memorization,
+    * not generalization (Lee et al. 2022 §6.2 measure exactly this
+    * train/valid near-dup leakage).
+    *
+    * Grouping key = the verified near-dup component label —
+    * `dedup_components`' machinery verbatim (exact-collapse prepass,
+    * corpus-adaptive banding, exact-Jaccard verify, min-label
+    * propagation); a document outside every component groups as
+    * itself, and because the salt, hash and thresholds are
+    * [[splitCounts]]' applied to the group id, an unclustered
+    * document's assignment EQUALS its naive one — adopting the
+    * leak-free split only moves near-dup members (onto their
+    * component's min-id label), nothing else (LeakFreeSplitSpec pins
+    * both properties).
+    *
+    * 100 TB shape: the components subplan is the scale-safe collapsed
+    * one; on top of it this adds one narrow doc_id left join and a
+    * map-side hash — nothing new shuffles wide.
+    */
+  def splitLeakFree(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    splitLeakFreeOver(docs,
+      Dedup.componentsCollapsedOf(docs, Dedup.bandGeometryOf(docs)))
+  }
+
+  /** Core of [[splitLeakFree]] over an explicit (doc_id,
+    * component_id) label frame — the testable seam.
+    */
+  private[graft] def splitLeakFreeOver(docs: DataFrame,
+                                       comp: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        splitOfGroup(col("group_id")).as("split"))
+      .orderBy(col("doc_id"))
+
+  // --- UniMax token-budget allocation ---------------------------------
+
+  /** Max epochs any source may repeat (UniMax's N). */
+  private val UniMaxEpochCap = 2L
+  /** Budget = total corpus tokens div this (half an epoch overall). */
+  private val UniMaxBudgetDen = 2L
+
+  /** UniMax per-source token-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling"): given a
+    * token budget B and a per-source repeat cap of [[UniMaxEpochCap]]
+    * epochs, allocate B as UNIFORMLY as possible across sources —
+    * the waterfill that replaced temperature sampling for PaLM-2-era
+    * multilingual mixing (temperature sampling over-repeats
+    * low-resource sources and the boost depends on corpus
+    * composition; UniMax bounds repetition explicitly). Sources are
+    * waterfilled in ascending-capacity order: any source whose cap is
+    * below an equal share of the remaining budget is exhausted at its
+    * cap, the rest share the remainder equally (the capped set is a
+    * prefix of the ascending order — if even sharing exceeds a cap,
+    * it exceeds every smaller cap too).
+    *
+    * Everything is exact BIGINT arithmetic: the equal share is an
+    * integer division, its remainder goes one token each to the
+    * lowest-capacity uncapped sources (deterministic, engine-exact).
+    * Output per source: capacity base `tok` (letter tokens, the
+    * txt_token_counts unit), `cap`, capped flag, allocated tokens,
+    * and the resulting repeat factor `epochs_x1e6`.
+    *
+    * 100 TB shape: ONE corpus aggregation (map-side partial count per
+    * source), then every waterfill step runs on the ≤|sources|-row
+    * aggregate — broadcast theta-joins over a bounded frame, no
+    * global window (the library's single-partition-window ban), no
+    * driver loop. Sources are a fixed domain; data growth only
+    * changes the counts.
+    */
+  def unimaxAllocation(s: SparkSession, d: String): DataFrame =
+    unimaxOver(
+      Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.ColumnShims.countTokens(col("text"))
+            .cast("long").as("t"))
+        .groupBy(col("source")).agg(sum(col("t")).as("tok")),
+      UniMaxEpochCap, UniMaxBudgetDen)
+
+  /** Core waterfill over an explicit (source, tok) frame — the
+    * testable seam. `budget = sum(tok) div budgetDen`.
+    */
+  private[graft] def unimaxOver(tokBySource: DataFrame, epochCap: Long,
+                                budgetDen: Long): DataFrame = {
+    val caps = tokBySource.select(col("source"), col("tok"),
+      (col("tok") * epochCap).as("cap"))
+    val tot = caps.agg(count(lit(1)).as("m"), sum(col("tok")).as("ttok"))
+      .select(col("m"), expr(s"ttok div $budgetDen").as("budget"))
+    val b = caps.select(col("source").as("src_b"), col("cap").as("cap_b"))
+    // rank i (1-based) and INCLUSIVE prefix sum pi over the
+    // (cap, source) ascending order, via a bounded theta-join on the
+    // per-source aggregate instead of a single-partition window
+    val ranked = caps.join(broadcast(b),
+        col("cap_b") < col("cap") ||
+          (col("cap_b") === col("cap") && col("src_b") <= col("source")))
+      .groupBy(col("source"), col("tok"), col("cap"))
+      .agg(count(lit(1)).as("i"), sum(col("cap_b")).as("pi"))
+    val flags = ranked.crossJoin(broadcast(tot))
+      .withColumn("capped",
+        col("cap") * (col("m") - col("i") + lit(1L)) <
+          col("budget") - (col("pi") - col("cap")))
+    val cs = flags.agg(
+      coalesce(sum(when(col("capped"), lit(1L))), lit(0L)).as("tcap"),
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("pt"))
+    flags.crossJoin(broadcast(cs))
+      // uncapped share u = (B - pt) div n_unc; remainder r goes one
+      // token each to the r lowest-capacity uncapped sources
+      // (i - tcap is the 1-based rank among the uncapped). B - pt ≥ 0:
+      // each capped prefix sum stays < B by induction on the capped
+      // condition. The otherwise-branch never evaluates when every
+      // source is capped (CASE short-circuits in both engines).
+      .withColumn("alloc",
+        when(col("capped"), col("cap")).otherwise(
+          expr("(budget - pt) div (m - tcap)") +
+            when(col("i") - col("tcap") <= expr("(budget - pt) % (m - tcap)"),
+              lit(1L)).otherwise(lit(0L))))
+      .select(col("source"), col("tok"), col("cap"),
+        col("capped").cast("long").as("capped"), col("alloc"),
+        when(col("tok") > 0, expr("alloc * 1000000 div tok"))
+          .otherwise(lit(0L)).as("epochs_x1e6"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_dsir" -> dsirWeights _,
+    "smp_split_leakfree" -> splitLeakFree _,
+    "smp_unimax" -> unimaxAllocation _,
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
     "smp_rates"  -> sampleRates _,
@@ -538,6 +684,50 @@ object Sampling {
        |  FROM sc, dn)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "smp_split_leakfree" ->
+      s"""WITH comp AS (${Dedup.ComponentsOracleSql}),
+         |g AS (SELECT d.doc_id,
+         |        coalesce(c.component_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
+         |         < ${Buckets - 2 * ValBuckets} THEN 'train'
+         |       WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
+         |         < ${Buckets - ValBuckets} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "smp_unimax" ->
+      s"""WITH tokc AS (SELECT source,
+         |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |      t -> t <> ''))) AS BIGINT) AS tok
+         |  FROM documents GROUP BY source),
+         |caps AS (SELECT source, tok, tok * $UniMaxEpochCap AS cap FROM tokc),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |          CAST(sum(tok) // $UniMaxBudgetDen AS BIGINT) AS budget
+         |        FROM caps),
+         |rk AS (SELECT source, tok, cap,
+         |         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+         |         CAST(sum(cap) OVER (ORDER BY cap, source
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pi
+         |       FROM caps),
+         |fl AS (SELECT r.source, r.tok, r.cap, r.i, t.m, t.budget,
+         |         (r.cap * (t.m - r.i + 1) < t.budget - (r.pi - r.cap)) AS capped
+         |       FROM rk r, tot t),
+         |cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS tcap,
+         |         CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS pt
+         |       FROM fl),
+         |al AS (SELECT f.source, f.tok, f.cap,
+         |         CAST(CASE WHEN f.capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+         |         CAST(CASE WHEN f.capped THEN f.cap
+         |           ELSE (f.budget - c.pt) // (f.m - c.tcap)
+         |             + (CASE WHEN f.i - c.tcap <= (f.budget - c.pt) % (f.m - c.tcap)
+         |                THEN 1 ELSE 0 END)
+         |         END AS BIGINT) AS alloc
+         |       FROM fl f, cs c)
+         |SELECT source, tok, cap, capped, alloc,
+         |  CAST(CASE WHEN tok > 0 THEN alloc * 1000000 // tok ELSE 0 END AS BIGINT)
+         |    AS epochs_x1e6
+         |FROM al ORDER BY source""".stripMargin,
     "smp_temperature" ->
       s"""WITH $tempCte
          |SELECT lang, n_docs, tokens_total, p_ppm, q_ppm, boost_x1000
