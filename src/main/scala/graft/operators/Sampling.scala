@@ -600,10 +600,60 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** UniMax made actionable — the per-DOCUMENT repeat manifest the
+    * allocation implies: every document of source s trains
+    * `alloc_s div tok_s` full epochs, and the partial epoch
+    * (`alloc_s mod tok_s` tokens) is filled by documents in
+    * salted-hash order ("umax:" salt — reproducible, layout- and
+    * retry-independent, extendable like every bucket sampler here)
+    * until the token budget is spent: a document joins the partial
+    * epoch iff the running token sum BEFORE it is still under the
+    * partial budget, so the selection overshoots by at most one
+    * document and never undershoots. Documents with zero repeats are
+    * absent (this IS the training manifest).
+    *
+    * 100 TB shape: the running sum is [[ScaleOps.prefixSumBy]] —
+    * range buckets crossed with the source key and a broadcast carry,
+    * so a single giant source still sums in parallel (the
+    * single-partition-window ban, per stratum); the ≤|sources|-row
+    * allocation broadcasts onto the doc stream. Two narrow corpus
+    * passes (the allocation's count and the doc-level manifest),
+    * nothing wide shuffles.
+    */
+  def unimaxDocs(s: SparkSession, d: String): DataFrame = {
+    val docsTok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.ColumnShims.countTokens(col("text"))
+          .cast("long").as("n_tokens"))
+    val alloc = unimaxOver(
+      docsTok.groupBy(col("source")).agg(sum(col("n_tokens")).as("tok")),
+      UniMaxEpochCap, UniMaxBudgetDen)
+      .select(col("source"), col("tok"), col("alloc"))
+    val ordered = docsTok.withColumn("h",
+      portableHash(concat(lit("umax:"), col("doc_id").cast("string"))))
+    ScaleOps.prefixSumBy(ordered, "source", "h", "n_tokens", "cum")
+      .join(broadcast(alloc), Seq("source"))
+      // tok = 0 would make both divisions ANSI-fail, but such a source
+      // always allocates 0 (cap 0 is exhausted immediately): guard to 0
+      .withColumn("full_ep",
+        when(col("tok") > 0, expr("alloc div tok")).otherwise(lit(0L)))
+      .withColumn("part_tok",
+        when(col("tok") > 0, expr("alloc % tok")).otherwise(lit(0L)))
+      .withColumn("n_repeats",
+        col("full_ep") +
+          when(col("cum") - col("n_tokens") < col("part_tok"), lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("n_repeats") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_dsir" -> dsirWeights _,
     "smp_split_leakfree" -> splitLeakFree _,
     "smp_unimax" -> unimaxAllocation _,
+    "smp_unimax_docs" -> unimaxDocs _,
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
     "smp_rates"  -> sampleRates _,
@@ -683,7 +733,65 @@ object Sampling {
        |      / greatest(p_ppm, 1) * 1000 + 0.5) AS BIGINT) AS boost_x1000
        |  FROM sc, dn)""".stripMargin
 
+  /** The full smp_unimax oracle — embedded verbatim as a CTE by the
+    * smp_unimax_docs oracle, so both gates replay the IDENTICAL
+    * waterfill arithmetic.
+    */
+  private lazy val UnimaxOracleSql: String =
+    s"""WITH tokc AS (SELECT source,
+       |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |      t -> t <> ''))) AS BIGINT) AS tok
+       |  FROM documents GROUP BY source),
+       |caps AS (SELECT source, tok, tok * $UniMaxEpochCap AS cap FROM tokc),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |          CAST(sum(tok) // $UniMaxBudgetDen AS BIGINT) AS budget
+       |        FROM caps),
+       |rk AS (SELECT source, tok, cap,
+       |         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |         CAST(sum(cap) OVER (ORDER BY cap, source
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pi
+       |       FROM caps),
+       |fl AS (SELECT r.source, r.tok, r.cap, r.i, t.m, t.budget,
+       |         (r.cap * (t.m - r.i + 1) < t.budget - (r.pi - r.cap)) AS capped
+       |       FROM rk r, tot t),
+       |cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS tcap,
+       |         CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS pt
+       |       FROM fl),
+       |al AS (SELECT f.source, f.tok, f.cap,
+       |         CAST(CASE WHEN f.capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |         CAST(CASE WHEN f.capped THEN f.cap
+       |           ELSE (f.budget - c.pt) // (f.m - c.tcap)
+       |             + (CASE WHEN f.i - c.tcap <= (f.budget - c.pt) % (f.m - c.tcap)
+       |                THEN 1 ELSE 0 END)
+       |         END AS BIGINT) AS alloc
+       |       FROM fl f, cs c)
+       |SELECT source, tok, cap, capped, alloc,
+       |  CAST(CASE WHEN tok > 0 THEN alloc * 1000000 // tok ELSE 0 END AS BIGINT)
+       |    AS epochs_x1e6
+       |FROM al ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "smp_unimax" -> UnimaxOracleSql,
+    "smp_unimax_docs" ->
+      s"""WITH alloc AS ($UnimaxOracleSql),
+         |dt AS (SELECT doc_id, source,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |           t -> t <> '')) AS BIGINT) AS n_tokens,
+         |         ${portableHashSql("'umax:' || CAST(doc_id AS VARCHAR)")} AS h
+         |       FROM documents),
+         |cm AS (SELECT doc_id, source, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h)
+         |           AS BIGINT) AS cum
+         |       FROM dt),
+         |rep AS (SELECT c.doc_id, c.source, c.n_tokens,
+         |         (CASE WHEN a.tok > 0 THEN a.alloc // a.tok ELSE 0 END)
+         |           + (CASE WHEN c.cum - c.n_tokens <
+         |                (CASE WHEN a.tok > 0 THEN a.alloc % a.tok ELSE 0 END)
+         |              THEN 1 ELSE 0 END) AS n_repeats
+         |       FROM cm c JOIN alloc a ON a.source = c.source)
+         |SELECT doc_id, source, n_tokens, CAST(n_repeats AS BIGINT) AS n_repeats
+         |FROM rep WHERE n_repeats > 0
+         |ORDER BY doc_id""".stripMargin,
     "smp_split_leakfree" ->
       s"""WITH comp AS (${Dedup.ComponentsOracleSql}),
          |g AS (SELECT d.doc_id,
@@ -696,38 +804,6 @@ object Sampling {
          |         < ${Buckets - ValBuckets} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM g ORDER BY doc_id""".stripMargin,
-    "smp_unimax" ->
-      s"""WITH tokc AS (SELECT source,
-         |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
-         |      t -> t <> ''))) AS BIGINT) AS tok
-         |  FROM documents GROUP BY source),
-         |caps AS (SELECT source, tok, tok * $UniMaxEpochCap AS cap FROM tokc),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
-         |          CAST(sum(tok) // $UniMaxBudgetDen AS BIGINT) AS budget
-         |        FROM caps),
-         |rk AS (SELECT source, tok, cap,
-         |         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
-         |         CAST(sum(cap) OVER (ORDER BY cap, source
-         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pi
-         |       FROM caps),
-         |fl AS (SELECT r.source, r.tok, r.cap, r.i, t.m, t.budget,
-         |         (r.cap * (t.m - r.i + 1) < t.budget - (r.pi - r.cap)) AS capped
-         |       FROM rk r, tot t),
-         |cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS tcap,
-         |         CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS pt
-         |       FROM fl),
-         |al AS (SELECT f.source, f.tok, f.cap,
-         |         CAST(CASE WHEN f.capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
-         |         CAST(CASE WHEN f.capped THEN f.cap
-         |           ELSE (f.budget - c.pt) // (f.m - c.tcap)
-         |             + (CASE WHEN f.i - c.tcap <= (f.budget - c.pt) % (f.m - c.tcap)
-         |                THEN 1 ELSE 0 END)
-         |         END AS BIGINT) AS alloc
-         |       FROM fl f, cs c)
-         |SELECT source, tok, cap, capped, alloc,
-         |  CAST(CASE WHEN tok > 0 THEN alloc * 1000000 // tok ELSE 0 END AS BIGINT)
-         |    AS epochs_x1e6
-         |FROM al ORDER BY source""".stripMargin,
     "smp_temperature" ->
       s"""WITH $tempCte
          |SELECT lang, n_docs, tokens_total, p_ppm, q_ppm, boost_x1000

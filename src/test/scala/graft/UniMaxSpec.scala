@@ -89,6 +89,25 @@ class UniMaxSpec extends AnyFunSuite {
     assert(out.values.forall(v => v._3 == 0L && v._4 == 0L && v._5 == 0L))
   }
 
+  test("manifest realizes the allocation: per-source repeated tokens land in [alloc, alloc + one doc)") {
+    val sf = "/root/testdata/sf0.001"
+    val alloc = SparkEntry.queries("smp_unimax")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rows = SparkEntry.queries("smp_unimax_docs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 >= 1L), "manifest rows must repeat at least once")
+    assert(rows.forall(_._4 <= 3L), "repeats bounded by epoch cap + partial")
+    val bySource = rows.groupBy(_._2)
+    for ((src, a) <- alloc if a > 0) {
+      val got = bySource.getOrElse(src, Array.empty[(Long, String, Long, Long)])
+        .map(r => r._3 * r._4).sum
+      val maxDoc = bySource(src).map(_._3).max
+      assert(got >= a && got < a + math.max(1L, maxDoc),
+        s"$src realized $got of alloc $a (max doc $maxDoc)")
+    }
+  }
+
   test("capacity ties order by source name (engine-portable determinism)") {
     val toks = Seq(("zz", 2L), ("aa", 2L), ("mm", 2L))
     // budget = 6 div 1, caps 4 each: uncapped, u = 2, r = 0 -> equal
