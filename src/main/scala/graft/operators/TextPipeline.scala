@@ -810,6 +810,102 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Drop-reason attribution for the composed modern cleanse — the
+    * per-document "why is this document not in the training set"
+    * record every production pipeline keeps (debugging a cleanse
+    * without attribution means re-running it stage by stage; at
+    * 100 TB that is the difference between one query and a week).
+    * Stage predicates are [[pipeModernOf]]'s VERBATIM — same gate
+    * arithmetic, same normalized-md5 keep rule, same DSIR scoring of
+    * gate survivors — so the report attributes THE pipeline, not a
+    * parallel reimplementation; `reason` is the FIRST failing stage
+    * in pipeline order: `quality` (Gopher-style gate, including the
+    * zero-word guard), `duplicate` (a gate-passing doc that lost the
+    * min-doc_id keep within its normalized-text group), `dsir`
+    * (kept representative whose importance score fell below the
+    * selection threshold), else `kept` — so `kept` rows are exactly
+    * pipe_modern's selected output rows.
+    *
+    * One-frame ranking trick: the keep rank windows over
+    * (norm_md5, gate_pass) instead of filtering first, so rank 1
+    * within the gate_pass=true partition is the keeper and the
+    * whole attribution needs no self-join of the metric frame. DSIR
+    * keepers always score: the gate requires ≥ 1 required stopword,
+    * so every keeper has a letter token and enters the token stream.
+    *
+    * Scale shape: gate metrics + fingerprint are one map-side
+    * projection; the rank is one partitioned (high-cardinality
+    * norm_md5) window; DSIR adds the pipe_modern token-stream
+    * aggregates over survivors. Linear — the parent pipeline's cost
+    * class.
+    */
+  def dropReasons(s: SparkSession, d: String): DataFrame =
+    dropReasonsOf(Tables.documents(s, d))
+
+  /** [[dropReasons]] over an explicit documents frame (spec entry). */
+  private[graft] def dropReasonsOf(docs: DataFrame): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val raw = docs.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit(s"$NonWs+"), lit(0)))
+        .cast("long").as("n_words"),
+      length(regexp_replace(col("text"), Ws, "")).cast("long").as("n_wchars"),
+      ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0))))
+        .cast("long").as("n_symbols"),
+      size(regexp_extract_all(col("text"), lit(s"$NonWs*\\p{L}$NonWs*"), lit(0)))
+        .cast("long").as("n_alpha_words"),
+      GopherStops.map(w => when(array_contains(tk, w), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop_kinds"),
+      md5(graft.functions.NormalizeText.normalize_text(col("text"))
+        .cast("binary")).as("norm_md5"))
+    // the division guards ride the when-branch (CASE short-circuits):
+    // a zero-word doc must fail the gate, not ANSI-fail the query
+    val gatePass = when(col("n_words") > 0,
+        col("n_words").between(50L, 100000L) &&
+        pround(col("n_wchars") / col("n_words"), 4) >= 3.0 &&
+        pround(col("n_wchars") / col("n_words"), 4) <= 10.0 &&
+        pround(col("n_symbols") / col("n_words"), 4) < 0.1 &&
+        pround(col("n_alpha_words") / col("n_words"), 4) >= 0.8 &&
+        col("n_stop_kinds") >= ModernStopKinds)
+      .otherwise(lit(false))
+    // keeper per normalized-text group as an AGGREGATE (min doc_id
+    // among gate-passers), not a rank window: no per-partition sort,
+    // and the rep frame is ONE subtree consumed by both the
+    // duplicate-attribution join and the DSIR semi-join (identical
+    // aggregates → the exchange is reused, where the first cut's
+    // Window-vs-TopKPerGroup split planned the metrics twice more)
+    val flagged = raw.withColumn("gate_pass", gatePass)
+    val reps = flagged.filter(col("gate_pass"))
+      .groupBy(col("norm_md5")).agg(min(col("doc_id")).as("rep_id"))
+    val scored = Sampling.dsirScoresUnsorted(
+      docs.join(reps.select(col("rep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      Sampling.dsirModelOf(docs))
+    flagged
+      // a gate-passer's group always has a rep (itself at worst), so
+      // rep_id is null only on quality rows, which match first
+      .join(reps, Seq("norm_md5"), "left")
+      .join(scored.select(col("doc_id"), col("selected")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(!col("gate_pass"), "quality")
+          .when(col("doc_id") =!= col("rep_id"), "duplicate")
+          .when(!col("selected"), "dsir")
+          .otherwise("kept").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-source cleanse funnel: how many documents each stage
+    * drops per source — the operational rollup of [[dropReasons]]
+    * (a source whose `quality` share spikes signals an upstream
+    * extraction regression; a `duplicate` spike, a crawl overlap).
+    */
+  def dropReport(s: SparkSession, d: String): DataFrame =
+    dropReasonsOf(Tables.documents(s, d))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("reason"))
+
   /** Bigram-LM fluency scoring (the CCNet/RefinedWeb "perplexity
     * filter" shape): train a bigram language model ON the corpus
     * itself — c(w1,w2) and context counts c(w1·) from one occurrence
@@ -1182,6 +1278,8 @@ object TextPipeline {
     "txt_bm25"         -> bm25 _,
     "pipe_clean"       -> pipeClean _,
     "pipe_modern"      -> pipeModern _,
+    "pipe_drop_reasons" -> dropReasons _,
+    "pipe_drop_report" -> dropReport _,
     "pipe_report"      -> pipeReport _,
     "pipe_drift"       -> driftReport _,
     "txt_ccnet_buckets" -> ccnetBuckets _,
@@ -1280,6 +1378,61 @@ object TextPipeline {
        |  SELECT doc_id, chunk_seq, min(p) AS start_pos,
        |    count(*) AS n_tokens, md5(string_agg(t, ' ' ORDER BY p)) AS chunk_md5
        |  FROM ch GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The full pipe_drop_reasons oracle — embedded verbatim as a CTE
+    * by the pipe_drop_report oracle. Stage arithmetic mirrors the
+    * pipe_modern oracle's CTEs term by term; the gate rides a CASE so
+    * zero-word documents attribute `quality` instead of dividing by
+    * zero, and the keep rank partitions by (norm_md5, gate_pass) —
+    * the same one-frame trick as the Spark plan.
+    */
+  private lazy val DropReasonsOracleSql: String = {
+    val lowTok =
+      "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    val stopKinds = GopherStops
+      .map(w => s"(CASE WHEN list_contains($lowTok, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${Sampling.DsirCteSql},
+       |pm AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '${NonWs}+')) AS BIGINT) AS n_words,
+       |  CAST(length(regexp_replace(text, '$Ws', '', 'g')) AS BIGINT) AS n_wchars,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+       |  CAST(len(regexp_extract_all(text, '${NonWs}*\\p{L}${NonWs}*')) AS BIGINT) AS n_alpha_words,
+       |  CAST($stopKinds AS BIGINT) AS n_stop_kinds,
+       |  md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS norm_md5
+       |FROM documents),
+       |fl AS (SELECT doc_id, source, norm_md5,
+       |  (CASE WHEN n_words > 0 THEN
+       |     n_words BETWEEN 50 AND 100000
+       |     AND pround(n_wchars / n_words, 4) >= 3.0
+       |     AND pround(n_wchars / n_words, 4) <= 10.0
+       |     AND pround(n_symbols / n_words, 4) < 0.1
+       |     AND pround(n_alpha_words / n_words, 4) >= 0.8
+       |     AND n_stop_kinds >= $ModernStopKinds
+       |   ELSE false END) AS gate_pass
+       |FROM pm),
+       |rp AS (SELECT norm_md5, min(doc_id) AS rep_id
+       |  FROM fl WHERE gate_pass GROUP BY norm_md5),
+       |per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(qi) AS sq
+       |  FROM toks t
+       |  JOIN bk ON t.b = bk.b
+       |  JOIN (SELECT rep_id AS doc_id FROM rp) k
+       |    ON k.doc_id = t.doc_id
+       |  GROUP BY t.doc_id),
+       |sel AS (SELECT doc_id,
+       |  pround((sq + n_tokens * kc) / n_tokens / 1000000, 4) > 0.0 AS selected
+       |  FROM per, kc)
+       |SELECT f.doc_id, f.source,
+       |  CASE WHEN NOT f.gate_pass THEN 'quality'
+       |       WHEN f.doc_id <> rp.rep_id THEN 'duplicate'
+       |       WHEN NOT s.selected THEN 'dsir'
+       |       ELSE 'kept' END AS reason
+       |FROM fl f
+       |LEFT JOIN rp ON rp.norm_md5 = f.norm_md5
+       |LEFT JOIN sel s ON s.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1382,6 +1535,12 @@ object TextPipeline {
          |JOIN per ON per.doc_id = p.doc_id, kc
          |ORDER BY p.doc_id""".stripMargin
     },
+    "pipe_drop_reasons" -> DropReasonsOracleSql,
+    "pipe_drop_report" ->
+      s"""WITH rr AS ($DropReasonsOracleSql)
+         |SELECT source, reason, count(*) AS n_docs
+         |FROM rr GROUP BY 1, 2
+         |ORDER BY source, reason""".stripMargin,
     "txt_gopher_rules" -> {
       val lowTok =
         "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '')"
