@@ -1660,7 +1660,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source dedup impact report — the effectiveness summary a
+    * pipeline reads after a dedup pass (a source with a high
+    * near-drop ratio signals crawl overlap or template spam; distinct
+    * texts vs docs measures exact-clone mass): document and
+    * distinct-text counts, near-dup drop counts and characters
+    * removed (from [[dropList]]'s greedy reduction, verbatim — the
+    * report attributes THE registered drop list, whose oracle it
+    * embeds), and the drop ratio. One narrow doc_id left join on the
+    * drop list + a per-source aggregate with an exact distinct on the
+    * 16-byte text fingerprint — nothing beyond the drop list's own
+    * cost class.
+    */
+  def dedupReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .join(dropList(s, d).select(col("drop_id").as("doc_id"),
+        lit(1L).as("dropped")), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        coalesce(sum(col("dropped")), lit(0L)).as("n_near_dropped"),
+        coalesce(sum(when(col("dropped") === 1L, col("n_chars"))), lit(0L))
+          .as("chars_near_dropped"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        col("n_near_dropped"), col("chars_near_dropped"),
+        pround(col("n_near_dropped") / col("n_docs"), 4)
+          .as("near_drop_ratio"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_report"        -> dedupReport _,
     "dedup_keep_best"     -> keepBest _,
     "dedup_keep_best_idx" -> keepBestIdx _,
     "dedup_components_inc" -> componentsInc _,
@@ -1803,6 +1834,32 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The full dedup_drop_list oracle — embedded verbatim as a CTE by
+    * the dedup_report oracle, so both gates replay the IDENTICAL
+    * banding/verify/greedy-reduce derivation.
+    */
+  private lazy val DropListOracleSql: String =
+    s"""WITH $mhCte,
+       |$bandsCteSql,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |          WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+       |verified AS (
+       |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
+       |  FROM pairs p
+       |  JOIN ng x ON x.doc_id = p.doc_a
+       |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
+       |  JOIN sizes na ON na.doc_id = p.doc_a
+       |  JOIN sizes nb ON nb.doc_id = p.doc_b
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_b AS drop_id, min(doc_a) AS kept_id,
+       |  max(pround(c / (na + nb - c), 4)) AS max_jaccard
+       |FROM verified
+       |WHERE pround(c / (na + nb - c), 4) >= $DropThreshold
+       |GROUP BY doc_b
+       |ORDER BY drop_id""".stripMargin
+
   /** The dedup_keep_best oracle — shared verbatim by the
     * `dedup_keep_best_idx` serving twin: only where the labels COME
     * FROM differs, which is exactly what that gate pins (frozen
@@ -1827,27 +1884,20 @@ object Dedup {
     // incremental merge == full recompute — the oracle IS the full
     // dedup_components SQL, so the gate proves the equality claim
     "dedup_components_inc" -> ComponentsOracleSql,
-    "dedup_drop_list" ->
-      s"""WITH $mhCte,
-         |$bandsCteSql,
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |          WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
-         |verified AS (
-         |  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb, count(*) AS c
-         |  FROM pairs p
-         |  JOIN ng x ON x.doc_id = p.doc_a
-         |  JOIN ng y ON y.doc_id = p.doc_b AND y.g = x.g
-         |  JOIN sizes na ON na.doc_id = p.doc_a
-         |  JOIN sizes nb ON nb.doc_id = p.doc_b
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT doc_b AS drop_id, min(doc_a) AS kept_id,
-         |  max(pround(c / (na + nb - c), 4)) AS max_jaccard
-         |FROM verified
-         |WHERE pround(c / (na + nb - c), 4) >= $DropThreshold
-         |GROUP BY doc_b
-         |ORDER BY drop_id""".stripMargin,
+    "dedup_drop_list" -> DropListOracleSql,
+    "dedup_report" ->
+      s"""WITH dl AS ($DropListOracleSql)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_distinct_texts,
+         |  CAST(coalesce(sum(CASE WHEN dl.drop_id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_near_dropped,
+         |  CAST(coalesce(sum(CASE WHEN dl.drop_id IS NOT NULL THEN d.n_chars END), 0)
+         |    AS BIGINT) AS chars_near_dropped,
+         |  pround(coalesce(sum(CASE WHEN dl.drop_id IS NOT NULL THEN 1 END), 0)
+         |    / count(*), 4) AS near_drop_ratio
+         |FROM documents d LEFT JOIN dl ON dl.drop_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin,
     // mirrors the FIXED label-propagation rounds exactly (unrolled),
     // so Spark and DuckDB agree at any component diameter
     "dedup_components" -> ComponentsOracleSql,
