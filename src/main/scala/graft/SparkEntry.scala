@@ -63,7 +63,8 @@ object SparkEntry {
     */
   val buildBackedQueries: Set[String] = Set(
     "dedup_keep_best_idx", "dedup_components_inc",
-    "ann_ivf_pq_idx", "ann_ivf_pq_res_idx", "smp_classifier_docs_idx")
+    "ann_ivf_pq_idx", "ann_ivf_pq_res_idx", "smp_classifier_docs_idx",
+    "smp_split_leakfree_idx")
 
   /** Scale tier per registered query: "production" | "baseline". */
   def scaleClass: Map[String, String] =

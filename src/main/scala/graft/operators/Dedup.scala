@@ -1515,14 +1515,21 @@ object Dedup {
     * identical to `dedup_keep_best`: the build is deterministic and a
     * BIGINT parquet round-trip is bit-exact.
     */
-  def keepBestIdx(s: SparkSession, d: String): DataFrame = {
-    val path = builtGraph.computeIfAbsent(s"full:$d", _ => {
+  def keepBestIdx(s: SparkSession, d: String): DataFrame =
+    keepBestOf(loadGraphLabels(s, fullGraphPath(s, d)),
+      Tables.documents(s, d))
+
+  /** Memoized full-corpus dedup-graph index path (built once per
+    * (JVM, corpus) on first use) — the frozen-label state every
+    * serving twin reads ([[keepBestIdx]],
+    * [[Sampling.splitLeakFreeIdx]]).
+    */
+  private[graft] def fullGraphPath(s: SparkSession, d: String): String =
+    builtGraph.computeIfAbsent(s"full:$d", _ => {
       val p = graphRootFor(d, "full")
       buildDedupGraphIndex(s, Tables.documents(s, d), p)
       p
     })
-    keepBestOf(loadGraphLabels(s, path), Tables.documents(s, d))
-  }
 
   /** Incremental connected components: merge a NEW ingest batch into
     * persisted dedup-graph state WITHOUT re-running LSH over the

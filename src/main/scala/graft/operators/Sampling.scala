@@ -500,6 +500,19 @@ object Sampling {
       Dedup.componentsCollapsedOf(docs, Dedup.bandGeometryOf(docs)))
   }
 
+  /** Serving twin of [[splitLeakFree]] over the FROZEN dedup-graph
+    * component labels (the `dedup_keep_best_idx` discipline): the
+    * in-plan twin re-derives minhash → bands → verify → label rounds
+    * every run; this one reads the persisted labels and runs only
+    * the narrow join + map-side hash — the form a pipeline queries
+    * between ingests. Result — and oracle — are identical to
+    * `smp_split_leakfree`: the index build is deterministic and a
+    * BIGINT parquet round-trip is bit-exact.
+    */
+  def splitLeakFreeIdx(s: SparkSession, d: String): DataFrame =
+    splitLeakFreeOver(Tables.documents(s, d),
+      Dedup.loadGraphLabels(s, Dedup.fullGraphPath(s, d)))
+
   /** Core of [[splitLeakFree]] over an explicit (doc_id,
     * component_id) label frame — the testable seam.
     */
@@ -652,6 +665,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_dsir" -> dsirWeights _,
     "smp_split_leakfree" -> splitLeakFree _,
+    "smp_split_leakfree_idx" -> splitLeakFreeIdx _,
     "smp_unimax" -> unimaxAllocation _,
     "smp_unimax_docs" -> unimaxDocs _,
     "smp_sample" -> sample _,
@@ -770,8 +784,27 @@ object Sampling {
        |    AS epochs_x1e6
        |FROM al ORDER BY source""".stripMargin
 
+  /** The smp_split_leakfree oracle — shared verbatim by the
+    * `smp_split_leakfree_idx` serving twin: only where the labels
+    * COME FROM differs, which is exactly what that gate pins (frozen
+    * labels reproduce the in-plan ones bit-for-bit).
+    */
+  private lazy val SplitLeakFreeOracleSql: String =
+    s"""WITH comp AS (${Dedup.ComponentsOracleSql}),
+       |g AS (SELECT d.doc_id,
+       |        coalesce(c.component_id, d.doc_id) AS group_id
+       |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
+       |         < ${Buckets - 2 * ValBuckets} THEN 'train'
+       |       WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
+       |         < ${Buckets - ValBuckets} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "smp_unimax" -> UnimaxOracleSql,
+    "smp_split_leakfree_idx" -> SplitLeakFreeOracleSql,
     "smp_unimax_docs" ->
       s"""WITH alloc AS ($UnimaxOracleSql),
          |dt AS (SELECT doc_id, source,
@@ -792,18 +825,7 @@ object Sampling {
          |SELECT doc_id, source, n_tokens, CAST(n_repeats AS BIGINT) AS n_repeats
          |FROM rep WHERE n_repeats > 0
          |ORDER BY doc_id""".stripMargin,
-    "smp_split_leakfree" ->
-      s"""WITH comp AS (${Dedup.ComponentsOracleSql}),
-         |g AS (SELECT d.doc_id,
-         |        coalesce(c.component_id, d.doc_id) AS group_id
-         |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
-         |SELECT doc_id, group_id,
-         |  CASE WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
-         |         < ${Buckets - 2 * ValBuckets} THEN 'train'
-         |       WHEN ${portableHashSql("'split:' || CAST(group_id AS VARCHAR)")} % $Buckets
-         |         < ${Buckets - ValBuckets} THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM g ORDER BY doc_id""".stripMargin,
+    "smp_split_leakfree" -> SplitLeakFreeOracleSql,
     "smp_temperature" ->
       s"""WITH $tempCte
          |SELECT lang, n_docs, tokens_total, p_ppm, q_ppm, boost_x1000

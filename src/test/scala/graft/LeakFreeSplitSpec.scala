@@ -44,6 +44,14 @@ class LeakFreeSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("serving twin over frozen labels equals the in-plan split") {
+    val live = SparkEntry.queries("smp_split_leakfree")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val idx = SparkEntry.queries("smp_split_leakfree_idx")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(idx === live)
+  }
+
   test("end-to-end: components never straddle splits at sf0.001") {
     val out = SparkEntry.queries("smp_split_leakfree")(spark, sf)
     val comp = Dedup.components(spark, sf)
