@@ -1008,6 +1008,34 @@ object Relational {
     * with identical results. At 100 TB the cost is #row-groups
     * footer reads — I/O proportional to file COUNT, not byte size.
     */
+  /** Order-free per-source corpus content fingerprint — the
+    * reproducibility manifest a 100 TB pipeline records with every
+    * run: two runs (or two clusters, or a rewrite/compaction) produced
+    * identical data iff the counts and 64-bit content hashes match,
+    * with no row-by-row compare and no ordering requirement. Each
+    * row's FULL content (every documents column, ``-joined)
+    * hashes to 64 engine-portable bits (both md5 halves, kept as two
+    * 32-bit lanes — a 64-bit assembly would need a sign-bit shift
+    * DuckDB rejects as overflow, the SimHash-oracle lesson), and the
+    * per-source aggregate is `bit_xor` — commutative/associative, so
+    * the result is identical under any partitioning, task order or
+    * retry history, and it can never overflow (the reason it beats a
+    * sum at 10¹² rows). Map-side partial XORs; |sources| rows out.
+    */
+  def corpusHash(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CrossEngine.{portableHash, portableHashLo}
+    val payload = concat_ws("", col("doc_id").cast("string"),
+      col("text"), col("lang"), col("source"), col("n_chars").cast("string"))
+    Tables.documents(s, d)
+      .select(col("source"), portableHash(payload).as("hi"),
+        portableHashLo(payload).as("lo"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(hi)").as("content_hash_hi"),
+        expr("bit_xor(lo)").as("content_hash_lo"))
+      .orderBy(col("source"))
+  }
+
   def opsAggPushdown(s: SparkSession, d: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.sources.useV1SourceList", "")
@@ -1131,6 +1159,7 @@ object Relational {
     "stats_hll_inc"     -> statsHllInc _,
     "ops_join_card"     -> opsJoinCard _,
     "ops_agg_pushdown"  -> opsAggPushdown _,
+    "ops_corpus_hash"   -> corpusHash _,
     "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
@@ -1223,6 +1252,18 @@ object Relational {
         |    AS sum_milli
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, hour_id""".stripMargin,
+    "ops_corpus_hash" -> {
+      import graft.functions.CrossEngine.{portableHashSql, portableHashLoSql}
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(bit_xor(${portableHashSql("p")}) AS BIGINT) AS content_hash_hi,
+         |  CAST(bit_xor(${portableHashLoSql("p")}) AS BIGINT) AS content_hash_lo
+         |FROM (SELECT source,
+         |        concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
+         |          source, CAST(n_chars AS VARCHAR)) AS p
+         |      FROM documents) t
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    },
     "ops_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,

@@ -108,6 +108,18 @@ class UniMaxSpec extends AnyFunSuite {
     }
   }
 
+  test("property sweep: 25 seeded random corpora match the reference waterfill") {
+    val rng = new scala.util.Random(42)
+    for (i <- 1 to 25) {
+      val k = 1 + rng.nextInt(12)
+      val toks = (0 until k).map(j => (s"s$j", rng.nextInt(5000).toLong))
+      val cap = rng.nextInt(4).toLong
+      val den = 1L + rng.nextInt(4)
+      assert(run(toks, cap, den) === reference(toks, cap, den),
+        s"case $i: toks=$toks cap=$cap den=$den")
+    }
+  }
+
   test("capacity ties order by source name (engine-portable determinism)") {
     val toks = Seq(("zz", 2L), ("aa", 2L), ("mm", 2L))
     // budget = 6 div 1, caps 4 each: uncapped, u = 2, r = 0 -> equal
