@@ -3,17 +3,22 @@ package graft.tools
 import graft.GraftSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway-style fragment timing for plan-cost attribution: times
-  * named sub-plans of a query under investigation so a regression can
-  * be located instead of guessed at. Each measurement runs twice
-  * (cold/warm) with a System.gc between, separating one-time costs
-  * (page cache, JIT, codegen) from steady plan cost. Edit locally as
-  * needed; not part of any contract surface.
-  * Usage: runMain graft.tools.FragmentProbe <sfDir>
+/** Cold/warm full-evaluation probe: times each named query's
+  * noop-sink evaluation twice with a System.gc between, separating
+  * one-time costs (page cache, JIT, codegen) from steady plan cost —
+  * the protocol that located the round-12 degraded-box interference
+  * (BASELINE.md) by showing run-order, not plan shape, drove the
+  * swings. Complements MicroBench (count-mode means) and PlanDump
+  * (plan text): use this when FULL-evaluation cost needs attributing.
+  * Usage: runMain graft.tools.FragmentProbe <sfDir> <q1,q2,...> [alsoAgg]
+  * `alsoAgg` additionally times a sort-free single-aggregate consume
+  * of each query (isolates the final global sort + output cost).
   */
 object FragmentProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
+    val names = args(1).split(',')
+    val alsoAgg = args.length > 2 && args(2) == "alsoAgg"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = GraftSession.builder(s"local[$cpus, 4]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,14 +28,16 @@ object FragmentProbe {
         System.gc()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        println(f"[frag] $tag%-24s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        println(f"[frag] $tag%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
-    time("modern_full")(graft.SparkEntry.queries("pipe_modern")(spark, d))
-    time("reasons_full")(graft.SparkEntry.queries("pipe_drop_reasons")(spark, d))
-    time("reasons_no_sort") {
-      graft.SparkEntry.queries("pipe_drop_reasons")(spark, d)
-        .groupBy(col("reason")).count()
+    for (n <- names) {
+      time(s"$n full")(graft.SparkEntry.queries(n)(spark, d))
+      if (alsoAgg) time(s"$n no_sort") {
+        val df = graft.SparkEntry.queries(n)(spark, d)
+        df.groupBy().agg(count(lit(1)).as("n"),
+          sum(crc32(to_json(struct(df.columns.map(col): _*)))).as("chk"))
+      }
     }
     spark.stop()
   }
