@@ -569,6 +569,22 @@ object Sampling {
         .groupBy(col("source")).agg(sum(col("t")).as("tok")),
       UniMaxEpochCap, UniMaxBudgetDen)
 
+  /** [[unimaxAllocation]] keyed by LANGUAGE — the paper's native axis
+    * (UniMax §1: epoch-capped uniform budget across languages, the
+    * fix for temperature sampling's over-repetition of low-resource
+    * languages). Same waterfill over the per-lang token counts; the
+    * temperature twin to compare against is `smp_temperature`.
+    */
+  def unimaxLangAllocation(s: SparkSession, d: String): DataFrame =
+    unimaxOver(
+      Tables.documents(s, d)
+        .select(col("lang").as("source"),
+          graft.functions.ColumnShims.countTokens(col("text"))
+            .cast("long").as("t"))
+        .groupBy(col("source")).agg(sum(col("t")).as("tok")),
+      UniMaxEpochCap, UniMaxBudgetDen)
+      .withColumnRenamed("source", "lang")
+
   /** Core waterfill over an explicit (source, tok) frame — the
     * testable seam. `budget = sum(tok) div budgetDen`.
     */
@@ -667,6 +683,7 @@ object Sampling {
     "smp_split_leakfree" -> splitLeakFree _,
     "smp_split_leakfree_idx" -> splitLeakFreeIdx _,
     "smp_unimax" -> unimaxAllocation _,
+    "smp_unimax_lang" -> unimaxLangAllocation _,
     "smp_unimax_docs" -> unimaxDocs _,
     "smp_sample" -> sample _,
     "smp_split"  -> splitCounts _,
@@ -749,13 +766,16 @@ object Sampling {
 
   /** The full smp_unimax oracle — embedded verbatim as a CTE by the
     * smp_unimax_docs oracle, so both gates replay the IDENTICAL
-    * waterfill arithmetic.
+    * waterfill arithmetic; [[unimaxOracleSqlFor]] re-keys the same
+    * SQL for the language-axis twin.
     */
-  private lazy val UnimaxOracleSql: String =
-    s"""WITH tokc AS (SELECT source,
+  private lazy val UnimaxOracleSql: String = unimaxOracleSqlFor("source")
+
+  private def unimaxOracleSqlFor(key: String): String =
+    s"""WITH tokc AS (SELECT $key AS source,
        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
        |      t -> t <> ''))) AS BIGINT) AS tok
-       |  FROM documents GROUP BY source),
+       |  FROM documents GROUP BY $key),
        |caps AS (SELECT source, tok, tok * $UniMaxEpochCap AS cap FROM tokc),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
        |          CAST(sum(tok) // $UniMaxBudgetDen AS BIGINT) AS budget
@@ -804,6 +824,10 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "smp_unimax" -> UnimaxOracleSql,
+    "smp_unimax_lang" ->
+      s"""WITH u AS (${unimaxOracleSqlFor("lang")})
+         |SELECT source AS lang, tok, cap, capped, alloc, epochs_x1e6
+         |FROM u ORDER BY lang""".stripMargin,
     "smp_split_leakfree_idx" -> SplitLeakFreeOracleSql,
     "smp_unimax_docs" ->
       s"""WITH alloc AS ($UnimaxOracleSql),
