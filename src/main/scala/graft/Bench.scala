@@ -34,9 +34,28 @@ import org.apache.spark.sql.SparkSession
   *    or join-crowned queries can't read as fake-fast (observed:
   *    a left-join-crowned query benched 20× under its real cost
   *    because count() eliminated the join).
+  *
+  * Variance gate (round 13): a query whose steady sd exceeds
+  * mean/2 was measured under interference (round 12: one query read
+  * 20.79 s ± 27.93 in the sweep vs 1.85-2.0 s isolated — a 10×
+  * phantom regression from box noise alone). Every such query is
+  * automatically RE-TIMED after the sweep completes — the end of the
+  * run is the quietest interval this process can reach: no other
+  * query's cancelled stages or shuffle cleanup overlap it, and a GC
+  * precedes each run. The re-time (mean + sd of 3 runs) is appended
+  * as `queries_retime`/`queries_retime_sd`, so the artifact itself
+  * carries the noise adjudication: a per-query number is trustworthy
+  * iff its sd < mean/2 OR its re-time row agrees. Queries under
+  * [[RetimeFloorSec]] are exempt — at that size sd/mean is
+  * scheduling jitter, not signal anyone adjudicates.
   */
 object Bench {
   private val Runs = 3
+
+  /** Don't re-time queries faster than this: sub-300 ms means are
+    * all scheduling jitter and never drive a regression call.
+    */
+  private val RetimeFloorSec = 0.3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,6 +101,28 @@ object Bench {
         else 0.0
       (name, mean, sd, full, build)
     }
+    // variance gate: re-time flagged queries on the post-sweep quiet
+    // interval (see object doc) — the artifact then carries both the
+    // in-sweep number and its isolation check
+    val retimes = results.collect {
+      case (name, mean, sd, _, _)
+          if mean >= RetimeFloorSec && sd > mean / 2 => name
+    }.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double =
+        try {
+          System.gc()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      val ok = Seq.fill(Runs)(once()).filter(_ >= 0)
+      val m = if (ok.isEmpty) -1.0 else ok.sum / ok.size
+      val sd2 =
+        if (ok.size < 2) 0.0
+        else math.sqrt(ok.map(x => (x - m) * (x - m)).sum / (ok.size - 1))
+      (name, m, sd2)
+    }
     def num(d: Double): String = if (d == d.floor && d.abs < 1e15) d.toString else f"$d%.6f"
     val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + num(m) }
       .mkString("{", ",", "}")
@@ -115,6 +156,10 @@ object Bench {
       s""""steady_baseline_twins":${num(totalBaseline)},""" +
       s""""queries":$qs,"queries_sd":$sds,"queries_full":$fulls,""" +
       s""""queries_build":$builds,""" +
+      s""""queries_retime":${retimes.map { case (k, m, _) =>
+        "\"" + k + "\":" + num(m) }.mkString("{", ",", "}")},""" +
+      s""""queries_retime_sd":${retimes.map { case (k, _, sd2) =>
+        "\"" + k + "\":" + num(sd2) }.mkString("{", ",", "}")},""" +
       s""""baseline_queries":${baseNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json keeps only the last ~2000 chars of
@@ -133,8 +178,12 @@ object Bench {
     val sdSlowest = asc.takeRight(12)
       .map { case (k, _, s, _, _) => "\"" + k + "\":" + num2(s) }
       .mkString("{", ",", "}")
+    val retimeTail = retimes.map { case (k, m, sd2) =>
+      "\"" + k + "\":\"" + num2(m) + "+-" + num2(sd2) + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"layout":"truncation_tail",""" +
       s""""queries_mean_asc":$meansAsc,"sd_slowest":$sdSlowest,""" +
+      s""""retimed":$retimeTail,""" +
       s""""failed":$failed,"total_full":${num(totalFull)},""" +
       s""""build":${num2(totalBuild)},""" +
       s""""steady_production":${num2(total - totalBaseline)},""" +

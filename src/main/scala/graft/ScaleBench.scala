@@ -72,6 +72,16 @@ object ScaleBench {
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 
+    // Codec fixture: persist the four codec queries' payload corpora
+    // next to the scaled tables, so mm_decode/mm_resize/dedup_image/
+    // dedup_audio measure DECODE-only here — a real corpus stores its
+    // media; per-query ENCODE was fixture overhead reading as query
+    // cost (round-12 verdict item 5). Regenerated whenever documents
+    // was (re)replicated this run, so K changes can't leave a stale
+    // id set behind.
+    if (tableSet("documents"))
+      operators.Multimodal.writeCodecFixtures(spark, out)
+
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Per-query wall-clock budget: the exhaustive sweep deliberately
     // includes the brute differential twins (inverted-index Jaccard,
@@ -121,23 +131,41 @@ object ScaleBench {
     // ladder rung can read fake-flat while the real cost grows
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => querySet(q._1)).map { case (name, fn) =>
+      // Bench's build/steady split, extended to the sweep (round 13):
+      // the build-backed queries memoize a one-time index/model per
+      // (JVM, corpus dir), so their FIRST call here would land the
+      // build inside the count-mode number (observed: an _idx row
+      // reading 14.0 s count vs 1.76 s full purely from build order).
+      // One untimed-for-count warm call pays the build and is
+      // reported as its own column.
+      val build =
+        if (SparkEntry.buildBackedQueries(name))
+          timed(s"scale-build-$name") { fn(spark, out).count() }
+        else 0.0
+      if (build != 0.0) System.gc()
       val dt = timed(s"scale-count-$name") { fn(spark, out).count() }
       System.gc()
       val dtf = timed(s"scale-full-$name") {
         fn(spark, out).write.format("noop").mode("overwrite").save()
       }
       System.gc()
-      System.err.println(f"[scale] $name%-28s count=$dt%8.2f full=$dtf%8.2f")
-      (name, dt, dtf)
+      System.err.println(
+        f"[scale] $name%-28s count=$dt%8.2f full=$dtf%8.2f" +
+          (if (build != 0.0) f" build=$build%8.2f" else ""))
+      (name, dt, dtf, build)
     }
-    val qs = results.map { case (n, v, _) => "\"" + n + "\":" + v }
+    val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")
-    val fulls = results.map { case (n, _, f) => "\"" + n + "\":" + f }
+    val fulls = results.map { case (n, _, f, _) => "\"" + n + "\":" + f }
+      .mkString("{", ",", "}")
+    val builds = results.collect { case (n, _, _, b) if b != 0.0 =>
+        "\"" + n + "\":" + b }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalFull = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_full":$totalFull,""" +
-      s""""queries":$qs,"queries_full":$fulls,"sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
+      s""""queries":$qs,"queries_full":$fulls,"queries_build":$builds,""" +
+      s""""sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_semantic"       -> "dedup_semantic_capped",       // uncapped SemDeDup baseline; capped form bounds per-bucket fan-out
     "sim_near_dup"         -> "sim_near_dup_lsh",            // brute all-pairs cosine twin; LSH bucket join is the scale path
     "q27_range_join"       -> "q27_range_join_bucketed",     // interval join keyed per user: candidates quadratic in per-user activity
+    "dedup_source_overlap" -> "dedup_source_overlap_capped", // attributes the FULL candidate pair stream (output-bound on clone rungs); capped twin bounds per-bucket fan-out, rank-preserving
   )
 
   /** Queries backed by a ONE-TIME persisted artifact (dedup-graph
@@ -64,7 +65,8 @@ object SparkEntry {
   val buildBackedQueries: Set[String] = Set(
     "dedup_keep_best_idx", "dedup_components_inc",
     "ann_ivf_pq_idx", "ann_ivf_pq_res_idx", "smp_classifier_docs_idx",
-    "smp_split_leakfree_idx")
+    "smp_split_leakfree_idx",
+    "graph_pagerank") // r13: memoized localCheckpoint'ed edge list
 
   /** Scale tier per registered query: "production" | "baseline". */
   def scaleClass: Map[String, String] =
@@ -82,13 +84,12 @@ object SparkEntry {
   val scaleNotes: Map[String, String] = Map(
     "dedup_minhash_pairs"  -> "output-bound: the true near-dup pair set grows ~quadratically in the clone factor",
     "dedup_simhash_pairs"  -> "output-bound (same clone-pair growth) + Manku pigeonhole background term C(N,2)/2^16",
-    "dedup_source_overlap" -> "output-bound: attributes the full candidate pair stream",
     "dedup_audio"          -> "compute-bound map-side codec + blocked-Hamming background term; sampled-guard knob halves steady decode cost",
     "dedup_image"          -> "compute-bound map-side PNG decode (x2 with the in-plan cross-decoder guard; knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "mm_decode"            -> "compute-bound map-side codec work, nothing amortizes (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "mm_resize"            -> "compute-bound map-side codec + resample work (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "dedup_minhash_recall_sample" -> "audit with corpus-adaptive probe rate: exact-side fan-out bounded at ~constant probe mass",
-    "smp_decontam_sem"     -> "linear at the real-world contract (fixed-size broadcast eval set); the synthetic eval slice grows with the corpus, making the ladder rung quadratic — smp_decontam_sem_ivf is the IVF-pruned path for eval sets that outgrow a broadcast",
+    "smp_decontam_sem"     -> "scale-adaptive since r13: the registered entry branches IN-PLAN on eval-set cardinality — brute broadcast screen below 1024 evals (every gate SF, oracle-exact), IVF-pruned screen beyond (the 100x rung's growing synthetic eval slice); the IVF branch inherits smp_decontam_sem_ivf's documented lower-bound contract",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -410,6 +410,63 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Band-bucket occupancy cap for the bounded source-overlap twin —
+    * the [[OccCap]] knob at the MinHash seam. On a clone-degenerate
+    * corpus (the 100× replication rung, or a real template farm) one
+    * (band, sig) bucket holds every clone of a cluster and
+    * contributes C(m,2) pairs; capping bounds any bucket at
+    * C(50,2). At the gate SFs clone clusters are ~10 docs, so the
+    * cap never binds there and the capped matrix equals the full one
+    * (spec-pinned); where it binds, both engines drop the SAME
+    * buckets (the oracle mirrors the cap), so the gate stays
+    * hash-exact.
+    */
+  private val BandOccCap = 50
+
+  /** Production-tier bounded twin of [[sourceOverlap]] — the
+    * dataset-audit overlap matrix WITHOUT materializing the full
+    * candidate pair stream: (band, sig) buckets holding more than
+    * [[BandOccCap]] docs are dropped from pairing entirely (the
+    * `dedup_simhash_capped` occupancy pattern), so per-bucket
+    * join fan-out — and with it the whole matrix cost — is linear in
+    * the corpus no matter how clone-degenerate it is. The audit
+    * answer survives: overlap RANKING is preserved wherever every
+    * source pair loses proportionally (hot buckets are exactly the
+    * mass that dominates every cell), and at the gate SFs the cap
+    * doesn't bind at all, so the matrix is equal, not just
+    * rank-equal (SourceOverlapSpec pins both).
+    */
+  def sourceOverlapCapped(s: SparkSession, d: String): DataFrame =
+    sourceOverlapCappedOf(Tables.documents(s, d), BandOccCap)
+
+  /** [[sourceOverlapCapped]] over an explicit documents frame with an
+    * explicit cap (spec entry; cap = Long.MaxValue replays the
+    * uncapped matrix for differential pinning).
+    */
+  private[graft] def sourceOverlapCappedOf(docs: DataFrame,
+                                           cap: Long): DataFrame = {
+    val b = bandedOf(slotArrays(docs), bandGeometryOf(docs))
+      .repartition(col("band"), col("sig"))
+    val keep = b.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= cap)
+      .select(col("band"), col("sig"))
+    val kept = b.join(keep, Seq("band", "sig"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val c = kept.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val pairs = a.join(c, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+               greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** 64-bit tf-weighted SimHash per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(s, d).orderBy(col("doc_id"))
@@ -1722,6 +1779,7 @@ object Dedup {
     "dedup_lines"         -> linesStats _,
     "dedup_lines_strip"   -> linesStrip _,
     "dedup_source_overlap" -> sourceOverlap _,
+    "dedup_source_overlap_capped" -> sourceOverlapCapped _,
   )
 
   /** Shared line-dedup CTEs for the two oracle entries: split on \n
@@ -2037,6 +2095,28 @@ object Dedup {
          |$bandsCteSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = pairs.doc_a
+         |JOIN documents db ON db.doc_id = pairs.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
+    // mirrors the occupancy cap exactly (the dedup_simhash_capped
+    // convention): where the cap binds, both engines drop the SAME
+    // buckets, so the gate stays hash-exact
+    "dedup_source_overlap_capped" ->
+      s"""WITH $mhCte,
+         |$bandsCteSql,
+         |keep AS (SELECT band, sig FROM bands
+         |         GROUP BY band, sig HAVING count(*) <= $BandOccCap),
+         |kept AS (SELECT bands.* FROM bands
+         |         JOIN keep ON bands.band = keep.band AND bands.sig = keep.sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM kept a JOIN kept b
+         |            ON a.band = b.band AND a.sig = b.sig
          |          WHERE a.doc_id < b.doc_id)
          |SELECT least(da.source, db.source) AS source_a,
          |       greatest(da.source, db.source) AS source_b,

@@ -77,9 +77,35 @@ object Graph {
   /** Top-20 nodes by 3-round damped PageRank over the part↔supplier
     * graph; `rank_fixed` is the exact 10⁻¹² fixed-point BIGINT the
     * iteration runs in, `rank` its human-readable double rendering.
+    *
+    * CHECKPOINTED registered form (round 13): the lazy unrolled tree
+    * embeds the edge-derivation subtree once per round plus once for
+    * the init degrees (4× at R=3), which the 100× sweep measured at
+    * 31-39 s full vs ~10 s checkpointed — [[edgeCache]] materializes
+    * the edge list ONCE per (JVM, corpus dir) and every round (and
+    * every later call) re-reads the resident blocks. The result is
+    * bit-identical (the whole iteration is fixed-point BIGINT
+    * arithmetic), so the DuckDB oracle gate is unaffected; the lazy
+    * form stays reachable via [[pagerankOf]] for explicit-frame
+    * specs.
     */
-  def pagerank(s: SparkSession, d: String): DataFrame =
-    pagerankOf(Tables.lineitem(s, d), rounds = 3, topK = 20)
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    pagerankCore(edgeCache.computeIfAbsent(d,
+      _ => edgesOf(li).localCheckpoint()), li, rounds = 3, topK = 20)
+  }
+
+  /** Materialized edge list per (JVM, corpus dir) — the
+    * buildBackedQueries convention (the IVF-PQ index / frozen
+    * classifier precedent): the FIRST call pays the one-time
+    * localCheckpoint job, every later call reuses the resident
+    * blocks and builds lazily (PlanContractSpec's zero-jobs-at-
+    * plan-time gate holds from the second build on). MEMORY_AND_DISK
+    * blocks, edge cardinality only (distinct pairs ×2) — never the
+    * corpus.
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** [[pagerank]] over an explicit lineitem-shaped frame (spec entry).
     *
@@ -98,18 +124,26 @@ object Graph {
     * the lineitem-distinct subtree 11× and measured 10.5 s at sf0.1;
     * this one embeds it 4× (3 rounds + init degrees).
     *
-    * `checkpoint = true` (the programmatic/scale entry — the
-    * [[Similarity.trainPqCodebooks]] convention) materializes the
-    * edge list once with `localCheckpoint()` so each round reuses it
-    * instead of re-deriving from lineitem — what a long-horizon run
-    * on a real link graph would do; the registered query passes
-    * `false` so its unrolled plan stays one lazy, oracle-mirrorable
-    * tree.
+    * `checkpoint = true` (the [[Similarity.trainPqCodebooks]]
+    * convention) materializes the edge list once with
+    * `localCheckpoint()` so each round reuses it instead of
+    * re-deriving from lineitem — what a long-horizon run on a real
+    * link graph would do, and since round 13 the REGISTERED form
+    * (the lazy 4×-embedded tree was the worst non-output-bound
+    * production ratio on the 100× ladder). `false` keeps the plan
+    * build job-free for spec paths that only inspect the tree.
     */
   private[graft] def pagerankOf(li: DataFrame, rounds: Int, topK: Int,
-                                checkpoint: Boolean = false): DataFrame = {
-    val edges =
-      if (checkpoint) edgesOf(li).localCheckpoint() else edgesOf(li)
+                                checkpoint: Boolean = false): DataFrame =
+    pagerankCore(
+      if (checkpoint) edgesOf(li).localCheckpoint() else edgesOf(li),
+      li, rounds, topK)
+
+  /** The iteration itself, over an explicit (src, dst) edge frame —
+    * checkpointed or lazy, the arithmetic is identical.
+    */
+  private def pagerankCore(edges: DataFrame, li: DataFrame,
+                           rounds: Int, topK: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = li.agg((countDistinct(col("l_partkey")) +
       countDistinct(col("l_suppkey"))).as("n"))

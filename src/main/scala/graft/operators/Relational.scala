@@ -1010,17 +1010,26 @@ object Relational {
     */
   /** Order-free per-source corpus content fingerprint — the
     * reproducibility manifest a 100 TB pipeline records with every
-    * run: two runs (or two clusters, or a rewrite/compaction) produced
-    * identical data iff the counts and 64-bit content hashes match,
-    * with no row-by-row compare and no ordering requirement. Each
+    * run: if two runs (or two clusters, or a rewrite/compaction)
+    * disagree on counts or any hash lane, the data differs — with no
+    * row-by-row compare and no ordering requirement. (Matching lanes
+    * mean identical data only up to hash collision: XOR alone would
+    * additionally cancel any EVEN-multiplicity difference — two extra
+    * copies of one duplicated row plus two of another leave every
+    * bit_xor lane unchanged, and duplicate-heavy corpora are exactly
+    * what a dedup pipeline holds — so a wrapping-SUM lane pair rides
+    * along: a sum shifts by 2·(a+b) where the XOR cancels.) Each
     * row's FULL content (every documents column, ``-joined)
     * hashes to 64 engine-portable bits (both md5 halves, kept as two
     * 32-bit lanes — a 64-bit assembly would need a sign-bit shift
-    * DuckDB rejects as overflow, the SimHash-oracle lesson), and the
-    * per-source aggregate is `bit_xor` — commutative/associative, so
-    * the result is identical under any partitioning, task order or
-    * retry history, and it can never overflow (the reason it beats a
-    * sum at 10¹² rows). Map-side partial XORs; |sources| rows out.
+    * DuckDB rejects as overflow, the SimHash-oracle lesson). The
+    * per-source aggregates are `bit_xor` (overflow-free at any
+    * scale) plus a `sum` of each lane reduced mod 2²⁰ — all
+    * commutative/associative, so the result is identical under any
+    * partitioning, task order or retry history; the mod-2²⁰
+    * reduction keeps the sum < 2⁶³ up to ~10¹² rows per source
+    * (Spark sums in BIGINT and must not wrap where DuckDB's HUGEINT
+    * doesn't). Map-side partials; |sources| rows out.
     */
   def corpusHash(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CrossEngine.{portableHash, portableHashLo}
@@ -1032,7 +1041,9 @@ object Relational {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(hi)").as("content_hash_hi"),
-        expr("bit_xor(lo)").as("content_hash_lo"))
+        expr("bit_xor(lo)").as("content_hash_lo"),
+        expr("sum(hi % 1048576)").as("content_sum_hi"),
+        expr("sum(lo % 1048576)").as("content_sum_lo"))
       .orderBy(col("source"))
   }
 
@@ -1256,7 +1267,9 @@ object Relational {
       import graft.functions.CrossEngine.{portableHashSql, portableHashLoSql}
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(bit_xor(${portableHashSql("p")}) AS BIGINT) AS content_hash_hi,
-         |  CAST(bit_xor(${portableHashLoSql("p")}) AS BIGINT) AS content_hash_lo
+         |  CAST(bit_xor(${portableHashLoSql("p")}) AS BIGINT) AS content_hash_lo,
+         |  CAST(sum(${portableHashSql("p")} % 1048576) AS BIGINT) AS content_sum_hi,
+         |  CAST(sum(${portableHashLoSql("p")} % 1048576) AS BIGINT) AS content_sum_lo
          |FROM (SELECT source,
          |        concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
          |          source, CAST(n_chars AS VARCHAR)) AS p

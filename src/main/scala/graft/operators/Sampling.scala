@@ -574,11 +574,19 @@ object Sampling {
     * fix for temperature sampling's over-repetition of low-resource
     * languages). Same waterfill over the per-lang token counts; the
     * temperature twin to compare against is `smp_temperature`.
+    *
+    * A NULL lang coalesces to the 'und' (undetermined) sentinel
+    * BEFORE grouping: otherwise NULL would silently form its own
+    * allocation stratum, and the final ordered compare could diverge
+    * cross-engine (Spark sorts NULLS FIRST ascending, DuckDB
+    * defaults NULLS LAST). The gate corpus happens to have no NULL
+    * langs, so the sentinel is inert there — this hardens the query
+    * for corpora where language-ID abstained.
     */
   def unimaxLangAllocation(s: SparkSession, d: String): DataFrame =
     unimaxOver(
       Tables.documents(s, d)
-        .select(col("lang").as("source"),
+        .select(coalesce(col("lang"), lit("und")).as("source"),
           graft.functions.ColumnShims.countTokens(col("text"))
             .cast("long").as("t"))
         .groupBy(col("source")).agg(sum(col("t")).as("tok")),
@@ -825,7 +833,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "smp_unimax" -> UnimaxOracleSql,
     "smp_unimax_lang" ->
-      s"""WITH u AS (${unimaxOracleSqlFor("lang")})
+      s"""WITH u AS (${unimaxOracleSqlFor("coalesce(lang, 'und')")})
          |SELECT source AS lang, tok, cap, capped, alloc, epochs_x1e6
          |FROM u ORDER BY lang""".stripMargin,
     "smp_split_leakfree_idx" -> SplitLeakFreeOracleSql,

@@ -1288,29 +1288,50 @@ object Similarity {
     */
   def semanticDecontam(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val guard = when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
-      .otherwise(raise_error(concat(
-        lit("semanticDecontam: eval_id outside packed range: "),
-        col("eval_id").cast("string"))))
-    val ev = e.filter(col("vec_id") % SemEvalMod === 0)
+    e.filter(col("vec_id") % SemEvalMod =!= 0)
+      .crossJoin(broadcast(semEvalSide(e, "semanticDecontam")))
+      .transform(evalCosRows)
+      .transform(nearestEvalReport)
+  }
+
+  /** The eval side of the decontam screen: (eval_id, evv, evnrm) with
+    * the packed-range raise_error guard applied (the clusterPurity
+    * discipline — an id outside 2⁴² would corrupt the argmax packing
+    * silently).
+    */
+  private def semEvalSide(e: DataFrame, tag: String): DataFrame =
+    e.filter(col("vec_id") % SemEvalMod === 0)
       .select(col("vec_id").as("eval_id"), col("v").as("evv"),
         col("nrm").as("evnrm"))
-      .withColumn("eval_id", guard)
-    e.filter(col("vec_id") % SemEvalMod =!= 0)
-      .crossJoin(broadcast(ev))
-      .select(col("vec_id").as("doc_id"),
-        (floor(pround(dot(col("v"), col("evv")) / (col("nrm") * col("evnrm")),
-            6) * lit(1000000d) + lit(0.5)).cast("long")
-          + lit(1000000L)).as("cosm"),
-        col("eval_id"))
-      .groupBy(col("doc_id"))
+      .withColumn("eval_id",
+        when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
+          .otherwise(raise_error(concat(
+            lit(s"$tag: eval_id outside packed range: "),
+            col("eval_id").cast("string")))))
+
+  /** Micro-integerized cosine per (doc, eval) candidate row — shared
+    * verbatim by every branch of the decontam family so brute, IVF
+    * and the adaptive union are bit-compatible on rounding.
+    */
+  private def evalCosRows(cand: DataFrame): DataFrame =
+    cand.select(col("vec_id").as("doc_id"),
+      (floor(pround(dot(col("v"), col("evv")) / (col("nrm") * col("evnrm")),
+          6) * lit(1000000d) + lit(0.5)).cast("long")
+        + lit(1000000L)).as("cosm"),
+      col("eval_id"))
+
+  /** Packed-integer argmax over (doc_id, cosm, eval_id) rows — one
+    * order-free max per doc, ties to the LOWEST eval id in both
+    * engines via the complemented low bits.
+    */
+  private def nearestEvalReport(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id"))
       .agg(max(col("cosm") * lit(SemEncUnit)
         + (lit(SemEncUnit - 1) - col("eval_id"))).as("enc"))
       .select(col("doc_id"),
         (lit(SemEncUnit - 1) - col("enc") % lit(SemEncUnit)).as("eval_id"),
         (expr(s"enc div $SemEncUnit") - lit(1000000L)).as("max_cos_x1e6"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-DIMENSION embedding statistics — the health/whitening audit
     * a pipeline runs before trusting cosine geometry or scalar
@@ -1408,6 +1429,22 @@ object Similarity {
     */
   def semanticDecontamIvf(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
+    semIvfCandidates(e, e.filter(col("vec_id") % SemEvalMod =!= 0),
+        e.filter(col("vec_id") % SemEvalMod === 0), "semanticDecontamIvf")
+      .transform(evalCosRows)
+      .transform(nearestEvalReport)
+  }
+
+  /** IVF candidate machinery shared by [[semanticDecontamIvf]] and
+    * the adaptive branch: (doc, eval) rows that share a probed
+    * coarse list, with the vector/norm columns of both sides
+    * attached. `docsE`/`evalsE` are (possibly gated) subsets of `e`
+    * in its native (vec_id, v, nrm) shape; geometry derives from the
+    * FULL corpus count so the grid is identical whichever branch is
+    * live (the `bandGeometryOf` discipline — no driver job).
+    */
+  private def semIvfCandidates(e: DataFrame, docsE: DataFrame,
+                               evalsE: DataFrame, tag: String): DataFrame = {
     val dstride = e.agg(count(lit(1)).as("nvecs"))
       .select(expr(s"greatest(${CentroidEvery}L, " +
         "shiftleft(1L, cast(2 + length(bin(nvecs)) / 2 as int)))").as("stride"))
@@ -1416,16 +1453,16 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val guard = when(col("eval_id").between(0L, SemEncUnit - 1), col("eval_id"))
       .otherwise(raise_error(concat(
-        lit("semanticDecontamIvf: eval_id outside packed range: "),
+        lit(s"$tag: eval_id outside packed range: "),
         col("eval_id").cast("string"))))
-    val ev = assignAgainst(e.filter(col("vec_id") % SemEvalMod === 0), cents)
+    val ev = assignAgainst(evalsE, cents)
       .select(col("vec_id").as("eval_id"), col("cid"))
       .join(e.select(col("vec_id").as("eval_id"), col("v").as("evv"),
         col("nrm").as("evnrm")), Seq("eval_id"))
       .withColumn("eval_id", guard)
     val wp = Window.partitionBy(col("vec_id"))
       .orderBy(pround(col("pcos"), 6).desc, col("cid"))
-    val probed = e.filter(col("vec_id") % SemEvalMod =!= 0)
+    val probed = docsE
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("pcos"))
@@ -1434,18 +1471,64 @@ object Similarity {
       .select(col("vec_id"), col("cid"))
       .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
     probed.join(ev, Seq("cid"))
-      .select(col("vec_id").as("doc_id"),
-        (floor(pround(dot(col("v"), col("evv")) / (col("nrm") * col("evnrm")),
-            6) * lit(1000000d) + lit(0.5)).cast("long")
-          + lit(1000000L)).as("cosm"),
-        col("eval_id"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cosm") * lit(SemEncUnit)
-        + (lit(SemEncUnit - 1) - col("eval_id"))).as("enc"))
-      .select(col("doc_id"),
-        (lit(SemEncUnit - 1) - col("enc") % lit(SemEncUnit)).as("eval_id"),
-        (expr(s"enc div $SemEncUnit") - lit(1000000L)).as("max_cos_x1e6"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-set size up to which the brute broadcast screen is the
+    * right plan: N·E dot products at E = 1024 stay in the tens of
+    * millions up to ~50 K docs, while the broadcast itself stays a
+    * few MB. Past it, the IVF-pruned path wins (measured at the
+    * 100× rung, E = 4000: brute quadratic death vs IVF ≈ 4-14 s).
+    */
+  private val SemBruteEvalMax = 1024L
+
+  /** SCALE-ADAPTIVE semantic decontamination — ONE registered entry
+    * that picks [[semanticDecontam]]'s broadcast screen or
+    * [[semanticDecontamIvf]]'s pruned screen IN-PLAN from the
+    * eval-set cardinality (the `bandGeometryOf` discipline: the
+    * branch scalar is a broadcast aggregate, no driver job). Both
+    * branches are built with BOTH input sides gated on the scalar
+    * BEFORE their joins, so the dead branch degenerates to empty
+    * linear scans — the quadratic cross join streams zero rows and
+    * the unused broadcast builds empty — and the live branch's rows
+    * flow through the SHARED [[evalCosRows]]/[[nearestEvalReport]]
+    * tail, bit-compatible with both standalone forms.
+    *
+    * At every gate SF the eval slice (N/[[SemEvalMod]]) sits under
+    * [[SemBruteEvalMax]], so the oracle compare exercises the brute
+    * branch and the existing exact-screen SQL is unchanged; on the
+    * 100× ladder rung (E = 4000) the IVF branch is live, inheriting
+    * its documented contract (docs with no candidate in a probed
+    * list are absent; the reported max is a lower bound when the
+    * true nearest hides outside the probed lists —
+    * SemDecontamCalibSpec pins dominance and high-cosine recall).
+    */
+  def semanticDecontamAdaptive(s: SparkSession, d: String): DataFrame =
+    semanticDecontamAdaptiveOf(vectors(s, d), SemBruteEvalMax)
+
+  /** [[semanticDecontamAdaptive]] over an explicit vector frame with
+    * an explicit branch threshold (spec entry — lets a 500-vector
+    * corpus exercise the IVF branch).
+    */
+  private[graft] def semanticDecontamAdaptiveOf(e: DataFrame,
+                                                bruteMax: Long): DataFrame = {
+    val gate = e.agg(coalesce(sum(
+        when(col("vec_id") % SemEvalMod === 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_eval"))
+      .select((col("n_eval") <= bruteMax).as("use_brute"))
+    def gated(df: DataFrame, brute: Boolean): DataFrame =
+      df.crossJoin(broadcast(gate))
+        .filter(if (brute) col("use_brute") else !col("use_brute"))
+        .drop("use_brute")
+    val docs = e.filter(col("vec_id") % SemEvalMod =!= 0)
+    val evals = e.filter(col("vec_id") % SemEvalMod === 0)
+    val bruteRows = gated(docs, brute = true)
+      .crossJoin(broadcast(gated(
+        semEvalSide(e, "semanticDecontamAdaptive"), brute = true)))
+      .transform(evalCosRows)
+    val ivfRows = semIvfCandidates(e, gated(docs, brute = false),
+        gated(evals, brute = false), "semanticDecontamAdaptive")
+      .transform(evalCosRows)
+    nearestEvalReport(bruteRows.unionByName(ivfRows))
   }
 
   /** Cluster-balanced temperature selection — the temperature-scaled
@@ -1510,7 +1593,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "smp_decontam_sem" -> semanticDecontam _,
+    "smp_decontam_sem" -> semanticDecontamAdaptive _,
     "smp_decontam_sem_ivf" -> semanticDecontamIvf _,
     "smp_cluster_temp" -> clusterTemperatureDocs _,
     "ann_brute"     -> annBrute _,

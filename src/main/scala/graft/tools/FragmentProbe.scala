@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.FragmentProbe <sfDir> <q1,q2,...> [alsoAgg]
   * `alsoAgg` additionally times a sort-free single-aggregate consume
   * of each query (isolates the final global sort + output cost).
+  *
+  * Caveat on multi-query invocations: only the FIRST listed query
+  * runs against a genuinely cold JVM/page cache — later queries
+  * inherit JIT, codegen caches and file-page warmth from the ones
+  * before them, so run1 numbers are cross-query comparable only when
+  * each query gets its own JVM invocation. Within one query the
+  * run1/run2 split (the probe's purpose) is always valid.
   */
 object FragmentProbe {
   def main(args: Array[String]): Unit = {

@@ -20,7 +20,6 @@ class CorpusHashSpec extends AnyFunSuite {
     val base = rows()
     val docs = graft.sources.Tables.documents(spark, sf)
       .repartition(13, col("n_chars")).sortWithinPartitions(col("text"))
-    docs.createOrReplaceTempView("__ch_docs")
     val p = concat_ws("", col("doc_id").cast("string"), col("text"),
       col("lang"), col("source"), col("n_chars").cast("string"))
     val re = docs.select(col("source"),
@@ -29,7 +28,9 @@ class CorpusHashSpec extends AnyFunSuite {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(hi)").as("content_hash_hi"),
-        expr("bit_xor(lo)").as("content_hash_lo"))
+        expr("bit_xor(lo)").as("content_hash_lo"),
+        expr("sum(hi % 1048576)").as("content_sum_hi"),
+        expr("sum(lo % 1048576)").as("content_sum_lo"))
       .orderBy(col("source")).collect().map(_.toSeq).toSeq
     assert(re === base)
   }
