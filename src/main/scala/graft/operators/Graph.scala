@@ -92,17 +92,25 @@ object Graph {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     pagerankCore(edgeCache.computeIfAbsent(d,
-      _ => edgesOf(li).localCheckpoint()), li, rounds = 3, topK = 20)
+      _ => edgesOf(li).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      li, rounds = 3, topK = 20)
   }
 
-  /** Materialized edge list per (JVM, corpus dir) — the
-    * buildBackedQueries convention (the IVF-PQ index / frozen
-    * classifier precedent): the FIRST call pays the one-time
-    * localCheckpoint job, every later call reuses the resident
-    * blocks and builds lazily (PlanContractSpec's zero-jobs-at-
-    * plan-time gate holds from the second build on). MEMORY_AND_DISK
-    * blocks, edge cardinality only (distinct pairs ×2) — never the
-    * corpus.
+  /** Cached edge list per (JVM, corpus dir) — the buildBackedQueries
+    * convention (the IVF-PQ index / frozen classifier precedent).
+    * `persist`, NOT `localCheckpoint`: SQL caching stores COLUMNAR
+    * COMPRESSED batches (~16 B/edge → hundreds of MB at the 100×
+    * rung's ~10⁸ edges), where localCheckpoint materializes
+    * deserialized row objects — measured as a GC collapse (the first
+    * call blew the 240 s sweep budget; the persist build is tens of
+    * seconds). persist is also lazy (zero jobs at plan build, so the
+    * PlanContractSpec lazy-build gate holds on EVERY call — the
+    * cache fills inside the first action, which the bench's
+    * build/steady split accounts for) and recompute-safe: lineage is
+    * kept, so an evicted or cancel-poisoned block transparently
+    * rebuilds instead of failing the query. Edge cardinality only
+    * (distinct pairs ×2) — never the corpus.
     */
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

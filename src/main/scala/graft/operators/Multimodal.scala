@@ -273,17 +273,31 @@ object Multimodal {
   private def fixturePath(d: String, name: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$d/mmfix_$name.parquet")
 
+  /** Pinned fixture schema — no per-call footer-inference job. */
+  private val FixtureSchema = "media_id LONG, kind STRING, payload BINARY"
+
   /** (media_id, kind, payload) for one codec query: the persisted
     * fixture when the corpus dir carries one (scale-bench fixtures —
     * payload bytes identical by synthesis determinism, spec-pinned),
     * else synthesized map-side from doc ids. Payloads stay in the
     * scan stage either way; they never shuffle.
+    *
+    * The fixture read narrows `maxPartitionBytes` to 4 MB through a
+    * CHILD session (the opsAggPushdown convention — never mutate the
+    * caller's conf): codec cost is per ROW, not per byte, so the
+    * default 128 MB split plans a handful of partitions over a
+    * ~0.5 GB fixture and starves the cores on a CPU-bound scan
+    * (measured: mm_decode blew the 240 s sweep budget at 5
+    * partitions; ~150 splits keep all 32 cores decoding).
     */
   private def payloads(s: SparkSession, d: String, name: String,
                        make: Long => (String, Array[Byte])): DataFrame =
-    if (java.nio.file.Files.exists(fixturePath(d, name)))
-      s.read.parquet(fixturePath(d, name).toString)
-    else synthPayloads(s, d, make)
+    if (java.nio.file.Files.exists(fixturePath(d, name))) {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.files.maxPartitionBytes",
+        (4L * 1024 * 1024).toString)
+      s2.read.schema(FixtureSchema).parquet(fixturePath(d, name).toString)
+    } else synthPayloads(s, d, make)
 
   private def synthPayloads(s: SparkSession, d: String,
                             make: Long => (String, Array[Byte])): DataFrame = {
