@@ -18,6 +18,15 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object MediaCodecs {
 
+  // ImageIO defaults to DISK-backed stream caching: every read/write
+  // spills the ImageInputStream/ImageOutputStream to a temp FILE, so
+  // a KB-sized in-memory payload pays file create/write/delete per
+  // decode — churn that dominates the actual deflate work at
+  // corpus scale (the codec quartet decodes 10⁵-10⁶ tiny payloads
+  // per query). Memory caching changes none of the codec work, just
+  // where the stream buffers live. Process-wide and thread-safe.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
 
   /** Deterministic RGB image, compressed to real PNG bytes. */
