@@ -149,6 +149,63 @@ object MediaCodecs {
 
   private val SampleRate = 8000f
 
+  /** The WAV reader/writer providers resolved ONCE via the public
+    * ServiceLoader SPI. `AudioSystem.getAudioInputStream`/`write`
+    * re-resolve the provider list behind a GLOBAL lock on every
+    * call — measured as a 34× per-payload slowdown under 32 executor
+    * threads (graft.tools.CodecProfile: 80 µs single-thread →
+    * 2.7 ms effective), which made the audio codec rows read as
+    * compute when they were contention. Same decoder class, same
+    * real RIFF/PCM parse; only the per-call registry lock goes. The
+    * provider instances are stateless (each call parses into fresh
+    * objects), so sharing them across threads is safe.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** THE RIFF/WAVE reader, resolved once by probing the provider
+    * list with a real WAV — iterating providers per call is a trap:
+    * `SoftMidiAudioFileReader` precedes the WAVE reader in the
+    * ServiceLoader order and its rejection path funnels through
+    * MidiSystem's global provider lock, which is exactly the
+    * serialization this cache exists to avoid (32 threads parked on
+    * MidiSystem.getSequence in the profile).
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val probe = wavBytes(16, 0L)
+    audioReaders.find { r =>
+      try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+      catch { case _: Exception => false }
+    }.getOrElse(throw new IllegalStateException(
+      "no installed AudioFileReader accepts RIFF/WAVE"))
+  }
+
+  /** The WAVE writer, resolved once (same rationale). */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter =
+    audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no installed WAVE AudioFileWriter"))
+
+  private def openAudio(bytes: Array[Byte]): AudioInputStream =
+    wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
+
+  private def writeWave(ais: AudioInputStream,
+                        bos: ByteArrayOutputStream): Unit =
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
+
   /** Deterministic 16-bit mono PCM, wrapped as a real WAV file. */
   def wavBytes(nSamples: Int, seed: Long): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
@@ -164,7 +221,7 @@ object MediaCodecs {
     val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -224,7 +281,7 @@ object MediaCodecs {
 
   /** Real WAV decode: (sample count, sample rate Hz, md5 of PCM). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, String) = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = openAudio(bytes)
     val fmt = ais.getFormat
     val pcm = ais.readAllBytes()
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -238,7 +295,7 @@ object MediaCodecs {
     * parse — the sample-level seam the audio fingerprint builds on.
     */
   def wavSamples(bytes: Array[Byte]): Array[Short] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = openAudio(bytes)
     val pcm = ais.readAllBytes()
     val n = pcm.length / 2
     val out = new Array[Short](n)
@@ -262,7 +319,7 @@ object MediaCodecs {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, s.length.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    writeWave(ais, bos)
     bos.toByteArray
   }
 
