@@ -33,7 +33,8 @@ object SparkEntry {
     operators.Gossip.queries ++
     operators.Graph.queries ++
     operators.Classifier.queries ++
-    operators.Expectations.queries
+    operators.Expectations.queries ++
+    operators.MapReduceSql.queries
 
   /** DIFFERENTIAL-BASELINE queries: registered (and oracle-gated)
     * because they are the brute/audit twins the scale-safe forms are
@@ -106,7 +107,8 @@ object SparkEntry {
      operators.Gossip.oracles ++
      operators.Graph.oracles ++
      operators.Classifier.oracles ++
-     operators.Expectations.oracles)
+     operators.Expectations.oracles ++
+     operators.MapReduceSql.oracles)
       .map { case (k, v) =>
         k -> graft.functions.CrossEngine.expandProundSql(v)
       }
