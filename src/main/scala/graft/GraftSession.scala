@@ -18,7 +18,13 @@ object GraftSession {
   // would turn any transient task failure into a query failure and
   // silently skip the retry path ChaosSpec proves invariant.
   def builder(master: String = s"local[${defaultCpus}, 4]",
-              shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+              shufflePartitions: Int = defaultCpus): SparkSession.Builder = {
+    // JVM-global, not session-scoped: in-memory ImageIO stream
+    // caching (see the scaladoc there for why disk caching loses at
+    // corpus scale). Deliberately fired here — the one process-setup
+    // point every main and the test session share — instead of as an
+    // implicit MediaCodecs class-load side effect.
+    graft.operators.MediaCodecs.initJvmWideCodecDefaults()
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -55,6 +61,7 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+  }
 
   def defaultCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

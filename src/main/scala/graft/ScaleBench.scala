@@ -154,6 +154,59 @@ object ScaleBench {
           (if (build != 0.0) f" build=$build%8.2f" else ""))
       (name, dt, dtf, build)
     }
+    // Variance gate, extended from [[Bench]] to the sweep (round-13
+    // verdict ask): the sweep reports ONE-SHOT numbers per protocol
+    // mode, and the degraded-box rounds showed that is exactly where
+    // interference noise lands. Two flag conditions, both judged only
+    // above a 1 s floor (sub-second swings are scheduling jitter):
+    //  - count vs full disagree by > 2× in EITHER direction beyond
+    //    what expression/output work explains — a cheap self-check
+    //    available without any external state;
+    //  - the number moved ≥ 2× from the prior round's sweep, when a
+    //    prior artifact is supplied via SPARK_GRAFT_SCALE_PRIOR
+    //    (path to last round's JSON line).
+    // Flagged queries re-time at the post-sweep quiet interval (no
+    // other query's cancelled stages or shuffle cleanup overlap; GC
+    // before each run): count mean±sd of 3 plus one full run, so the
+    // artifact adjudicates its own noise like BENCH does.
+    val priorCounts: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_SCALE_PRIOR").map { p =>
+        val text = scala.io.Source.fromFile(p).mkString
+        val q = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.Ee+-]+)".r.findAllMatchIn(q)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    val RetimeFloorSec = 1.0
+    // queries whose count-vs-full divergence is DESIGNED (output- or
+    // compute-bound rows noted in scaleNotes; documented baseline
+    // twins) are exempt from the disagreement flag — their full run
+    // legitimately dwarfs count — but still subject to prior-movement
+    val explained = SparkEntry.scaleNotes.keySet ++
+      SparkEntry.baselineQueries.keySet
+    val flagged = results.collect { case (n, c, f, _)
+        if c >= 0 && f >= 0 && math.max(c, f) >= RetimeFloorSec &&
+          ((!explained(n) &&
+            math.max(c, f) / math.max(math.min(c, f), 0.05) > 2.0) ||
+           priorCounts.get(n).exists(p =>
+             p >= RetimeFloorSec && math.max(c / p, p / c) >= 2.0)) => n
+    }
+    val retimes = flagged.map { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = Seq.fill(3) {
+        System.gc()
+        timed(s"scale-retime-$name") { fn(spark, out).count() }
+      }.filter(_ >= 0)
+      System.gc()
+      val rf = timed(s"scale-retime-full-$name") {
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+      }
+      val m = if (runs.isEmpty) -1.0 else runs.sum / runs.size
+      val sd = if (runs.size < 2) 0.0
+        else math.sqrt(runs.map(x => (x - m) * (x - m)).sum / (runs.size - 1))
+      System.err.println(f"[scale] RETIME $name%-24s count=$m%8.2f sd=$sd%6.2f full=$rf%8.2f")
+      (name, m, sd, rf)
+    }
     val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + v }
       .mkString("{", ",", "}")
     val fulls = results.map { case (n, _, f, _) => "\"" + n + "\":" + f }
@@ -161,10 +214,17 @@ object ScaleBench {
     val builds = results.collect { case (n, _, _, b) if b != 0.0 =>
         "\"" + n + "\":" + b }
       .mkString("{", ",", "}")
+    val rts = retimes.map { case (n, m, _, _) => "\"" + n + "\":" + m }
+      .mkString("{", ",", "}")
+    val rtSds = retimes.map { case (n, _, sd, _) => "\"" + n + "\":" + sd }
+      .mkString("{", ",", "}")
+    val rtFulls = retimes.map { case (n, _, _, f) => "\"" + n + "\":" + f }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalFull = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_full":$totalFull,""" +
       s""""queries":$qs,"queries_full":$fulls,"queries_build":$builds,""" +
+      s""""queries_retime":$rts,"queries_retime_sd":$rtSds,"queries_retime_full":$rtFulls,""" +
       s""""sf":"${k}x sf0.1 (~sf${0.1 * k})"}""")
     spark.stop()
   }

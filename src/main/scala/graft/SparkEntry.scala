@@ -67,7 +67,7 @@ object SparkEntry {
     "dedup_keep_best_idx", "dedup_components_inc",
     "ann_ivf_pq_idx", "ann_ivf_pq_res_idx", "smp_classifier_docs_idx",
     "smp_split_leakfree_idx",
-    "graph_pagerank") // r13: memoized localCheckpoint'ed edge list
+    "graph_pagerank") // r13: memoized persisted (columnar-cached) edge list
 
   /** Scale tier per registered query: "production" | "baseline". */
   def scaleClass: Map[String, String] =
@@ -90,6 +90,7 @@ object SparkEntry {
     "mm_decode"            -> "compute-bound map-side codec work, nothing amortizes (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "mm_resize"            -> "compute-bound map-side codec + resample work (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "dedup_minhash_recall_sample" -> "audit with corpus-adaptive probe rate: exact-side fan-out bounded at ~constant probe mass",
+    "pipe_drop_reasons"    -> "output-bound: per-document drop attribution emits one row per corpus document, so full evaluation is corpus-proportional by contract (count-mode measures the plan shape)",
     "smp_decontam_sem"     -> "scale-adaptive since r13: the registered entry branches IN-PLAN on eval-set cardinality — brute broadcast screen below 1024 evals (every gate SF, oracle-exact), IVF-pruned screen beyond (the 100x rung's growing synthetic eval slice); the IVF branch inherits smp_decontam_sem_ivf's documented lower-bound contract",
   )
 

@@ -91,14 +91,48 @@ object Graph {
     */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    pagerankCore(edgeCache.computeIfAbsent(d,
-      _ => edgesOf(li).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-      li, rounds = 3, topK = 20)
+    val fp = lineitemFingerprint(d)
+    val cached = edgeCache.compute(d, (_, prev) => prev match {
+      case (`fp`, _) => prev
+      case other =>
+        // dir's parquet was rewritten in this JVM (ScaleBench-style
+        // regeneration): drop the stale blocks, rebuild from the
+        // new data — never serve stale cached edges
+        if (other != null) other._2.unpersist(blocking = false)
+        (fp, edgesOf(li).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })._2
+    pagerankCore(cached, li, rounds = 3, topK = 20)
   }
 
-  /** Cached edge list per (JVM, corpus dir) — the buildBackedQueries
-    * convention (the IVF-PQ index / frozen classifier precedent).
+  /** Cheap driver-side content fingerprint of a dir's lineitem
+    * parquet: per-file (name, length, mtime) digest. Any rewrite —
+    * regeneration, compaction, an added part file — changes it, so
+    * [[edgeCache]] can detect staleness without reading data.
+    */
+  private def lineitemFingerprint(d: String): String = {
+    val root = new java.io.File(s"$d/lineitem.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().filter(_.isFile) else Array(root)
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
+  }
+
+  /** Explicit invalidation hook: unpersist and forget every cached
+    * edge list (e.g. between benchmark corpora, or if a caller
+    * rewrote data outside the mtime resolution window).
+    */
+  def invalidateEdgeCache(): Unit = {
+    edgeCache.values().forEach { case (_, df) => df.unpersist(blocking = false) }
+    edgeCache.clear()
+  }
+
+  /** Cached edge list per (JVM, corpus dir, data fingerprint) — the
+    * buildBackedQueries convention (the IVF-PQ index / frozen
+    * classifier precedent), staleness-guarded by
+    * [[lineitemFingerprint]] so an in-JVM rewrite of the dir's
+    * parquet rebuilds instead of silently serving old edges.
     * `persist`, NOT `localCheckpoint`: SQL caching stores COLUMNAR
     * COMPRESSED batches (~16 B/edge → hundreds of MB at the 100×
     * rung's ~10⁸ edges), where localCheckpoint materializes
@@ -113,7 +147,7 @@ object Graph {
     * (distinct pairs ×2) — never the corpus.
     */
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   /** [[pagerank]] over an explicit lineitem-shaped frame (spec entry).
     *

@@ -65,3 +65,31 @@ object WordCountJob extends MapReduceJob[String, Long, Long] {
     run(docs)
   }
 }
+
+/** A second plugin — "swap the .so, get a new query"
+  * (mrsequential.go:146-163): longest word per initial letter. Same
+  * tokenization as [[WordCountJob]]; key is the word's first code
+  * point, value its code-point length (UTF-16 `length` would drift
+  * from the SQL oracle's character counting on astral-plane text),
+  * reducer an incremental MAX. Exists to prove the generic
+  * [[MapReduceSql.registerJob]] front door is job-agnostic, not
+  * word-count-shaped.
+  */
+object MaxLenJob extends MapReduceJob[String, Long, Long] {
+
+  override def map(recordId: String, contents: String): IterableOnce[(String, Long)] =
+    contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).map { w =>
+      (w.substring(0, w.offsetByCodePoints(0, 1)),
+        w.codePointCount(0, w.length).toLong)
+    }
+
+  override val reduce: Aggregator[Long, Long, Long] =
+    new Aggregator[Long, Long, Long] {
+      def zero: Long = Long.MinValue
+      def reduce(b: Long, a: Long): Long = math.max(b, a)
+      def merge(b1: Long, b2: Long): Long = math.max(b1, b2)
+      def finish(b: Long): Long = b
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+}

@@ -18,14 +18,22 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object MediaCodecs {
 
-  // ImageIO defaults to DISK-backed stream caching: every read/write
-  // spills the ImageInputStream/ImageOutputStream to a temp FILE, so
-  // a KB-sized in-memory payload pays file create/write/delete per
-  // decode — churn that dominates the actual deflate work at
-  // corpus scale (the codec quartet decodes 10⁵-10⁶ tiny payloads
-  // per query). Memory caching changes none of the codec work, just
-  // where the stream buffers live. Process-wide and thread-safe.
-  javax.imageio.ImageIO.setUseCache(false)
+  /** JVM-WIDE codec defaults, applied at an explicit init point
+    * ([[graft.GraftSession.builder]]) rather than as a class-load
+    * side effect — any other ImageIO user in the process is affected,
+    * so the mutation belongs where the process is configured.
+    *
+    * ImageIO defaults to DISK-backed stream caching: every read/write
+    * spills the ImageInputStream/ImageOutputStream to a temp FILE, so
+    * a KB-sized in-memory payload pays file create/write/delete per
+    * decode — churn that dominates the actual deflate work at corpus
+    * scale (the codec quartet decodes 10⁵-10⁶ tiny payloads per
+    * query). Memory caching changes none of the codec work, just
+    * where the stream buffers live. Process-wide, thread-safe,
+    * idempotent.
+    */
+  def initJvmWideCodecDefaults(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
 

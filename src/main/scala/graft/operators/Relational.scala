@@ -1063,6 +1063,16 @@ object Relational {
     *    synthetic insert key on a real customer) degrades to upsert
     *    instead of corrupting or duplicating the key
     *
+    * The change batch itself is netted per key BEFORE the join
+    * (groupBy key: delete-wins, deltas summed): at a clone rung the
+    * insert slice's synthetic key (custkey + offset) can equal the
+    * next clone copy's real custkey, which carries its own
+    * update/delete change row — without the pre-aggregation the
+    * full-outer join would emit that key twice. One net change row
+    * per key makes the "never a duplicate merge key" contract hold
+    * at every corpus, not just gate SFs (MergeUpsertSpec pins it
+    * with an explicit colliding frame).
+    *
     * The change batch derives deterministically from `orders` (one
     * map-side-partial groupBy): per customer the exact milli-balance
     * delta (`sum(floor(o_totalprice·1000 + 0.5))` — order-free
@@ -1090,7 +1100,26 @@ object Relational {
       .unionByName(deltas.filter(col("o_custkey") % 7 === 0)
         .select((col("o_custkey") + lit(MergeInsertOffset)).as("key"),
           lit("insert").as("op"), col("delta_milli")))
-    target.join(changes, Seq("key"), "full_outer")
+    mergeUpsertOf(target, changes)
+  }
+
+  /** [[opsMergeUpsert]] core over explicit (key, bal_milli) target
+    * and (key, op, delta_milli) change frames (spec entry). Nets the
+    * change batch per key first — delete-wins, deltas summed — so a
+    * key can never reach the full-outer join twice (map-side-partial
+    * aggregate, one extra narrow shuffle on |changes|, which is
+    * orders-of-magnitude below |target| in an ingest batch).
+    */
+  private[graft] def mergeUpsertOf(target: DataFrame,
+                                   changes: DataFrame): DataFrame = {
+    val netted = changes.groupBy(col("key"))
+      .agg(max(when(col("op") === "delete", 1).otherwise(0)).as("has_del"),
+        sum(col("delta_milli")).as("delta_milli"))
+      .select(col("key"),
+        when(col("has_del") === 1, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("delta_milli"))
+    target.join(netted, Seq("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col("key"),
         when(col("op").isNull, lit("keep"))
@@ -1354,14 +1383,20 @@ object Relational {
          |  FROM deltas
          |  UNION ALL
          |  SELECT o_custkey + 100000000 AS key, 'insert' AS op, delta_milli
-         |  FROM deltas WHERE o_custkey % 7 = 0)
+         |  FROM deltas WHERE o_custkey % 7 = 0),
+         |netted AS (
+         |  SELECT key,
+         |    CASE WHEN max(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) = 1
+         |         THEN 'delete' ELSE 'upsert' END AS op,
+         |    CAST(sum(delta_milli) AS BIGINT) AS delta_milli
+         |  FROM changes GROUP BY key)
          |SELECT coalesce(t.key, c.key) AS key,
          |  CASE WHEN c.op IS NULL THEN 'keep'
          |       WHEN t.bal_milli IS NULL THEN 'insert'
          |       ELSE 'update' END AS action,
          |  CAST(coalesce(t.bal_milli, 0) + coalesce(c.delta_milli, 0) AS BIGINT)
          |    AS bal_milli
-         |FROM t FULL OUTER JOIN changes c ON t.key = c.key
+         |FROM t FULL OUTER JOIN netted c ON t.key = c.key
          |WHERE c.op IS NULL OR c.op <> 'delete'
          |ORDER BY key""".stripMargin,
     "ops_agg_pushdown" ->

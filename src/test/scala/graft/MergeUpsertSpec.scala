@@ -64,4 +64,27 @@ class MergeUpsertSpec extends AnyFunSuite {
       .select("key").collect().map(_.getLong(0))
     assert(keys.length === keys.distinct.length)
   }
+
+  test("explicit colliding change keys net to ONE row per key, delete-wins") {
+    // The clone-rung shape the gate corpora can't produce: the same
+    // merge key arrives twice in one change batch (an insert landing
+    // on a key that also carries its own update/delete).
+    import spark.implicits._
+    val target = Seq((1L, 100L), (5L, 500L), (7L, 700L))
+      .toDF("key", "bal_milli")
+    val changes = Seq(
+      (5L, "update", 50L), (5L, "insert", 7L),   // update+insert collide
+      (1L, "delete", 0L), (1L, "insert", 3L),    // delete wins over insert
+      (9L, "insert", 9L), (9L, "update", 1L)     // unmatched collision
+    ).toDF("key", "op", "delta_milli")
+    val got = graft.operators.Relational.mergeUpsertOf(target, changes)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === got.map(_._1).distinct.toSeq,
+      "no duplicate merge keys")
+    assert(got.toSet === Set(
+      (5L, "update", 557L),  // 500 + 50 + 7: deltas summed
+      (7L, "keep", 700L),    // untouched target row survives
+      (9L, "insert", 10L)))  // 9 + 1, new key
+    // key 1 absent: the colliding delete won over the insert
+  }
 }
