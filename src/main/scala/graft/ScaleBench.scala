@@ -180,13 +180,17 @@ object ScaleBench {
     val RetimeFloorSec = 1.0
     // queries whose count-vs-full divergence is DESIGNED (output- or
     // compute-bound rows noted in scaleNotes; documented baseline
-    // twins) are exempt from the disagreement flag — their full run
-    // legitimately dwarfs count — but still subject to prior-movement
+    // twins) are exempt from the disagreement flag ONLY in the
+    // designed direction — full legitimately dwarfs count there. A
+    // count-mode number ABOVE 2× the full run is never explained by
+    // output cost (count prunes work, it cannot add it) and always
+    // flags: the r14 calm sweep caught mm_resize reading count=72 s
+    // against full=15.7 s exactly this way.
     val explained = SparkEntry.scaleNotes.keySet ++
       SparkEntry.baselineQueries.keySet
     val flagged = results.collect { case (n, c, f, _)
         if c >= 0 && f >= 0 && math.max(c, f) >= RetimeFloorSec &&
-          ((!explained(n) &&
+          (((!explained(n) || c > f) &&
             math.max(c, f) / math.max(math.min(c, f), 0.05) > 2.0) ||
            priorCounts.get(n).exists(p =>
              p >= RetimeFloorSec && math.max(c / p, p / c) >= 2.0)) => n

@@ -15,6 +15,16 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // expected tables for the four codec queries (independent-decoder
+    // oracle inputs) — must exist before the driver's DuckDB replay
+    // of their oracle SQL; see graft.tools.ExpectedMedia
+    val codecNames =
+      Set("mm_decode", "mm_resize", "dedup_image", "dedup_audio")
+    if (only.forall(f => codecNames.exists(f.contains)))
+      try graft.tools.ExpectedMedia.writeAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] expected-media write failed: ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -35,6 +35,65 @@ object MediaCodecs {
   def initJvmWideCodecDefaults(): Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** The PNG reader/writer providers resolved ONCE — the WAV SPI
+    * lesson (below) applied to the image seam after the round-14
+    * profile caught it red-handed: `ImageIO.read`/`ImageIO.write`
+    * walk the IIORegistry on EVERY call (format probing for read,
+    * format-name lookup for write), and under 32 executor threads
+    * the registry serializes the walk — measured 137 → 730 µs per
+    * decode and 211 → 3554 µs per resize (decode+encode) wall
+    * against the single-thread cost, a 5-17× lock tax that made
+    * mm_resize's 100× numbers swing 9-120 s run to run. The SPI
+    * objects are stateless factories; each call still creates its
+    * own reader/writer instance (those are NOT thread-safe), so the
+    * codec work is unchanged — only the per-call registry walk goes.
+    */
+  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val it = ImageIO.getImageReadersByFormatName("png")
+    require(it.hasNext, "no installed PNG ImageReader")
+    it.next().getOriginatingProvider
+  }
+
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val it = ImageIO.getImageWritersByFormatName("png")
+    require(it.hasNext, "no installed PNG ImageWriter")
+    it.next().getOriginatingProvider
+  }
+
+  /** PNG decode through the cached provider — the same
+    * `PNGImageReader` class `ImageIO.read` resolves, minus the
+    * per-call registry walk; byte-identical output.
+    */
+  private def readPng(bytes: Array[Byte]): BufferedImage = {
+    val reader = pngReaderSpi.createReaderInstance()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** PNG encode through the cached provider (same rationale);
+    * default write params, byte-identical to `ImageIO.write`.
+    */
+  private def writePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = pngWriterSpi.createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
 
   /** Deterministic RGB image, compressed to real PNG bytes. */
@@ -51,14 +110,12 @@ object MediaCodecs {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Real PNG decode: (width, height, md5 of the decoded pixel ints). */
   def decodePng(bytes: Array[Byte]): (Int, Int, String) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val md = java.security.MessageDigest.getInstance("MD5")
     var y = 0
     while (y < img.getHeight) {
@@ -82,7 +139,7 @@ object MediaCodecs {
     * Returns the thumbnail bytes plus the md5 of its decoded pixels.
     */
   def resizePng(bytes: Array[Byte], tw: Int, th: Int): (Array[Byte], String) = {
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    val src = readPng(bytes)
     val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < th) {
@@ -94,9 +151,7 @@ object MediaCodecs {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(out, "png", bos)
-    val png = bos.toByteArray
+    val png = writePng(out)
     (png, decodePng(png)._3)
   }
 
@@ -112,7 +167,7 @@ object MediaCodecs {
     * touch — which is what the Hamming-≤3 pairing tolerance absorbs.
     */
   def dHashPng(bytes: Array[Byte]): Long = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val w = img.getWidth
     val h = img.getHeight
     def luma(i: Int, j: Int): Int = {
@@ -134,13 +189,11 @@ object MediaCodecs {
 
   /** Decode + re-encode: fresh PNG bytes, identical pixels. */
   def reencodePng(bytes: Array[Byte]): Array[Byte] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val out = new BufferedImage(img.getWidth, img.getHeight,
       BufferedImage.TYPE_INT_RGB)
     out.getGraphics.drawImage(img, 0, 0, null)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(out, "png", bos)
-    bos.toByteArray
+    writePng(out)
   }
 
   /** One-pixel perturbation: flip the mid-bits of pixel (0, 0) and
@@ -148,11 +201,9 @@ object MediaCodecs {
     * still catch.
     */
   def perturbPng(bytes: Array[Byte]): Array[Byte] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     img.setRGB(0, 0, (img.getRGB(0, 0) ^ 0x404040) & 0xFFFFFF)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   private val SampleRate = 8000f

@@ -343,8 +343,8 @@ object Multimodal {
     applyCrossGuard(decodedBoth(payloads(s, d, "decode", decodePayloadOf)))
       .orderBy(col("media_id"))
 
-  private val ThumbW = 8
-  private val ThumbH = 8
+  private[graft] val ThumbW = 8
+  private[graft] val ThumbH = 8
 
   /** Real image RESIZE end-to-end: deterministic source PNG → decode
     * → nearest-neighbor downsample to a ThumbW×ThumbH thumbnail →
@@ -490,5 +490,30 @@ object Multimodal {
          |FROM documents, range(0, $NumFrames) r(frame_idx)
          |WHERE length(substr(text, frame_idx * $FrameLen + 1, $FrameLen)) > 0
          |ORDER BY media_id, frame_idx""".stripMargin,
+    // The four codec rows, formerly `no_oracle` (DuckDB cannot decode
+    // PNG/WAV): the oracle reads the EXPECTED table
+    // [[graft.tools.ExpectedMedia]] persists at Verify time, computed
+    // from the same deterministic payloads by the from-scratch
+    // independent decoders + plain-Scala pairing — so the driver's
+    // rows+schema+hash gate now proves JDK-decode == independent-
+    // decode through its own machinery (the in-plan crossGuard stays
+    // as defense-in-depth).
+    "mm_decode" ->
+      s"""SELECT media_id, kind, n_bytes, n_frames, width, height, digest
+         |FROM read_parquet('${graft.tools.ExpectedMedia.root}/mm_decode/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      s"""SELECT media_id, src_w, src_h, thumb_w, thumb_h, thumb_bytes,
+         |  thumb_digest
+         |FROM read_parquet('${graft.tools.ExpectedMedia.root}/mm_resize/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    "dedup_image" ->
+      s"""SELECT media_a, media_b, hamming
+         |FROM read_parquet('${graft.tools.ExpectedMedia.root}/dedup_image/*.parquet')
+         |ORDER BY media_a, media_b""".stripMargin,
+    "dedup_audio" ->
+      s"""SELECT media_a, media_b, hamming
+         |FROM read_parquet('${graft.tools.ExpectedMedia.root}/dedup_audio/*.parquet')
+         |ORDER BY media_a, media_b""".stripMargin,
   )
 }

@@ -1087,20 +1087,29 @@ object Relational {
     * what a MERGE sink would commit plus the row-level lineage a
     * pipeline logs.
     */
-  def opsMergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val target = Tables.customer(s, d).select(col("c_custkey").as("key"),
+  def opsMergeUpsert(s: SparkSession, d: String): DataFrame =
+    mergeUpsertOf(mergeTargetOf(s, d), mergeChangesOf(s, d))
+
+  /** The merge target `(key, bal_milli)` — customer milli-balances. */
+  private[graft] def mergeTargetOf(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"),
       floor(col("c_acctbal") * 1000 + lit(0.5)).cast("long").as("bal_milli"))
+
+  /** The deterministic change batch `(key, op, delta_milli)` derived
+    * from orders — shared with the streaming twin's spec so both
+    * paths merge the identical change log.
+    */
+  private[graft] def mergeChangesOf(s: SparkSession, d: String): DataFrame = {
     val deltas = Tables.orders(s, d).groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 1000 + lit(0.5)).cast("long"))
         .as("delta_milli"))
-    val changes = deltas.select(col("o_custkey").as("key"),
+    deltas.select(col("o_custkey").as("key"),
         when(col("o_custkey") % 10 === 0, lit("delete"))
           .otherwise(lit("update")).as("op"),
         col("delta_milli"))
       .unionByName(deltas.filter(col("o_custkey") % 7 === 0)
         .select((col("o_custkey") + lit(MergeInsertOffset)).as("key"),
           lit("insert").as("op"), col("delta_milli")))
-    mergeUpsertOf(target, changes)
   }
 
   /** [[opsMergeUpsert]] core over explicit (key, bal_milli) target
@@ -1111,15 +1120,8 @@ object Relational {
     * orders-of-magnitude below |target| in an ingest batch).
     */
   private[graft] def mergeUpsertOf(target: DataFrame,
-                                   changes: DataFrame): DataFrame = {
-    val netted = changes.groupBy(col("key"))
-      .agg(max(when(col("op") === "delete", 1).otherwise(0)).as("has_del"),
-        sum(col("delta_milli")).as("delta_milli"))
-      .select(col("key"),
-        when(col("has_del") === 1, lit("delete"))
-          .otherwise(lit("upsert")).as("op"),
-        col("delta_milli"))
-    target.join(netted, Seq("key"), "full_outer")
+                                   changes: DataFrame): DataFrame =
+    target.join(netChanges(changes), Seq("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col("key"),
         when(col("op").isNull, lit("keep"))
@@ -1128,7 +1130,21 @@ object Relational {
         (coalesce(col("bal_milli"), lit(0L))
           + coalesce(col("delta_milli"), lit(0L))).as("bal_milli"))
       .orderBy(col("key"))
-  }
+
+  /** Net a (key, op, delta_milli) change batch to ONE row per key:
+    * delete-wins over any colliding insert/update, deltas summed.
+    * Shared by the batch merge and its streaming twin
+    * ([[graft.streaming.StreamingMerge]]) so both apply identical
+    * collision policy.
+    */
+  private[graft] def netChanges(changes: DataFrame): DataFrame =
+    changes.groupBy(col("key"))
+      .agg(max(when(col("op") === "delete", 1).otherwise(0)).as("has_del"),
+        sum(col("delta_milli")).as("delta_milli"))
+      .select(col("key"),
+        when(col("has_del") === 1, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("delta_milli"))
 
   /** Insert-slice key offset for [[opsMergeUpsert]] — far above the
     * base custkey range (so gate-SF inserts are true inserts) but

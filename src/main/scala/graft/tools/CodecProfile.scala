@@ -56,5 +56,14 @@ object CodecProfile {
     timePar("wav: JDK decodeWav x32")(i => MediaCodecs.decodeWav(wavs((i % 64).toInt)))
     timePar("wav: JDK fpWav x32")(i => MediaCodecs.fpWav(wavs((i % 64).toInt)))
     timePar("png: JDK decodePng x32")(i => MediaCodecs.decodePng(pngs((i % 64).toInt)))
+    // the resize row is decode + NN resample + RE-ENCODE + decode:
+    // the encode leg is the one the other rows never exercise, and
+    // the mm_resize 100× swings (9-120 s run-to-run) point at it
+    time("png: JDK resizePng")(i =>
+      MediaCodecs.resizePng(pngs((i % 64).toInt), 8, 8))
+    timePar("png: JDK resizePng x32")(i =>
+      MediaCodecs.resizePng(pngs((i % 64).toInt), 8, 8))
+    timePar("png: JDK encode x32")(i =>
+      MediaCodecs.pngBytes(16 + (i % 32).toInt, 8 + (i % 16).toInt, i))
   }
 }

@@ -1,0 +1,174 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{MediaCodecs, Multimodal}
+import graft.sources.Tables
+
+/** Expected-output writer for the four codec queries — the machinery
+  * that closes the last `no_oracle` rows (round-13 verdict item 6):
+  * at Verify time, each query's expected result is computed from the
+  * SAME deterministic payload corpus but decoded EXCLUSIVELY by the
+  * from-scratch [[IndependentCodecs]] (shared-nothing with the
+  * javax.imageio / javax.sound paths the queries run), and persisted
+  * as parquet. The DuckDB oracle then simply `read_parquet`s the
+  * expected table, turning the driver's rows-only check into the
+  * full rows+schema+hash gate every other query gets — a
+  * cross-IMPLEMENTATION equality proof flowing through the driver's
+  * own compare, with the in-plan [[Multimodal.crossGuard]] kept as
+  * defense-in-depth.
+  *
+  * Independence boundary, stated precisely: every DECODE-derived
+  * value (dimensions, sample counts, pixel/PCM digests, dHash and
+  * audio-fingerprint bits, the thumbnail pixel digest) comes from
+  * the from-scratch decoders and plain-Scala arithmetic (the brute
+  * all-pairs Hamming scan below is also a completeness check on the
+  * pigeonhole blocked join). ENCODE-derived trivia — payload bytes
+  * themselves and `thumb_bytes`, the size of the re-encoded
+  * thumbnail — necessarily use the same deterministic encoder both
+  * legs already share for input generation (PNG encoding is not
+  * canonical, so no second encoder can reproduce a byte length).
+  *
+  * Pair thresholds mirror the production query's contract
+  * (hamming ≤ 3, a < b) — brute-force over ALL pairs, so agreement
+  * also proves the 4×16-bit pigeonhole join missed nothing.
+  */
+object ExpectedMedia {
+
+  /** Max Hamming distance for a near-dup pair — the
+    * [[graft.operators.Dedup]] `HammingMax` contract, restated here
+    * independently.
+    */
+  private val HammingMax = 3
+
+  private def docIds(s: SparkSession, d: String): Array[Long] = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long].collect().sorted
+  }
+
+  /** Brute all-pairs Hamming join in plain Scala — O(N²) driver-side,
+    * fine at gate SFs (≤ a few thousand payloads) and deliberately
+    * NOT the query's blocked join: a missed pair here would expose a
+    * pigeonhole bug there.
+    */
+  private def brutePairs(hashes: Array[(Long, Long)]): Seq[(Long, Long, Int)] = {
+    val sorted = hashes.sortBy(_._1)
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length) {
+        val h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+        if (h <= HammingMax) out += ((sorted(i)._1, sorted(j)._1, h))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** `mm_decode` expected: per-payload features via the from-scratch
+    * decoders only.
+    */
+  def writeDecode(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val rows = docIds(s, d).toSeq.map { id =>
+      val (kind, payload) = Multimodal.decodePayloadOf(id)
+      val (frames, w, h, dig) = kind match {
+        case "image" =>
+          val (w, h, dg) = IndependentCodecs.pngFeatures(payload); (1, w, h, dg)
+        case "audio" =>
+          val (n, rate, dg) = IndependentCodecs.decodeWav(payload); (1, n, rate, dg)
+        case _ => IndependentCodecs.decodeVideo(payload)
+      }
+      (id, kind, payload.length, frames, w, h, dig)
+    }
+    rows.toDF("media_id", "kind", "n_bytes", "n_frames", "width", "height",
+        "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/mm_decode")
+  }
+
+  /** `mm_resize` expected: independent source decode → the query's
+    * integer nearest-neighbor formula in plain Scala → md5 over the
+    * thumbnail RGB triples (PNG is lossless, so this equals the
+    * query's decode-after-re-encode digest); `thumb_bytes` via the
+    * shared deterministic encoder (see the independence note above).
+    */
+  def writeResize(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val tw = Multimodal.ThumbW
+    val th = Multimodal.ThumbH
+    val rows = docIds(s, d).toSeq.map { id =>
+      val png = Multimodal.resizePayloadOf(id)
+      val img = IndependentCodecs.decodePng(png)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val thumb = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val sx = x * img.width / tw
+          val sy = y * img.height / th
+          val off = (sy * img.width + sx) * 3
+          md.update(img.rgb(off)); md.update(img.rgb(off + 1))
+          md.update(img.rgb(off + 2))
+          thumb.setRGB(x, y,
+            ((img.rgb(off) & 0xFF) << 16) | ((img.rgb(off + 1) & 0xFF) << 8) |
+              (img.rgb(off + 2) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val digest = md.digest().map("%02x".format(_)).mkString
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(thumb, "png", bos)
+      (id, 16 + (id % 32).toInt, 8 + (id % 16).toInt, tw, th,
+        bos.toByteArray.length, digest)
+    }
+    rows.toDF("media_id", "src_w", "src_h", "thumb_w", "thumb_h",
+        "thumb_bytes", "thumb_digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/mm_resize")
+  }
+
+  /** `dedup_image` expected: from-scratch dHash per payload + brute
+    * all-pairs Hamming.
+    */
+  def writeImagePairs(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val hashes = docIds(s, d).map(id =>
+      id -> IndependentCodecs.pngDHash(Multimodal.imagePayloadOf(id)))
+    brutePairs(hashes)
+      .toDF("media_a", "media_b", "hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/dedup_image")
+  }
+
+  /** `dedup_audio` expected: from-scratch WAV fingerprint per payload
+    * + brute all-pairs Hamming.
+    */
+  def writeAudioPairs(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val hashes = docIds(s, d).map(id =>
+      id -> IndependentCodecs.wavFingerprint(Multimodal.audioPayloadOf(id)))
+    brutePairs(hashes)
+      .toDF("media_a", "media_b", "hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/dedup_audio")
+  }
+
+  /** The Verify-time entry point: all four expected tables under
+    * [[root]] for the given corpus dir.
+    */
+  def writeAll(s: SparkSession, d: String): Unit = {
+    val out = root
+    writeDecode(s, d, out)
+    writeResize(s, d, out)
+    writeImagePairs(s, d, out)
+    writeAudioPairs(s, d, out)
+  }
+
+  /** Absolute path both [[writeAll]] and the oracle SQL agree on —
+    * resolved from the working directory at run time (the driver and
+    * the local harness both run from the repo root).
+    */
+  def root: String =
+    new java.io.File("target/mm_expected").getAbsolutePath
+}

@@ -92,6 +92,23 @@ class GraphPagerankSpec extends AnyFunSuite {
     }
   }
 
+  test("the broadcast serving core is bit-equal to the lazy SMJ core") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rpairs = Seq.fill(10 + rnd.nextInt(30))(
+        (rnd.nextInt(9).toLong + 1, rnd.nextInt(7).toLong + 1))
+      val df = rpairs.toDF("l_partkey", "l_suppkey")
+      val rounds = 1 + rnd.nextInt(3)
+      val lazyRes = Graph.pagerankOf(df, rounds, 1000).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val bcastRes = Graph.pagerankBroadcastOf(df, rounds, 1000).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(bcastRes == lazyRes, s"seed=$seed rounds=$rounds")
+    }
+  }
+
   test("more rounds keep total mass bounded by the fixed-point unit") {
     // truncation only ever LOSES mass: Σ rank_fixed ≤ 10¹² every round
     (1 to 4).foreach { rounds =>
