@@ -64,6 +64,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JIT/codegen cost doesn't land on the first query
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // single-threaded codec JIT warm-up: a 32-thread flood into
+    // interpreted codec code starves the C2 compiler threads (the
+    // round-14 find — see Multimodal.warmCodecPaths); each codec
+    // query's untimed first run would eventually absorb it, but on a
+    // cold path that flood itself can waste minutes of wall
+    operators.Multimodal.warmCodecPaths()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double =
         try {

@@ -83,6 +83,9 @@ object ScaleBench {
       operators.Multimodal.writeCodecFixtures(spark, out)
 
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // single-threaded codec JIT warm-up — see the
+    // Multimodal.warmCodecPaths scaladoc for the C2-starvation story
+    operators.Multimodal.warmCodecPaths()
     // Per-query wall-clock budget: the exhaustive sweep deliberately
     // includes the brute differential twins (inverted-index Jaccard,
     // the full recall audit) whose documented fate on a

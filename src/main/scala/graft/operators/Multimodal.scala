@@ -270,6 +270,43 @@ object Multimodal {
     }
   }
 
+  /** Single-threaded JIT warm-up of EVERY codec hot path the four
+    * codec queries execute — both the JDK legs and the from-scratch
+    * independent legs, all three media kinds, decode and encode.
+    *
+    * Why this exists (round 14): launching 32 executor threads into
+    * interpreted codec code starves the C2 compiler threads of CPU —
+    * a positive feedback loop measured at 0.8 → 12 ms/payload (same
+    * subtree, same JVM, 241 s vs 16 s stage time) that made the
+    * codec rows' one-shot bench numbers swing 9-220 s depending on
+    * which hot path happened to be compiled when the flood started.
+    * One driver thread exercising the paths (~2-5 s) lets C2 compile
+    * them with every other core idle. A production executor pays
+    * this once per JVM and amortizes it over billions of rows; a
+    * bench rung's 500k rows do not amortize, so the harness warms
+    * explicitly.
+    */
+  private[graft] def warmCodecPaths(iters: Int = 1500): Unit = {
+    var i = 0L
+    while (i < iters) {
+      val (k, p) = decodePayloadOf(i)
+      MediaDecoder.Real.decode(i, k, p)
+      k match {
+        case "image" => graft.tools.IndependentCodecs.pngFeatures(p)
+        case "audio" => graft.tools.IndependentCodecs.decodeWav(p)
+        case _       => graft.tools.IndependentCodecs.decodeVideo(p)
+      }
+      val img = resizePayloadOf(i)
+      MediaCodecs.resizePng(img, ThumbW, ThumbH)
+      MediaCodecs.dHashPng(img)
+      graft.tools.IndependentCodecs.pngDHash(img)
+      val wav = audioPayloadOf(i)
+      MediaCodecs.fpWav(wav)
+      graft.tools.IndependentCodecs.wavFingerprint(wav)
+      i += 1
+    }
+  }
+
   private def fixturePath(d: String, name: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$d/mmfix_$name.parquet")
 
@@ -341,6 +378,15 @@ object Multimodal {
     */
   def decodeRoundTrip(s: SparkSession, d: String): DataFrame =
     applyCrossGuard(decodedBoth(payloads(s, d, "decode", decodePayloadOf)))
+      // exchange BARRIER before the total-order sort (round 14): a
+      // global orderBy directly above a narrow map stage makes the
+      // range-partitioner's sample job RE-EXECUTE the child — here
+      // the full codec scan, measured as 2 extra full-input stages
+      // (~3× the decode work) at the 100× rung. One hash shuffle of
+      // the SMALL feature rows (payloads never move) lets the sample
+      // and the sort both read shuffle files instead; the codec scan
+      // runs exactly once.
+      .repartition(col("media_id"))
       .orderBy(col("media_id"))
 
   private[graft] val ThumbW = 8
@@ -382,6 +428,11 @@ object Multimodal {
         crossGuard(col("thumb_digest"),
           col("thumb_digest") === col("i_digest"),
           col("media_id"), "resize").as("thumb_digest"))
+      // same sample-pass barrier as decodeRoundTrip: without it the
+      // orderBy's sample job re-ran decode+resize+encode over the
+      // whole corpus (mm_resize full-eval 83.8 s vs count 11.2 at
+      // the 100× rung, all of it re-executed codec work)
+      .repartition(col("media_id"))
       .orderBy(col("media_id"))
   }
 
