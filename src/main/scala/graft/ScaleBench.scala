@@ -181,20 +181,22 @@ object ScaleBench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     val RetimeFloorSec = 1.0
-    // queries whose count-vs-full divergence is DESIGNED (output- or
-    // compute-bound rows noted in scaleNotes; documented baseline
-    // twins) are exempt from the disagreement flag ONLY in the
-    // designed direction — full legitimately dwarfs count there. A
-    // count-mode number ABOVE 2× the full run is never explained by
-    // output cost (count prunes work, it cannot add it) and always
-    // flags: the r14 calm sweep caught mm_resize reading count=72 s
-    // against full=15.7 s exactly this way.
-    val explained = SparkEntry.scaleNotes.keySet ++
-      SparkEntry.baselineQueries.keySet
+    // Disagreement flags fire ONLY when count exceeds 2× full:
+    // full >> count is STRUCTURAL for most of the registry (count()
+    // prunes expression work, final sorts, even row-preserving
+    // joins — the two-protocol rationale), and the first full r14
+    // sweep proved an exemption list can't capture that (40 rows
+    // flagged, nearly all structural). count ABOVE full, by
+    // contrast, is never explained by pruning — count can only
+    // remove work — so it always means interference or a cold path
+    // (the r14 calm sweep caught mm_resize at count=72 s vs
+    // full=15.7 s exactly this way). Cross-round movement vs the
+    // prior sweep artifact (tools/scale_sweep_r14.json onward, via
+    // SPARK_GRAFT_SCALE_PRIOR) covers the full-side regressions the
+    // disagreement flag no longer watches.
     val flagged = results.collect { case (n, c, f, _)
         if c >= 0 && f >= 0 && math.max(c, f) >= RetimeFloorSec &&
-          (((!explained(n) || c > f) &&
-            math.max(c, f) / math.max(math.min(c, f), 0.05) > 2.0) ||
+          ((c > 2.0 * math.max(f, 0.05)) ||
            priorCounts.get(n).exists(p =>
              p >= RetimeFloorSec && math.max(c / p, p / c) >= 2.0)) => n
     }
