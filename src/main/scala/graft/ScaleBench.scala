@@ -42,6 +42,19 @@ object ScaleBench {
   // key and every foreign reference to it)
   private val Offset = 100000000L
 
+  /** Extract the per-query count-mode numbers from a prior sweep's
+    * JSON line (the `SPARK_GRAFT_SCALE_PRIOR` input to the movement
+    * gate). Regex-scoped to the `"queries"` object so retime/full/
+    * build maps never contaminate the counts; ScaleBenchPriorSpec
+    * pins it against the committed r14 artifact.
+    */
+  private[graft] def parsePriorCounts(text: String): Map[String, Double] = {
+    val q = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.Ee+-]+)".r.findAllMatchIn(q)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(5)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -174,11 +187,7 @@ object ScaleBench {
     // artifact adjudicates its own noise like BENCH does.
     val priorCounts: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_SCALE_PRIOR").map { p =>
-        val text = scala.io.Source.fromFile(p).mkString
-        val q = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
-          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.Ee+-]+)".r.findAllMatchIn(q)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parsePriorCounts(scala.io.Source.fromFile(p).mkString)
       }.getOrElse(Map.empty)
     val RetimeFloorSec = 1.0
     // Disagreement flags fire ONLY when count exceeds 2× full:

@@ -529,7 +529,7 @@ object Dedup {
     * other, found via the 4×16-bit pigeonhole equi-join, never
     * all-pairs.
     */
-  private[operators] def hammingPairs64(sig: DataFrame): DataFrame =
+  private[graft] def hammingPairs64(sig: DataFrame): DataFrame =
     simhashPairsFrom(blockedOf(sig))
 
   private def blockedTable(s: SparkSession, d: String): DataFrame =

@@ -50,7 +50,7 @@ object ExpectedMedia {
     * NOT the query's blocked join: a missed pair here would expose a
     * pigeonhole bug there.
     */
-  private def brutePairs(hashes: Array[(Long, Long)]): Seq[(Long, Long, Int)] = {
+  private[graft] def brutePairs(hashes: Array[(Long, Long)]): Seq[(Long, Long, Int)] = {
     val sorted = hashes.sortBy(_._1)
     val out = Seq.newBuilder[(Long, Long, Int)]
     var i = 0
