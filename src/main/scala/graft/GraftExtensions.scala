@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => FuseTokenCount)
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.LazySealStrategy)
   }
 }
 
@@ -94,5 +95,8 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraStrategies.contains(graft.plans.LazySealStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LazySealStrategy
   }
 }

@@ -1213,7 +1213,23 @@ object Dedup {
     * DedupSpec proves equality with a driver union-find and pins a
     * diameter-7 chain that plain 4-round relax gets wrong.
     */
-  private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
+  private[graft] def componentsOf(pairs0: DataFrame): DataFrame = {
+    // LAZY LINEAGE CUT (r14): the relax rounds below reference the
+    // pair list ~7× statically (4 relax rounds + verts + the 2-ref
+    // shortcut), and every reference INLINES the caller's pair
+    // DERIVATION — for the collapsed LSH pipeline that multiplied
+    // the static tree to ~4.7k formatted-plan lines / 164 Exchanges
+    // per components-family query, ~0.8-1.3 s of driver planning per
+    // run (measured, QueryProbe) before a single task launched.
+    // LazySeal computes the derivation ONCE per invocation at first
+    // action (zero jobs at plan build — the PlanContractSpec
+    // contract; see the LazySeal scaladoc for why neither
+    // localCheckpoint nor persist can express this), so every
+    // bench/oracle run still computes from parquet. The pair list is
+    // the SMALL frame here by design (near-dup pairs, already
+    // banded+verified) — the corpus-sized frames stay lazy behind
+    // exchange reuse.
+    val pairs = graft.plans.LazySeal.seal(pairs0)
     // SELF-LOOPS make each relax round reference the label table
     // exactly ONCE (the v=v edge carries the current label into the
     // min, replacing the left-join-merge form that referenced it

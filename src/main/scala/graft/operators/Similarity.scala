@@ -545,8 +545,7 @@ object Similarity {
     * vector, the incremental encode of a frozen PQ index.
     */
   def pqEncodeWith(en: DataFrame, cb: DataFrame): DataFrame =
-    assignCodes(subVectors(en), cb)
-      .select(col("vec_id"), col("m"), col("kid"))
+    assignCodesNarrow(subVectors(en), cb)
 
   /** Persist the PQ-encoded corpus (vec_id, m, kid) as parquet. */
   def savePqCodes(codes: DataFrame, path: String): Unit =
@@ -768,27 +767,70 @@ object Similarity {
         }: _*)).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
 
-  /** Nearest codeword per (vector, subspace): argmin of squared
-    * Euclidean distance on pround(d2, 6) with kid tiebreak — the
-    * [[assignToCentroids]] contract, per subspace. Codebooks ride a
-    * broadcast equi-join on m (≤ PqM·k rows).
+  /** 2³⁸ — kid field width of the packed argmin encoding below. */
+  private val AssignKidUnit = 1L << 38
+
+  /** Nearest codeword per (vector, subspace), NARROW: (vec_id, m,
+    * kid) — the argmin of squared Euclidean distance with kid
+    * tiebreak, resolved inside ONE codegen'd HashAggregate via the
+    * packed-integer encoding d2i·2³⁸ + kid (the keepBest /
+    * cluster_purity argmax discipline), where
+    * d2i = floor(pround(d2, 6)·2²⁰ + 0.5) is the SAME
+    * integerization the ADC distance table ships as `pd2i`.
+    *
+    * Equivalence to the former rank=1 window (r14 rewrite): d2i is
+    * order-isomorphic to the window's pround(d2, 6) sort key —
+    * distinct micro-rounded values are ≥ ~1e-6 apart, so scaling by
+    * 2²⁰ spaces them ≥ 1.048 and floor(·+0.5) preserves strict
+    * order; equal keys collide and the +kid term breaks the tie low
+    * — exactly row_number() over (pround(d2, 6) asc, kid asc) = 1.
+    * Why it matters: the window's TopK rewrite requires a LOCAL SORT
+    * of the child, so every (vector × codeword) candidate row —
+    * carrying BOTH 16-dim slices — was sorted once per assignment
+    * pass; QueryProbe attributed ~0.9 s per pass at sf0.1 (and the
+    * pass count is 3: two training rounds + the corpus encode) to
+    * exactly those stages. The min() aggregate is a map-side-partial
+    * HashAggregate over a 3-column integer projection — no sort, no
+    * array payload in flight, and the exchange moves one row per
+    * (vector, subspace).
+    *
+    * Range guard (in-plan, raise_error — the keepBest discipline):
+    * sound for kid < 2³⁸ and d2 ≤ 16 (unit/residual slices bound
+    * ‖sv−kv‖² ≤ 16, so d2i ≤ 2²⁴ and the pack peaks < 2⁶²); fails
+    * LOUDLY outside that envelope instead of corrupting the argmin.
     */
-  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(pround(col("d2"), 6), col("kid"))
-    // the slice payload rides THROUGH the ranking here, unlike the
-    // narrow-rank-then-rejoin [[ivfAssignment]]: slices are 16-d (5×
-    // narrower than full vectors) and this assignment runs once per
-    // training round, so a rejoin's extra sub recompute + shuffle
-    // measured 2.4× WORSE at the 50× point (58 s vs 25 s)
+  private def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 =
+      dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv")) +
+        dot(col("kv"), col("kv"))
+    val enc = when(col("kid").between(0L, AssignKidUnit - 1) &&
+          col("d2i").between(0L, 1L << 24),
+        col("d2i") * lit(AssignKidUnit) + col("kid"))
+      .otherwise(raise_error(concat(
+        lit("assignCodes: kid/d2 outside packed range (kid < 2^38, " +
+          "d2 <= 16): "), col("kid").cast("string"))))
     sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2",
-        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv"))
-          + dot(col("kv"), col("kv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("m"), col("kid"), col("sv"))
+      .withColumn("d2i",
+        floor(pround(d2, 6) * lit(MeanScale) + lit(0.5)).cast("long"))
+      .select(col("vec_id"), col("m"), enc.as("p"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("p")).as("p"))
+      .select(col("vec_id"), col("m"),
+        (col("p") % lit(AssignKidUnit)).as("kid"))
   }
+
+  /** [[assignCodesNarrow]] with the slice payload re-attached — the
+    * TRAINING form (the Lloyd round's mean needs sv back). The
+    * re-attach is a BROADCAST join of the narrow assignment, sound
+    * because training only ever assigns the [[pqTrainStride]]-bounded
+    * sample (≤ ~4096 vectors × PqM rows at any corpus size — the
+    * bound is the contract that makes codebook training
+    * corpus-size-independent); corpus-scale encodes go through
+    * [[assignCodesNarrow]] directly and never pay this join.
+    */
+  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(assignCodesNarrow(sub, cb)), Seq("vec_id", "m"))
+      .select(col("vec_id"), col("m"), col("kid"), col("sv"))
 
   /** Per-subspace PQ codebooks: init = sampled vectors' slices
     * (vec_id % [[PqCodewordEvery]]), then [[PqIters]] Lloyd rounds —
@@ -830,7 +872,16 @@ object Similarity {
         .agg(graft.functions.VectorMean.vector_mean(col("sv"), MeanScale).as("kv"))
       cb = if (checkpoint) next.localCheckpoint() else next
     }
-    cb
+    // LAZY LINEAGE CUT (r14): the trained codebook is consumed from
+    // two branches downstream (the corpus encode and the per-probe
+    // ADC distance table), each statically inlining the whole
+    // unrolled training tree. LazySeal (zero jobs at plan build —
+    // the PlanContractSpec contract; computed once at first action,
+    // blocks freed on GC, nothing survives the invocation) halves
+    // the static tree and executes training exactly once per run
+    // regardless of consumer count. The codebook is PqM·K rows —
+    // the small frame by construction.
+    if (checkpoint) cb else graft.plans.LazySeal.seal(cb)
   }
 
   /** IVF-PQ search: coarse IVF lists pruned to [[PqNProbe]], PQ-code
@@ -855,8 +906,7 @@ object Similarity {
     val en = e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val cb = trainPqCodebooks(en)
-    val codes = assignCodes(subVectors(en), cb)
-      .select(col("vec_id"), col("m"), col("kid"))
+    val codes = assignCodesNarrow(subVectors(en), cb)
     val coarse = ivfAssignmentOf(e).select(col("vec_id"), col("cid"))
     val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -977,8 +1027,7 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("v"), col("cvn"), (a, b) => a - b).as("v"))
     val cb = trainPqCodebooks(resid, countOn = Some(en))
-    val codes = assignCodes(subVectors(resid), cb)
-      .select(col("vec_id"), col("m"), col("kid"))
+    val codes = assignCodesNarrow(subVectors(resid), cb)
     ivfPqResSearchFrom(e, cb, codes, coarse, cents)
   }
 
