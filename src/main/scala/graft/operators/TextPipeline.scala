@@ -743,7 +743,7 @@ object TextPipeline {
     * tuned, see [[ModernStopKinds]]) → PII count ([[pii]]'s patterns)
     * → normalized dedup (keep lowest doc_id, the rank-1 /
     * TopKPerGroup shape) → DSIR selection (model trained on the RAW
-    * corpus — the published setup — scores computed only for gate
+    * corpus — the published setup; the per-doc scores join back to
     * survivors) → split assignment. Line-shape rules are omitted
     * from the gate (single-line corpus; they live in
     * [[gopherRules]]).
@@ -751,8 +751,9 @@ object TextPipeline {
     * Scale shape: stage 1 is one map-side projection (gopher metrics
     * + PII counts + normalized fingerprint share a single scan); the
     * dedup rank-1 is the partial TopKPerGroup; DSIR is two 64-row
-    * aggregates over the raw token stream plus one aggregate over
-    * survivors' tokens (semi-join pushes the gate below the explode).
+    * aggregates over the raw token stream plus one per-doc score
+    * aggregate over the same stream (scoring all docs keeps the
+    * metric+TopK subtree evaluated ONCE — see the inline r14 note).
     * Every stage is linear; the whole composition is 3 corpus scans
     * in one plan — the multi-pass shape CCNet-class pipelines run.
     */
@@ -795,9 +796,14 @@ object TextPipeline {
       .withColumn("__rn", row_number().over(wKeep))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("n_words"), col("n_pii"))
+    // DSIR scores ALL documents (r14; the dropReasonsOf note): the
+    // keepers semi-join re-derived the metric+TopK subtree as its
+    // build side — a second evaluation of the regex metrics —
+    // while `selected`/`avg_logratio` are per-doc absolutes against
+    // the all-docs model, so the inner join below reads identical
+    // values either way and non-keeper scores are simply unmatched.
     val scored = Sampling.dsirScoresUnsorted(
-      docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      Sampling.dsirModelOf(docs))
+      docs, Sampling.dsirModelOf(docs))
     kept.join(scored, Seq("doc_id"))
       .withColumn("split",
         when(portableHash(concat(lit("split:"), col("doc_id").cast("string")))
@@ -826,18 +832,20 @@ object TextPipeline {
     * selection threshold), else `kept` — so `kept` rows are exactly
     * pipe_modern's selected output rows.
     *
-    * One-frame ranking trick: the keep rank windows over
-    * (norm_md5, gate_pass) instead of filtering first, so rank 1
-    * within the gate_pass=true partition is the keeper and the
-    * whole attribution needs no self-join of the metric frame. DSIR
-    * keepers always score: the gate requires ≥ 1 required stopword,
-    * so every keeper has a letter token and enters the token stream.
+    * One-frame keeper trick (r14 form): rep_id is an unordered
+    * window aggregate — min(when(gate_pass, doc_id)) over partition
+    * norm_md5 — so the keeper attaches to every row of its group
+    * with NO self-join of the metric frame and the regex-heavy gate
+    * metrics are evaluated exactly once (the aggregate+join-back
+    * form evaluated them twice; see the inline note). DSIR keepers
+    * always score: the gate requires ≥ 1 required stopword, so
+    * every keeper has a letter token and enters the token stream.
     *
     * Scale shape: gate metrics + fingerprint are one map-side
-    * projection; the rank is one partitioned (high-cardinality
-    * norm_md5) window; DSIR adds the pipe_modern token-stream
-    * aggregates over survivors. Linear — the parent pipeline's cost
-    * class.
+    * projection; the keeper window is one partitioned
+    * (high-cardinality norm_md5) exchange+sort; DSIR adds the
+    * pipe_modern token-stream aggregates over survivors. Linear —
+    * the parent pipeline's cost class.
     */
   def dropReasons(s: SparkSession, d: String): DataFrame =
     dropReasonsOf(Tables.documents(s, d))
@@ -868,23 +876,44 @@ object TextPipeline {
         pround(col("n_alpha_words") / col("n_words"), 4) >= 0.8 &&
         col("n_stop_kinds") >= ModernStopKinds)
       .otherwise(lit(false))
-    // keeper per normalized-text group as an AGGREGATE (min doc_id
-    // among gate-passers), not a rank window: no per-partition sort,
-    // and the rep frame is ONE subtree consumed by both the
-    // duplicate-attribution join and the DSIR semi-join (identical
-    // aggregates → the exchange is reused, where the first cut's
-    // Window-vs-TopKPerGroup split planned the metrics twice more)
+    // keeper per normalized-text group as an UNORDERED WINDOW
+    // AGGREGATE — min(when(gate_pass, doc_id)) over partition
+    // norm_md5 — NOT the aggregate-then-join-back form (r14 rewrite):
+    // aggregate+join consumed the metric frame from TWO distinct
+    // subtrees (partial-agg→Exchange for reps vs plain Exchange for
+    // the join's left), which Catalyst cannot exchange-reuse, so the
+    // regex-heavy gate metrics above were EVALUATED TWICE per run —
+    // QueryProbe attributed 2× ~5 s (the two dominant stages) to
+    // exactly that duplicate at sf0.1, and the cost doubles corpus
+    // CPU at any scale. The window form puts ONE Exchange(norm_md5)
+    // above ONE metric evaluation; the DSIR keeper set below filters
+    // the SAME window subtree, so AQE stage reuse serves it from
+    // shuffle files instead of recomputing the metrics. (This is not
+    // the first cut's rank-window — no rank filter, so the
+    // TopKPerGroup rewrite that split the plan then does not fire;
+    // min-over-partition plans as a plain WindowExec on the same
+    // exchange+sort the old SMJ join needed anyway.)
     val flagged = raw.withColumn("gate_pass", gatePass)
-    val reps = flagged.filter(col("gate_pass"))
-      .groupBy(col("norm_md5")).agg(min(col("doc_id")).as("rep_id"))
+    val wGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5"))
+    // a gate-passer's group always has a rep (itself at worst), so
+    // rep_id is null only on quality rows, which match first
+    val withRep = flagged.withColumn("rep_id",
+      min(when(col("gate_pass"), col("doc_id"))).over(wGroup))
+    // DSIR scores ALL documents, not a keepers semi-join (r14): the
+    // semi-join's build side re-derived the whole metric+window
+    // subtree (a SECOND evaluation of the regex metrics — column
+    // pruning makes the two subtrees canonically different, so
+    // exchange reuse can never serve it), while `selected` is a
+    // PER-DOC absolute predicate (avg_logratio > 0 against the
+    // all-docs model), so scoring non-keepers changes nothing the
+    // reason CASE ever reads — non-keeper rows match quality/
+    // duplicate before the selected branch. Net: one metric pass
+    // instead of two, no semi-join, for one extra tokenize pass
+    // over the dropped slice (tokenize ≪ the 6-regex metric pass).
     val scored = Sampling.dsirScoresUnsorted(
-      docs.join(reps.select(col("rep_id").as("doc_id")),
-        Seq("doc_id"), "left_semi"),
-      Sampling.dsirModelOf(docs))
-    flagged
-      // a gate-passer's group always has a rep (itself at worst), so
-      // rep_id is null only on quality rows, which match first
-      .join(reps, Seq("norm_md5"), "left")
+      docs, Sampling.dsirModelOf(docs))
+    withRep
       .join(scored.select(col("doc_id"), col("selected")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
