@@ -91,6 +91,10 @@ object SparkEntry {
     "mm_resize"            -> "compute-bound map-side codec + resample work (knob: SPARK_GRAFT_CODEC_GUARD_MOD)",
     "dedup_minhash_recall_sample" -> "audit with corpus-adaptive probe rate: exact-side fan-out bounded at ~constant probe mass",
     "pipe_drop_reasons"    -> "output-bound: per-document drop attribution emits one row per corpus document, so full evaluation is corpus-proportional by contract (count-mode measures the plan shape)",
+    "dedup_substr"         -> "compute-bound: full evaluation pays one linear map-side pass of positional-gram hashing over every document; count-mode prunes the per-gram expressions by design (same contract for the _stats/_strip twins)",
+    "dedup_substr_stats"   -> "compute-bound: see dedup_substr — the gram-hash pass is the full-evaluation floor",
+    "dedup_substr_strip"   -> "compute-bound: see dedup_substr — the gram-hash pass plus the strip rewrite is the full-evaluation floor",
+    "txt_pack_seqs"        -> "output-bound: sequence packing emits one row per packed sequence (corpus-proportional); count-mode measures the prefix-sum plan shape",
     "smp_decontam_sem"     -> "scale-adaptive since r13: the registered entry branches IN-PLAN on eval-set cardinality — brute broadcast screen below 1024 evals (every gate SF, oracle-exact), IVF-pruned screen beyond (the 100x rung's growing synthetic eval slice); the IVF branch inherits smp_decontam_sem_ivf's documented lower-bound contract",
   )
 

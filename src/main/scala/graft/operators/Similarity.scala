@@ -858,11 +858,23 @@ object Similarity {
                                           countOn: Option[DataFrame] = None): DataFrame = {
     val cnt = countOn.getOrElse(e)
     // training reads only the bounded sample; callers encode all of
-    // `e` against the returned codebooks in one separate pass
-    val sub = subVectors(
+    // `e` against the returned codebooks in one separate pass.
+    // LAZY LINEAGE CUT (r14): the sample is SEALED — the Lloyd
+    // rounds below reference it from both sides of the
+    // [[assignCodes]] re-attach and every unrolled round inlines the
+    // prior round's tree, so the static plan carries ~6 copies of
+    // the sample DERIVATION, and for the residual caller that
+    // derivation embeds a FULL-CORPUS coarse-assignment argmin (the
+    // stride filter references the crossJoined scalar, so it can
+    // never push below the join — each copy re-ran the whole
+    // argmin; QueryProbe at the 100× rung attributed 3×
+    // 200–500 core-s scan stages to exactly this). The sample is
+    // the SMALL frame by the [[pqTrainStride]] contract (≤ ~2·target
+    // vectors × PqM slices at ANY corpus size).
+    val sub = graft.plans.LazySeal.seal(subVectors(
       e.crossJoin(broadcast(pqTrainStride(cnt)))
         .filter(col("vec_id") % col("tstride") === 0)
-        .drop("tstride"))
+        .drop("tstride")))
     var cb = sub.crossJoin(broadcast(pqStride(cnt)))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("kid"), col("sv").as("kv"))
@@ -1016,7 +1028,20 @@ object Similarity {
   private[graft] def annIvfPqResOf(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
-    val coarse = ivfAssignmentOf(e).select(col("vec_id"), col("cid"))
+    // LAZY LINEAGE CUT (r14): the coarse assignment feeds THREE
+    // statically distinct consumers here — the residual derivation
+    // under training, the corpus residual encode, and the search's
+    // shortlist join — and each inlined copy re-ran the full-corpus
+    // centroid argmin (no two copies canonicalize equal, so exchange
+    // reuse never serves them; QueryProbe attributed the 100×
+    // regression's dominant scan stages to these re-runs). Sealed,
+    // the argmin runs once per invocation. The frame is (vec_id,
+    // cid) — two ints per corpus vector, the narrowest
+    // corpus-proportional frame in the plan; a true 100 TB serve
+    // uses the PERSISTED-index twin (ann_ivf_pq_res_idx), where the
+    // assignment is parquet, exactly like this seal but durable.
+    val coarse = graft.plans.LazySeal.seal(
+      ivfAssignmentOf(e).select(col("vec_id"), col("cid")))
     val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val centsN = cents.select(col("cid"),

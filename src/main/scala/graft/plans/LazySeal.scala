@@ -47,11 +47,21 @@ import org.apache.spark.storage.StorageLevel
   * frames belong in columnar caches or parquet, not here.
   */
 case class LazySeal(output: Seq[Attribute], sealedPlan: LogicalPlan,
-                    sealId: Long) extends LeafNode {
+                    sealId: Long) extends LeafNode
+    with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
   // the sealed subtree's stats, so join-side planning above the seal
   // sees the child's size estimate instead of defaultSizeInBytes
   override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
     sealedPlan.stats
+
+  // A sealed frame can land on BOTH sides of one join (e.g. the PQ
+  // training sample re-attached to its own narrow argmin):
+  // DeduplicateRelations resolves the conflicting attribute ids by
+  // asking leaves for a fresh instance. Fresh exprIds, SAME sealId —
+  // the memoized RDD is positional, so every instance still shares
+  // the one materialization per invocation.
+  override def newInstance(): LazySeal =
+    copy(output = output.map(_.newInstance()))
 }
 
 object LazySeal {
@@ -94,6 +104,18 @@ object LazySealExec {
   private val memo =
     new ConcurrentHashMap[Long, java.lang.ref.WeakReference[RDD[InternalRow]]]()
 
+  // Striped reentrant monitors for the compute path: seals NEST (a
+  // sealed plan may contain further LazySeal nodes — e.g. the PQ
+  // training sample's derivation embeds the sealed coarse
+  // assignment), and building the outer seal's RDD graph calls the
+  // inner seal's doExecute → rddFor RECURSIVELY. Computing inside
+  // ConcurrentHashMap.compute deadlocked there (nested compute on
+  // the same map parks on the outer bin's reservation node — a
+  // jstack'd, reproduced hang); `synchronized` monitors are
+  // reentrant for one thread, and seal nesting is a DAG, so stripe
+  // collisions cannot cycle.
+  private val stripes = Array.fill(64)(new Object)
+
   /** One shared RDD per seal id: the sealed plan compiles and runs
     * through its own QueryExecution (AQE and all) the FIRST time any
     * occurrence executes; the rows are defensively copied (exchange
@@ -105,15 +127,22 @@ object LazySealExec {
     */
   def rddFor(spark: org.apache.spark.sql.classic.SparkSession,
              sealedPlan: LogicalPlan, id: Long): RDD[InternalRow] = {
-    memo.compute(id, (_, prev) => {
-      val cached = if (prev == null) null else prev.get()
-      if (cached != null) prev
+    def cached(): RDD[InternalRow] = {
+      val ref = memo.get(id)
+      if (ref == null) null else ref.get()
+    }
+    val hit = cached()
+    if (hit != null) return hit
+    stripes((id % 64).toInt).synchronized {
+      val again = cached() // lost the race → reuse the winner's RDD
+      if (again != null) again
       else {
         val rdd = spark.sessionState.executePlan(sealedPlan).toRdd
           .map(_.copy())
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        new java.lang.ref.WeakReference(rdd)
+        memo.put(id, new java.lang.ref.WeakReference(rdd))
+        rdd
       }
-    }).get()
+    }
   }
 }
