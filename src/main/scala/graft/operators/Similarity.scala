@@ -440,29 +440,19 @@ object Similarity {
   }
 
   /** Nearest coarse centroid per vector: (vec_id, cid, ccos) — NARROW
-    * on purpose. The ranked stream is |corpus|×|cents| rows and the
-    * top-1 rewrite sorts it locally before the partial phase; keeping
-    * the 64-d array in those rows made the sort payload ~20× wider
-    * and was the dominant term of the 50× ladder point (ann_ivf 99 s
-    * → 13 s after narrowing). Callers that need the vector back
+    * on purpose. The ranked stream is |corpus|×|cents| rows; keeping
+    * the 64-d array in those rows made the per-candidate payload ~20×
+    * wider and was the dominant term of the 50× ladder point (ann_ivf
+    * 99 s → 13 s after narrowing). Callers that need the vector back
     * ([[ivfSearch]]) re-join `e` on vec_id — one corpus-proportional
-    * hash join, far cheaper than sorting arrays.
+    * hash join, far cheaper than moving arrays per candidate.
     */
   private def ivfAssignment(s: SparkSession, d: String): DataFrame =
     ivfAssignmentOf(vectors(s, d))
 
-  private def ivfAssignmentOf(e: DataFrame): DataFrame = {
-    val cents = sampledVecs(e)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(pround(col("ccos"), 6).desc, col("cid"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"), col("ccos"))
-  }
+  private def ivfAssignmentOf(e: DataFrame): DataFrame =
+    assignAgainst(e, sampledVecs(e)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
 
   /** IVF search: probe the nprobe nearest centroid lists only. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
@@ -489,17 +479,30 @@ object Similarity {
     * like [[ivfAssignment]]; callers re-join vectors as needed.
     * Stateless per vector, so incremental batches compose exactly
     * (IvfStateSpec pins slice == full-assignment restriction).
+    *
+    * r15: the rank=1 window became max_by(struct(cid, ccos),
+    * struct(pround(ccos, 6), −cid)) — the [[assignCodesNarrow]]
+    * argmin discipline applied to the coarse argmax. The struct's
+    * lexicographic max is exactly row_number() over (pround(ccos, 6)
+    * desc, cid asc) = 1 (−cid turns the ascending tiebreak into a
+    * max; cid is distinct so full ties are impossible), and the
+    * winner's UNROUNDED ccos rides in the value struct, so output is
+    * bit-identical. Why: the window's top-1 rewrite LOCALLY SORTS
+    * every |corpus|×|cents| candidate row per pass; max_by is a
+    * map-side-partial codegen'd HashAggregate — no sort, and the
+    * exchange moves one row per vector. This is the registry's
+    * hottest stage at the 100× rung (the ann_ivf_pq_res coarse
+    * argmin, ~20 s) — see OPTIMIZATION_r15.md for the measurements.
     */
-  private def assignAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wa = Window.partitionBy(col("vec_id"))
-      .orderBy(pround(col("ccos"), 6).desc, col("cid"))
+  private def assignAgainst(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .withColumn("crnk", row_number().over(wa))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"), col("ccos"))
-  }
+      .select(col("vec_id"), struct(col("cid"), col("ccos")).as("cand"),
+        struct(pround(col("ccos"), 6).as("c6"), (-col("cid")).as("nc")).as("ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cand"), col("ord")).as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.ccos").as("ccos"))
 
   // --- Persistent index state ---------------------------------------
   // The BloomDedup-state design applied to the ANN family: the INDEX
@@ -767,56 +770,41 @@ object Similarity {
         }: _*)).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
 
-  /** 2³⁸ — kid field width of the packed argmin encoding below. */
-  private val AssignKidUnit = 1L << 38
-
   /** Nearest codeword per (vector, subspace), NARROW: (vec_id, m,
     * kid) — the argmin of squared Euclidean distance with kid
-    * tiebreak, resolved inside ONE codegen'd HashAggregate via the
-    * packed-integer encoding d2i·2³⁸ + kid (the keepBest /
-    * cluster_purity argmax discipline), where
-    * d2i = floor(pround(d2, 6)·2²⁰ + 0.5) is the SAME
-    * integerization the ADC distance table ships as `pd2i`.
+    * tiebreak, resolved inside ONE codegen'd HashAggregate via
+    * min_by(kid, struct(pround(d2, 6), kid)) — a DeclarativeAggregate
+    * with map-side partial merge, so the exchange moves one row per
+    * (vector, subspace).
     *
-    * Equivalence to the former rank=1 window (r14 rewrite): d2i is
-    * order-isomorphic to the window's pround(d2, 6) sort key —
-    * distinct micro-rounded values are ≥ ~1e-6 apart, so scaling by
-    * 2²⁰ spaces them ≥ 1.048 and floor(·+0.5) preserves strict
-    * order; equal keys collide and the +kid term breaks the tie low
-    * — exactly row_number() over (pround(d2, 6) asc, kid asc) = 1.
+    * Equivalence to the former rank=1 window (r14 rewrite): the
+    * struct's lexicographic ordering (micro-rounded d2 asc, kid asc)
+    * is exactly the window's sort key, so min_by is exactly
+    * row_number() over (pround(d2, 6) asc, kid asc) = 1, and ties are
+    * impossible because kid is distinct within each m.
     * Why it matters: the window's TopK rewrite requires a LOCAL SORT
     * of the child, so every (vector × codeword) candidate row —
     * carrying BOTH 16-dim slices — was sorted once per assignment
     * pass; QueryProbe attributed ~0.9 s per pass at sf0.1 (and the
     * pass count is 3: two training rounds + the corpus encode) to
-    * exactly those stages. The min() aggregate is a map-side-partial
-    * HashAggregate over a 3-column integer projection — no sort, no
-    * array payload in flight, and the exchange moves one row per
-    * (vector, subspace).
+    * exactly those stages. min_by aggregates a 3-column projection —
+    * no sort, no array payload in flight.
     *
-    * Range guard (in-plan, raise_error — the keepBest discipline):
-    * sound for kid < 2³⁸ and d2 ≤ 16 (unit/residual slices bound
-    * ‖sv−kv‖² ≤ 16, so d2i ≤ 2²⁴ and the pack peaks < 2⁶²); fails
-    * LOUDLY outside that envelope instead of corrupting the argmin.
+    * r15 fix: r14 packed the argmin into d2i·2³⁸ + kid, sound only
+    * for d2 ≤ 16 — unit/residual slices satisfy that, but arbitrary
+    * training inputs (PqTrainSampleSpec's unnormalized corpus) do
+    * not, and the in-plan range guard aborted training. min_by has
+    * no range envelope, needs no guard, and keeps the same plan
+    * shape (partial + final HashAggregate, no sort).
     */
   private def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame = {
     val d2 =
       dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv")) +
         dot(col("kv"), col("kv"))
-    val enc = when(col("kid").between(0L, AssignKidUnit - 1) &&
-          col("d2i").between(0L, 1L << 24),
-        col("d2i") * lit(AssignKidUnit) + col("kid"))
-      .otherwise(raise_error(concat(
-        lit("assignCodes: kid/d2 outside packed range (kid < 2^38, " +
-          "d2 <= 16): "), col("kid").cast("string"))))
     sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2i",
-        floor(pround(d2, 6) * lit(MeanScale) + lit(0.5)).cast("long"))
-      .select(col("vec_id"), col("m"), enc.as("p"))
+      .select(col("vec_id"), col("m"), col("kid"), pround(d2, 6).as("d2r"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("p")).as("p"))
-      .select(col("vec_id"), col("m"),
-        (col("p") % lit(AssignKidUnit)).as("kid"))
+      .agg(min_by(col("kid"), struct(col("d2r"), col("kid"))).as("kid"))
   }
 
   /** [[assignCodesNarrow]] with the slice payload re-attached — the

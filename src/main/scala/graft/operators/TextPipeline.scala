@@ -970,6 +970,16 @@ object TextPipeline {
         explode(arrays_zip(slice(col("tk"), lit(1), n - 1).as("w1"),
                            slice(col("tk"), lit(2), n - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // Semantically a no-op (equal-length slices zip with no null
+      // padding) but load-bearing for exchange reuse — the dsirToks
+      // discipline: the c12 join infers isnotnull(w1, w2) onto its
+      // branch while the c1 join (keyed on w1 alone) infers only
+      // isnotnull(w1), and runtime stage reuse compares subtrees
+      // verbatim. Carrying both filters in the DEFINITION keeps the
+      // c12 aggregate canonically identical under both consumers, so
+      // the tokenize+explode+count pass runs ONCE for c12 and c1
+      // (measured: 3 full token passes → 2; plans/r15/txt_lm_score).
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val c12 = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // context counts derive from the BIGRAM table, not a second pass
     // over the occurrence stream: c(w1·) = Σ_w2 c(w1,w2) exactly, and
