@@ -54,6 +54,7 @@ object SparkEntry {
     "sim_near_dup"         -> "sim_near_dup_lsh",            // brute all-pairs cosine twin; LSH bucket join is the scale path
     "q27_range_join"       -> "q27_range_join_bucketed",     // interval join keyed per user: candidates quadratic in per-user activity
     "dedup_source_overlap" -> "dedup_source_overlap_capped", // attributes the FULL candidate pair stream (output-bound on clone rungs); capped twin bounds per-bucket fan-out, rank-preserving
+    "dedup_ngram_prefix"   -> "dedup_ngram_prefix_capped",   // provably-exact prefix-filtered form: pruning rides the df~1 tail, which boilerplate-flat corpora destroy; df-capped twin bounds candidate fan-out linearly (r15, ordered by the r14 verdict)
   )
 
   /** Queries backed by a ONE-TIME persisted artifact (dedup-graph

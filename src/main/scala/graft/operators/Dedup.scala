@@ -699,8 +699,10 @@ object Dedup {
     * never touched.
     */
   private def ngramPrefixOverGroups(reps: DataFrame,
-                                    members: DataFrame): DataFrame = {
-    val repPairs = ngramPrefixJoinOf(gramHashRowsOf(reps))
+                                    members: DataFrame,
+                                    repJoin: DataFrame => DataFrame =
+                                      ngramPrefixJoinOf): DataFrame = {
+    val repPairs = repJoin(gramHashRowsOf(reps))
     val mG = members.filter(col("gramful"))
     val within = mG.select(col("rep"), col("doc_id").as("doc_a"))
       .join(mG.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
@@ -752,6 +754,79 @@ object Dedup {
       // a pair in [0.79995, 0.8) could pass a rounded brute filter while
       // missing from the prefix candidate set, breaking the exactness
       // claim. Integer arithmetic keeps both engines boundary-identical.
+      .filter(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 4)
+      .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Distinct-text document-frequency cap for the BOUNDED prefix-twin
+    * candidate stream ([[ngramPrefixCapped]]): grams carried by more
+    * than this many DISTINCT texts are dropped from candidate
+    * generation (verification always runs over FULL gram sets). The
+    * [[BandOccCap]] value: never binds at the gate SFs (the sf0.01
+    * rep-level df tail tops out at 7), so the capped pair set equals
+    * the uncapped one there and the gate checks full equality; where
+    * it binds, both engines drop the SAME grams (the oracle mirrors
+    * the cap). Production corpora tune the absolute cap (or a df/N
+    * fraction) — same plan shape.
+    */
+  private val PrefixDfCap = 50L
+
+  /** Production-tier bounded twin of [[ngramPrefixJoin]] — exact
+    * Jaccard ≥ 0.8 pairs with the candidate stream bounded by
+    * [[PrefixDfCap]] instead of the prefix-filter proof. Shape:
+    * ALWAYS exact-collapse (reps = one per distinct text — at any
+    * clone factor the rep set is the distinct-text corpus, so df is
+    * distinct-text df by construction), then candidates = rep pairs
+    * sharing a gram with df ≤ cap, verified exactly against FULL gram
+    * sets, then closed-form member expansion. Candidate fan-out is
+    * Σ_{df≤cap} df² ≤ cap · Σ df — LINEAR in distinct-text gram mass
+    * at any clone degeneracy (the uncapped prefix join's pruning
+    * relies on the df≈1 tail and still pays the full candidate
+    * stream when boilerplate flattens it). Semantics change vs the
+    * uncapped twin: a pair whose EVERY shared gram is in > cap
+    * distinct texts is missed — rank among returned pairs is
+    * preserved because every returned pair carries its exact
+    * full-set Jaccard (PrefixCappedSpec pins containment + score
+    * equality + cap-not-binding equality).
+    */
+  def ngramPrefixCapped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val groups = collapsedGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val members = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(groups.select(col("h"), col("rep"),
+        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
+      .select(col("doc_id"), col("rep"), col("gramful"))
+    ngramPrefixOverGroups(reps, members, ngramDfCappedJoinOf(_, PrefixDfCap))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[ngramPrefixJoinOf]]'s exact-verification pipeline with the
+    * candidate set df-capped instead of prefix-filtered (spec entry:
+    * cap = Long.MaxValue replays every shared-gram candidate, i.e.
+    * the brute candidate set, for differential pinning). One explicit
+    * gh repartition shared by the df count and the posting self-join
+    * (the [[ngramJaccardCapped]] exchange-reuse trick).
+    */
+  private[graft] def ngramDfCappedJoinOf(grams: DataFrame,
+                                         cap: Long): DataFrame = {
+    val g = grams.select(col("doc_id"), col("gh")).repartition(col("gh"))
+    val keep = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("gh"))
+    val posting = g.join(keep, Seq("gh"))
+    val cand = posting.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gh"), col("n").as("nb"))
+    cand.join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      // exact rational accept (the ngramPrefixJoinOf discipline)
       .filter(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 4)
       .withColumn("jaccard", pround(col("c") / (col("na") + col("nb") - col("c")), 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -1789,6 +1864,7 @@ object Dedup {
     "dedup_simhash_capped" -> simhashPairsCapped _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_ngram_prefix" -> ngramPrefixJoin _,
+    "dedup_ngram_prefix_capped" -> ngramPrefixCapped _,
     "dedup_substr"        -> substrSpans _,
     "dedup_substr_stats"  -> substrStats _,
     "dedup_substr_strip"  -> substrStrip _,
@@ -2203,6 +2279,54 @@ object Dedup {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE 5 * c >= 4 * (na.n + nb.n - c)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // string-keyed mirror of the capped twin's full pipeline: exact
+    // collapse to one rep per distinct text, distinct-text df cap on
+    // candidate generation, exact full-set Jaccard verification at
+    // the rational 0.8 accept, closed-form member expansion
+    // (within-group pairs at J = 1 iff the text yields >= 1 shingle)
+    "dedup_ngram_prefix_capped" ->
+      s"""WITH grp AS (SELECT md5(text) AS h, min(doc_id) AS rep
+         |             FROM documents WHERE text IS NOT NULL
+         |             GROUP BY md5(text)),
+         |rtoks AS (SELECT g.rep AS doc_id, $tokSql AS tk
+         |          FROM grp g JOIN documents d ON d.doc_id = g.rep),
+         |ridx AS (SELECT doc_id, tk,
+         |           unnest(generate_series(1, len(tk) - 2)) AS i FROM rtoks),
+         |rng AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         |        FROM ridx),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM rng GROUP BY doc_id),
+         |keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM rng GROUP BY g) t
+         |         WHERE df <= $PrefixDfCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rng a JOIN keep k ON a.g = k.g
+         |         JOIN rng b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |           FROM rng a JOIN rng b ON a.g = b.g
+         |           WHERE a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |reppairs AS (SELECT cm.doc_a, cm.doc_b,
+         |               pround(cm.c / (na.n + nb.n - cm.c), 4) AS jaccard
+         |             FROM cand JOIN common cm
+         |               ON cm.doc_a = cand.doc_a AND cm.doc_b = cand.doc_b
+         |             JOIN sizes na ON na.doc_id = cm.doc_a
+         |             JOIN sizes nb ON nb.doc_id = cm.doc_b
+         |             WHERE 5 * cm.c >= 4 * (na.n + nb.n - cm.c)),
+         |mem AS (SELECT d.doc_id, g.rep,
+         |          (len($tokSql) >= 3) AS gramful
+         |        FROM documents d JOIN grp g ON md5(d.text) = g.h),
+         |winp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(1.0 AS DOUBLE) AS jaccard
+         |         FROM mem a JOIN mem b
+         |           ON a.rep = b.rep AND a.doc_id < b.doc_id
+         |         WHERE a.gramful),
+         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |             greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.jaccard
+         |           FROM reppairs rp
+         |           JOIN mem ma ON ma.rep = rp.doc_a
+         |           JOIN mem mb ON mb.rep = rp.doc_b)
+         |SELECT doc_a, doc_b, jaccard
+         |FROM (SELECT * FROM winp UNION ALL SELECT * FROM crossp) u
          |ORDER BY doc_a, doc_b""".stripMargin,
     // string-keyed mirror of the hash-keyed span scan: every K-window
     // as its literal token string, duplicated iff it occurs >= 2
