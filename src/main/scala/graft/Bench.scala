@@ -52,6 +52,54 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
+  /** Re-write each single-file parquet fixture into a multi-row-group
+    * copy under a fresh temp dir and return that dir (r15, ordered by
+    * the r14 verdict: the sf fixtures ship as ONE row group per
+    * table, so every first scan of the heavy text expressions ran as
+    * ONE task regardless of core count, serializing the scan stage
+    * and polluting the driver's 8-vs-32-core scaling ratios).
+    *
+    * LAYOUT ONLY — content identical: same rows, same order (the
+    * source is a single row group, so the coalesce(1) rewrite
+    * preserves row order bit-for-bit), same schema modulo the
+    * TIMESTAMP(NANOS)→raw-ns-long representation the session already
+    * reads through (Tables.events adapts to either). Announced in
+    * the bench JSON as "fixture_relayout" so the driver's cross-round
+    * compare is flagged once. This is NOT result caching or
+    * precomputation: no query output or intermediate is stored, the
+    * copy is rebuilt from the parquet inputs on every Bench
+    * invocation, outside every timed region, and deleted on exit.
+    *
+    * 64 KiB writer block size → ~100-row row groups at the fixture
+    * row widths; with [[GraftSession]]'s openCostInBytes floor the
+    * scan planner then yields ≥ cores splits for documents.parquet
+    * at sf0.1 (the verdict's done-bar: ≥ 8 tasks at 8 cores).
+    */
+  private def relayoutFixtures(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(sfDir)
+    val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty) return sfDir
+    val dst = java.nio.file.Files.createTempDirectory("graft-bench-sf").toFile
+    files.foreach { f =>
+      spark.read.parquet(f.getPath)
+        .coalesce(1)
+        .write
+        .option("parquet.block.size", (64 * 1024).toString)
+        .mode("overwrite")
+        .parquet(new java.io.File(dst, f.getName).getPath)
+    }
+    System.err.println(s"[bench] fixtures re-laid out row-group-wise into $dst " +
+      s"(layout only, content identical; see OPTIMIZATION_r15.md)")
+    dst.getPath
+  }
+
+  /** Best-effort recursive delete of the relayout temp dir. */
+  private def deleteRecursively(path: java.io.File): Unit = {
+    Option(path.listFiles()).foreach(_.foreach(deleteRecursively))
+    path.delete()
+  }
+
   /** Don't re-time queries faster than this: sub-300 ms means are
     * all scheduling jitter and never drive a regression call.
     */
@@ -64,6 +112,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JIT/codegen cost doesn't land on the first query
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // multi-row-group fixture copy (layout only; see relayoutFixtures) —
+    // every timed query below reads this copy; sfDir itself is still
+    // what the JSON reports as "sf" (it names the scale factor)
+    val benchDir = relayoutFixtures(spark, sfDir)
     // single-threaded codec JIT warm-up: a 32-thread flood into
     // interpreted codec code starves the C2 compiler threads (the
     // round-14 find — see Multimodal.warmCodecPaths); each codec
@@ -74,13 +126,13 @@ object Bench {
       def once(): Double =
         try {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          fn(spark, benchDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       def fullOnce(): Double =
         try {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          fn(spark, benchDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       // warm-up (untimed for the steady means) — but RECORDED: for the
@@ -119,7 +171,7 @@ object Bench {
         try {
           System.gc()
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          fn(spark, benchDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       val ok = Seq.fill(Runs)(once()).filter(_ >= 0)
@@ -167,6 +219,7 @@ object Bench {
       s""""queries_retime_sd":${retimes.map { case (k, _, sd2) =>
         "\"" + k + "\":" + num(sd2) }.mkString("{", ",", "}")},""" +
       s""""baseline_queries":${baseNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""fixture_relayout":${benchDir != sfDir},""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
     // The driver's BENCH_r{N}.json keeps only the last ~2000 chars of
     // stdout, which in round 8 truncated away the per-query MEANS (the
@@ -194,7 +247,9 @@ object Bench {
       s""""build":${num2(totalBuild)},""" +
       s""""steady_production":${num2(total - totalBaseline)},""" +
       s""""steady_baseline_twins":${num2(totalBaseline)},""" +
+      s""""fixture_relayout":${benchDir != sfDir},""" +
       s""""metric":"total","value":${num(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (benchDir != sfDir) deleteRecursively(new java.io.File(benchDir))
   }
 }
