@@ -70,22 +70,30 @@ object Bench {
     * copy is rebuilt from the parquet inputs on every Bench
     * invocation, outside every timed region, and deleted on exit.
     *
-    * 64 KiB writer block size → ~100-row row groups at the fixture
-    * row widths; with [[GraftSession]]'s openCostInBytes floor the
-    * scan planner then yields ≥ cores splits for documents.parquet
-    * at sf0.1 (the verdict's done-bar: ≥ 8 tasks at 8 cores).
+    * Block size targets ~cpus row groups per file (uncompressed
+    * writer-buffer bytes ≈ 3× the compressed file, floored at 64 KiB
+    * so tiny tables stay one group): enough groups that every
+    * scan-split owns work, few enough that footer metadata and
+    * per-group reader setup stay negligible (a first cut at a fixed
+    * 64 KiB block produced ~10³ groups for lineitem and measurably
+    * slowed every small query). With [[GraftSession]]'s
+    * openCostInBytes floor the scan planner then yields ≥ cores
+    * splits for documents.parquet at sf0.1 (the verdict's done-bar:
+    * ≥ 8 tasks at 8 cores).
     */
-  private def relayoutFixtures(spark: SparkSession, sfDir: String): String = {
+  private def relayoutFixtures(spark: SparkSession, sfDir: String,
+                               cpus: Int): String = {
     val src = new java.io.File(sfDir)
     val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (files.isEmpty) return sfDir
     val dst = java.nio.file.Files.createTempDirectory("graft-bench-sf").toFile
     files.foreach { f =>
+      val block = math.max(64L * 1024, f.length() * 3 / math.max(cpus, 1))
       spark.read.parquet(f.getPath)
         .coalesce(1)
         .write
-        .option("parquet.block.size", (64 * 1024).toString)
+        .option("parquet.block.size", block.toString)
         .mode("overwrite")
         .parquet(new java.io.File(dst, f.getName).getPath)
     }
@@ -115,7 +123,7 @@ object Bench {
     // multi-row-group fixture copy (layout only; see relayoutFixtures) —
     // every timed query below reads this copy; sfDir itself is still
     // what the JSON reports as "sf" (it names the scale factor)
-    val benchDir = relayoutFixtures(spark, sfDir)
+    val benchDir = relayoutFixtures(spark, sfDir, cpus)
     // single-threaded codec JIT warm-up: a 32-thread flood into
     // interpreted codec code starves the C2 compiler threads (the
     // round-14 find — see Multimodal.warmCodecPaths); each codec

@@ -774,31 +774,34 @@ object Dedup {
 
   /** Production-tier bounded twin of [[ngramPrefixJoin]] — exact
     * Jaccard ≥ 0.8 pairs with the candidate stream bounded by
-    * [[PrefixDfCap]] instead of the prefix-filter proof. Shape:
-    * ALWAYS exact-collapse (reps = one per distinct text — at any
-    * clone factor the rep set is the distinct-text corpus, so df is
-    * distinct-text df by construction), then candidates = rep pairs
-    * sharing a gram with df ≤ cap, verified exactly against FULL gram
-    * sets, then closed-form member expansion. Candidate fan-out is
-    * Σ_{df≤cap} df² ≤ cap · Σ df — LINEAR in distinct-text gram mass
-    * at any clone degeneracy (the uncapped prefix join's pruning
-    * relies on the df≈1 tail and still pays the full candidate
-    * stream when boilerplate flattens it). Semantics change vs the
-    * uncapped twin: a pair whose EVERY shared gram is in > cap
-    * distinct texts is missed — rank among returned pairs is
-    * preserved because every returned pair carries its exact
-    * full-set Jaccard (PrefixCappedSpec pins containment + score
-    * equality + cap-not-binding equality).
+    * [[PrefixDfCap]] instead of the prefix-filter proof. Same
+    * duplicate-mass-adaptive prepass as the uncapped twin (identity
+    * frames on a clone-light corpus; exact collapse to one rep per
+    * distinct text where duplicate mass is high — so df is rep-level
+    * df exactly when clones would flatten the distribution), then
+    * candidates = rep pairs sharing a gram held by ≤ [[PrefixDfCap]]
+    * reps, verified exactly against FULL gram sets, member pairs in
+    * closed form. Candidate fan-out is Σ_{df≤cap} df² ≤ cap · Σ df —
+    * LINEAR in rep-level gram mass at any clone degeneracy (the
+    * uncapped prefix join's pruning relies on the df≈1 tail and
+    * still pays the full candidate stream when boilerplate flattens
+    * it). Semantics change vs the uncapped twin: a pair whose EVERY
+    * shared gram is in > cap reps is missed — rank among returned
+    * pairs is preserved because every returned pair carries its
+    * exact full-set Jaccard (PrefixCappedSpec pins containment +
+    * score equality + cap-not-binding equality). The DuckDB oracle
+    * mirrors the whole pipeline INCLUDING the adaptive branch (the
+    * bandsCteSql corpus-adaptive precedent), so the gate checks
+    * whichever side the corpus selects.
     */
-  def ngramPrefixCapped(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val groups = collapsedGroups(docs)
-    val reps = groups.select(col("rep").as("doc_id"), col("text"))
-    val members = docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(groups.select(col("h"), col("rep"),
-        (size(tokens(col("text"))) >= 3).as("gramful")), Seq("h"))
-      .select(col("doc_id"), col("rep"), col("gramful"))
+  def ngramPrefixCapped(s: SparkSession, d: String): DataFrame =
+    ngramPrefixCappedOf(Tables.documents(s, d))
+
+  /** [[ngramPrefixCapped]] over an explicit documents frame — spec
+    * entry for forcing each adaptive side.
+    */
+  private[graft] def ngramPrefixCappedOf(docs: DataFrame): DataFrame = {
+    val (reps, members) = adaptiveGroups(docs, dupMassFlag(docs))
     ngramPrefixOverGroups(reps, members, ngramDfCappedJoinOf(_, PrefixDfCap))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -2280,17 +2283,34 @@ object Dedup {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE 5 * c >= 4 * (na.n + nb.n - c)
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // string-keyed mirror of the capped twin's full pipeline: exact
-    // collapse to one rep per distinct text, distinct-text df cap on
-    // candidate generation, exact full-set Jaccard verification at
-    // the rational 0.8 accept, closed-form member expansion
-    // (within-group pairs at J = 1 iff the text yields >= 1 shingle)
+    // string-keyed mirror of the capped twin's full pipeline,
+    // INCLUDING the duplicate-mass-adaptive prepass (the bandsCteSql
+    // corpus-adaptive precedent): collapse to one rep per distinct
+    // text iff n_docs >= 2 * n_distinct_texts, else identity frames;
+    // rep-level df cap on candidate generation, exact full-set
+    // Jaccard at the rational 0.8 accept, closed-form member
+    // expansion (within-group pairs at J = 1 iff the group's text
+    // yields >= 1 shingle; provably empty on the identity side)
     "dedup_ngram_prefix_capped" ->
-      s"""WITH grp AS (SELECT md5(text) AS h, min(doc_id) AS rep
-         |             FROM documents WHERE text IS NOT NULL
-         |             GROUP BY md5(text)),
-         |rtoks AS (SELECT g.rep AS doc_id, $tokSql AS tk
-         |          FROM grp g JOIN documents d ON d.doc_id = g.rep),
+      s"""WITH stats AS (SELECT count(*) AS n,
+         |                 count(DISTINCT md5(text)) AS nd FROM documents),
+         |grp AS (SELECT md5(text) AS h, min(doc_id) AS rep
+         |        FROM documents WHERE text IS NOT NULL
+         |        GROUP BY md5(text)),
+         |rtexts AS (SELECT g.rep AS doc_id, d.text
+         |           FROM grp g JOIN documents d ON d.doc_id = g.rep
+         |           CROSS JOIN stats s WHERE s.n >= 2 * s.nd
+         |           UNION ALL
+         |           SELECT d.doc_id, d.text FROM documents d
+         |           CROSS JOIN stats s WHERE s.n < 2 * s.nd),
+         |mem AS (SELECT d.doc_id, g.rep, (len($tokSql) >= 3) AS gramful
+         |        FROM documents d JOIN grp g ON md5(d.text) = g.h
+         |        CROSS JOIN stats s WHERE s.n >= 2 * s.nd
+         |        UNION ALL
+         |        SELECT d.doc_id, d.doc_id AS rep,
+         |          (len($tokSql) >= 3) AS gramful
+         |        FROM documents d CROSS JOIN stats s WHERE s.n < 2 * s.nd),
+         |rtoks AS (SELECT doc_id, $tokSql AS tk FROM rtexts),
          |ridx AS (SELECT doc_id, tk,
          |           unnest(generate_series(1, len(tk) - 2)) AS i FROM rtoks),
          |rng AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
@@ -2312,9 +2332,6 @@ object Dedup {
          |             JOIN sizes na ON na.doc_id = cm.doc_a
          |             JOIN sizes nb ON nb.doc_id = cm.doc_b
          |             WHERE 5 * cm.c >= 4 * (na.n + nb.n - cm.c)),
-         |mem AS (SELECT d.doc_id, g.rep,
-         |          (len($tokSql) >= 3) AS gramful
-         |        FROM documents d JOIN grp g ON md5(d.text) = g.h),
          |winp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |           CAST(1.0 AS DOUBLE) AS jaccard
          |         FROM mem a JOIN mem b

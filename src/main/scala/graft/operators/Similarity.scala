@@ -480,29 +480,42 @@ object Similarity {
     * Stateless per vector, so incremental batches compose exactly
     * (IvfStateSpec pins slice == full-assignment restriction).
     *
-    * r15: the rank=1 window became max_by(struct(cid, ccos),
-    * struct(pround(ccos, 6), −cid)) — the [[assignCodesNarrow]]
-    * argmin discipline applied to the coarse argmax. The struct's
-    * lexicographic max is exactly row_number() over (pround(ccos, 6)
-    * desc, cid asc) = 1 (−cid turns the ascending tiebreak into a
-    * max; cid is distinct so full ties are impossible), and the
-    * winner's UNROUNDED ccos rides in the value struct, so output is
-    * bit-identical. Why: the window's top-1 rewrite LOCALLY SORTS
-    * every |corpus|×|cents| candidate row per pass; max_by is a
-    * map-side-partial codegen'd HashAggregate — no sort, and the
-    * exchange moves one row per vector. This is the registry's
-    * hottest stage at the 100× rung (the ann_ivf_pq_res coarse
-    * argmin, ~20 s) — see OPTIMIZATION_r15.md for the measurements.
+    * r15: the rank=1 window became ONE codegen'd map-side-partial
+    * HashAggregate — min_by(cid, pack) + min_by(ccos, pack) over the
+    * packed-long ordering pack = (10⁶+1 − i6)·2³⁸ + cid with
+    * i6 = floor(ccos·10⁶ + 0.5). Minimizing pack maximizes i6 (the
+    * exact integer pround(ccos, 6) rides on) and breaks ties on the
+    * LOWEST cid — exactly row_number() over (pround(ccos, 6) desc,
+    * cid asc) = 1 — and the second min_by carries the winner's
+    * UNROUNDED ccos, so output is bit-identical. Both buffers are
+    * primitive (long/double + long), so this stays a HashAggregate
+    * (a struct-ordered min_by falls back to SortAggregate, which
+    * re-sorts the candidate stream — the thing being removed). The
+    * pack is PROVABLY in range: ccos is a cosine, |ccos| ≤ 1 up to
+    * float error, so (10⁶+1 − i6) < 2²¹ and the pack < 2⁵⁹; the
+    * in-plan raise_error guards the envelope loudly anyway (the
+    * keepBest discipline). Why it matters: the window's top-1
+    * rewrite LOCALLY SORTS every |corpus|×|cents| candidate row per
+    * pass — the registry's hottest stage at the 100× rung (the
+    * ann_ivf_pq_res coarse argmin, ~20 s); the aggregate sorts
+    * nothing and the exchange moves one row per vector.
     */
-  private def assignAgainst(e: DataFrame, cents: DataFrame): DataFrame =
+  private def assignAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
+    val i6 = floor(col("ccos") * lit(1000000d) + lit(0.5)).cast("long")
+    val pack = when(col("cid").between(0L, AssignKidUnit - 1) &&
+          i6.between(-1000001L, 1000001L),
+        (lit(1000001L) - i6) * lit(AssignKidUnit) + col("cid"))
+      .otherwise(raise_error(concat(
+        lit("assignAgainst: cid/ccos outside packed range " +
+          "(cid < 2^38, |ccos| <= 1): "), col("cid").cast("string"))))
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .select(col("vec_id"), struct(col("cid"), col("ccos")).as("cand"),
-        struct(pround(col("ccos"), 6).as("c6"), (-col("cid")).as("nc")).as("ord"))
+      .select(col("vec_id"), col("cid"), col("ccos"), pack.as("p"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cand"), col("ord")).as("w"))
-      .select(col("vec_id"), col("w.cid").as("cid"), col("w.ccos").as("ccos"))
+      .agg(min_by(col("cid"), col("p")).as("cid"),
+           min_by(col("ccos"), col("p")).as("ccos"))
+  }
 
   // --- Persistent index state ---------------------------------------
   // The BloomDedup-state design applied to the ANN family: the INDEX
@@ -548,7 +561,7 @@ object Similarity {
     * vector, the incremental encode of a frozen PQ index.
     */
   def pqEncodeWith(en: DataFrame, cb: DataFrame): DataFrame =
-    assignCodesNarrow(subVectors(en), cb)
+    assignCodesBounded(subVectors(en), cb)
 
   /** Persist the PQ-encoded corpus (vec_id, m, kid) as parquet. */
   def savePqCodes(codes: DataFrame, path: String): Unit =
@@ -762,7 +775,7 @@ object Similarity {
     * cost per consumer (measured: residual codes 4.6 s → the
     * explode form re-evaluates the input once).
     */
-  private def subVectors(e: DataFrame): DataFrame =
+  private[graft] def subVectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
         explode(array((0 until PqM).map { m =>
           struct(lit(m).as("m"),
@@ -770,41 +783,69 @@ object Similarity {
         }: _*)).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
 
+  /** 2³⁸ — kid/cid field width of the packed argmin encodings. */
+  private val AssignKidUnit = 1L << 38
+
+  /** Squared Euclidean distance between the slice and the codeword. */
+  private def sliceD2: Column =
+    dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv")) +
+      dot(col("kv"), col("kv"))
+
   /** Nearest codeword per (vector, subspace), NARROW: (vec_id, m,
     * kid) — the argmin of squared Euclidean distance with kid
-    * tiebreak, resolved inside ONE codegen'd HashAggregate via
-    * min_by(kid, struct(pround(d2, 6), kid)) — a DeclarativeAggregate
-    * with map-side partial merge, so the exchange moves one row per
-    * (vector, subspace).
-    *
-    * Equivalence to the former rank=1 window (r14 rewrite): the
-    * struct's lexicographic ordering (micro-rounded d2 asc, kid asc)
-    * is exactly the window's sort key, so min_by is exactly
-    * row_number() over (pround(d2, 6) asc, kid asc) = 1, and ties are
-    * impossible because kid is distinct within each m.
-    * Why it matters: the window's TopK rewrite requires a LOCAL SORT
-    * of the child, so every (vector × codeword) candidate row —
-    * carrying BOTH 16-dim slices — was sorted once per assignment
-    * pass; QueryProbe attributed ~0.9 s per pass at sf0.1 (and the
-    * pass count is 3: two training rounds + the corpus encode) to
-    * exactly those stages. min_by aggregates a 3-column projection —
-    * no sort, no array payload in flight.
-    *
-    * r15 fix: r14 packed the argmin into d2i·2³⁸ + kid, sound only
-    * for d2 ≤ 16 — unit/residual slices satisfy that, but arbitrary
-    * training inputs (PqTrainSampleSpec's unnormalized corpus) do
-    * not, and the in-plan range guard aborted training. min_by has
-    * no range envelope, needs no guard, and keeps the same plan
-    * shape (partial + final HashAggregate, no sort).
+    * tiebreak, for ARBITRARY input vectors (no bound on d2): one
+    * min_by(kid, struct(pround(d2, 6), kid)) aggregate whose
+    * lexicographic ordering is exactly the former rank=1 window's
+    * sort key (micro-rounded d2 asc, kid asc; kid distinct within m,
+    * so ties are impossible). The struct-typed ordering buffer is
+    * not UnsafeRow-mutable, so this plans as a SortAggregate — a
+    * local sort by the GROUP KEY over the narrow 4-column candidate
+    * projection. That is acceptable here and only here because the
+    * sole caller is TRAINING ([[assignCodes]]), whose input is the
+    * [[pqTrainStride]]-bounded sample (≤ ~2·target vectors × PqM
+    * slices at ANY corpus size) and whose vectors are whatever the
+    * caller supplies (PqTrainSampleSpec trains on an unnormalized
+    * corpus with per-slice d2 in the thousands — the r14 packed form
+    * raise_error'd exactly there). Corpus-scale encodes go through
+    * [[assignCodesBounded]].
     */
-  private def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val d2 =
-      dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("kv")) +
-        dot(col("kv"), col("kv"))
+  private[graft] def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("kid"), pround(d2, 6).as("d2r"))
+      .select(col("vec_id"), col("m"), col("kid"), pround(sliceD2, 6).as("d2r"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("kid"), struct(col("d2r"), col("kid"))).as("kid"))
+
+  /** [[assignCodesNarrow]] for the CORPUS-SCALE encode: same argmin,
+    * resolved inside ONE codegen'd map-side-partial HashAggregate via
+    * the packed-integer ordering d2i·2³⁸ + kid, where
+    * d2i = floor(pround(d2, 6)·2²⁰ + 0.5) is the SAME integerization
+    * the ADC distance table ships as `pd2i`. Equivalence: d2i is
+    * order-isomorphic to pround(d2, 6) (distinct micro-rounded values
+    * are ≥ 1e-6 apart; ×2²⁰ spaces them ≥ 1.048, so floor(·+0.5)
+    * preserves strict order), equal keys collide and +kid breaks the
+    * tie low — exactly the window/min_by ordering, spec-pinned
+    * against [[assignCodesNarrow]] on normalized input
+    * (PqTrainSampleSpec).
+    *
+    * Range contract (in-plan raise_error, the keepBest discipline):
+    * kid < 2³⁸ and d2 ≤ 16. Every encode caller satisfies it BY
+    * CONSTRUCTION — unit-normalized slices give ‖sv−kv‖² ≤ 4,
+    * residual slices ≤ 16 — which is why this form is reserved for
+    * the encode and training takes the unbounded one.
+    */
+  private[graft] def assignCodesBounded(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val enc = when(col("kid").between(0L, AssignKidUnit - 1) &&
+          col("d2i").between(0L, 1L << 24),
+        col("d2i") * lit(AssignKidUnit) + col("kid"))
+      .otherwise(raise_error(concat(
+        lit("assignCodesBounded: kid/d2 outside packed range (kid < 2^38, " +
+          "d2 <= 16): "), col("kid").cast("string"))))
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2i",
+        floor(pround(sliceD2, 6) * lit(MeanScale) + lit(0.5)).cast("long"))
+      .select(col("vec_id"), col("m"), col("kid"), enc.as("p"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("kid"), col("p")).as("kid"))
   }
 
   /** [[assignCodesNarrow]] with the slice payload re-attached — the
@@ -906,7 +947,7 @@ object Similarity {
     val en = e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val cb = trainPqCodebooks(en)
-    val codes = assignCodesNarrow(subVectors(en), cb)
+    val codes = assignCodesBounded(subVectors(en), cb)
     val coarse = ivfAssignmentOf(e).select(col("vec_id"), col("cid"))
     val cents = sampledVecs(e)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -1040,7 +1081,7 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("v"), col("cvn"), (a, b) => a - b).as("v"))
     val cb = trainPqCodebooks(resid, countOn = Some(en))
-    val codes = assignCodesNarrow(subVectors(resid), cb)
+    val codes = assignCodesBounded(subVectors(resid), cb)
     ivfPqResSearchFrom(e, cb, codes, coarse, cents)
   }
 

@@ -42,4 +42,21 @@ class PqTrainSampleSpec extends AnyFunSuite {
     assert(cbRows(Similarity.trainPqCodebooks(base)) !==
       cbRows(Similarity.trainPqCodebooks(perturbed)))
   }
+
+  // the encode path's hash-aggregable packed argmin must agree with
+  // training's unbounded min_by argmin wherever the encode's range
+  // contract (unit-normalized input, d2 <= 16) holds — including the
+  // micro-rounded-tie / lowest-kid tiebreak behavior
+  test("bounded encode argmin equals the unbounded training argmin on normalized vectors") {
+    val en = corpus(2048).select(col("vec_id"),
+      expr("transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y * y)))")
+        .as("v"))
+    val cb = Similarity.trainPqCodebooks(en)
+    val sub = Similarity.subVectors(en)
+    val bounded = Similarity.assignCodesBounded(sub, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val unbounded = Similarity.assignCodesNarrow(sub, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bounded.nonEmpty && bounded === unbounded)
+  }
 }

@@ -80,4 +80,50 @@ class PrefixCappedSpec extends AnyFunSuite {
     assert(uncapped.exists(p => p._1 == 5L || p._2 == 5L),
       "pin requires the uncapped join to actually pair doc 5")
   }
+
+  test("clone-heavy corpus takes the collapse side; output matches a plain reference") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "ab",                                         // gram-less clone group
+      "totally different content about catalyst plans and shuffles here")
+    // 4 clones per text -> n = 20 >= 2 * nd = 10: the collapse side fires
+    val docs = texts.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 4).map(c => ((i * 4 + c).toLong, t))
+    }.toDF("doc_id", "text")
+    val got = pairs(graft.operators.Dedup.ngramPrefixCappedOf(docs))
+
+    // plain-Scala reference of the collapsed capped pipeline
+    def gramsOf(t: String): Set[String] =
+      t.split("[^\\p{L}]+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val rep = texts.indices.map(i => i -> (i * 4).toLong).toMap // min doc_id per text
+    val g = texts.indices.map(i => i -> gramsOf(texts(i))).toMap
+    val df = g.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    def pr4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val repPairs = (for {
+      a <- texts.indices; b <- texts.indices if a < b
+      shared = g(a) & g(b)
+      if shared.exists(df(_) <= 50)
+      c = shared.size
+      if 5 * c >= 4 * (g(a) | g(b)).size
+    } yield (rep(a), rep(b), pr4(c.toDouble / (g(a) | g(b)).size))).toSet
+    val within = (for {
+      i <- texts.indices if g(i).nonEmpty
+      a <- 0 until 4; b <- 0 until 4 if a < b
+    } yield ((i * 4 + a).toLong, (i * 4 + b).toLong, 1.0)).toSet
+    val cross = for {
+      (ra, rb, j) <- repPairs
+      ia = (ra / 4).toInt; ib = (rb / 4).toInt
+      a <- 0 until 4; b <- 0 until 4
+    } yield {
+      val (x, y) = ((ia * 4 + a).toLong, (ib * 4 + b).toLong)
+      (math.min(x, y), math.max(x, y), j)
+    }
+    assert(got == within ++ cross)
+    assert(within.nonEmpty && got.nonEmpty)
+  }
 }
