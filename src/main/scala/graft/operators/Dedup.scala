@@ -651,7 +651,11 @@ object Dedup {
     * lists to Σ df² over prefix postings, which the df-ascending
     * prefix order biases toward df ≈ 1.
     */
-  def ngramPrefixJoin(s: SparkSession, d: String): DataFrame = {
+  def ngramPrefixJoin(s: SparkSession, d: String): DataFrame =
+    ngramPrefixAdaptiveOf(Tables.documents(s, d))
+
+  /** [[ngramPrefixJoin]] over an explicit documents frame. */
+  private[graft] def ngramPrefixAdaptiveOf(docs: DataFrame): DataFrame = {
     // duplicate-mass-adaptive (the dropList branch rule): a
     // clone-replicated corpus destroys the df≈1 tail the prefix
     // filter's pruning rides on (every gram's df ≥ the clone factor —
@@ -660,7 +664,6 @@ object Dedup {
     // prefix join over distinct texts sees the original df
     // distribution, and member pairs expand in closed form. On a
     // clone-light corpus the identity frames make the prepass a no-op.
-    val docs = Tables.documents(s, d)
     val (reps, members) = adaptiveGroups(docs, dupMassFlag(docs))
     ngramPrefixOverGroups(reps, members)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -762,15 +765,20 @@ object Dedup {
   /** Distinct-text document-frequency cap for the BOUNDED prefix-twin
     * candidate stream ([[ngramPrefixCapped]]): grams carried by more
     * than this many DISTINCT texts are dropped from candidate
-    * generation (verification always runs over FULL gram sets). The
-    * [[BandOccCap]] value: never binds at the gate SFs (the sf0.01
-    * rep-level df tail tops out at 7), so the capped pair set equals
-    * the uncapped one there and the gate checks full equality; where
-    * it binds, both engines drop the SAME grams (the oracle mirrors
-    * the cap). Production corpora tune the absolute cap (or a df/N
-    * fraction) — same plan shape.
+    * generation (verification always runs over FULL gram sets). 8 =
+    * just above the sf0.01 rep-level df tail (tops out at 7), the
+    * [[DfCap]] set-where-it-prunes discipline: the candidate join is
+    * then Σ_{df≤8} df² ≤ 8·Σdf — a TIGHT linear bound (a first cut
+    * at 50 kept essentially every gram of the 100× rung's rep corpus
+    * and degenerated to the brute inverted join, measured 2× the
+    * uncapped query). A true ≥0.8 pair of distinct texts shares the
+    * rare grams around its differing tokens, so the pruning drops
+    * boilerplate mass, not near-dup signal; where it binds, both
+    * engines drop the SAME grams (the oracle mirrors the cap).
+    * Production corpora tune the absolute cap (or a df/N fraction) —
+    * same plan shape.
     */
-  private val PrefixDfCap = 50L
+  private val PrefixDfCap = 8L
 
   /** Production-tier bounded twin of [[ngramPrefixJoin]] — exact
     * Jaccard ≥ 0.8 pairs with the candidate stream bounded by

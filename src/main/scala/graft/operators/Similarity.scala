@@ -793,27 +793,38 @@ object Similarity {
 
   /** Nearest codeword per (vector, subspace), NARROW: (vec_id, m,
     * kid) — the argmin of squared Euclidean distance with kid
-    * tiebreak, for ARBITRARY input vectors (no bound on d2): one
-    * min_by(kid, struct(pround(d2, 6), kid)) aggregate whose
-    * lexicographic ordering is exactly the former rank=1 window's
-    * sort key (micro-rounded d2 asc, kid asc; kid distinct within m,
-    * so ties are impossible). The struct-typed ordering buffer is
-    * not UnsafeRow-mutable, so this plans as a SortAggregate — a
-    * local sort by the GROUP KEY over the narrow 4-column candidate
-    * projection. That is acceptable here and only here because the
+    * tiebreak, for ARBITRARY input vectors (no bound on d2): two
+    * codegen'd map-side-partial HashAggregates over the exact
+    * micro-rounding integer d2i = floor(d2·10⁶ + 0.5) (the integer
+    * pround(d2, 6) rides on — order-isomorphic to it and exact in a
+    * long for any d2 below ~9·10⁹, i.e. effectively unbounded):
+    * min(d2i) per (vector, subspace), join the candidates back on
+    * the winning d2i, min(kid) among the tied rows — exactly
+    * row_number() over (pround(d2, 6) asc, kid asc) = 1. The
+    * candidate derivation is evaluated twice (both sides of the
+    * join-back), which is acceptable here and only here because the
     * sole caller is TRAINING ([[assignCodes]]), whose input is the
     * [[pqTrainStride]]-bounded sample (≤ ~2·target vectors × PqM
     * slices at ANY corpus size) and whose vectors are whatever the
     * caller supplies (PqTrainSampleSpec trains on an unnormalized
     * corpus with per-slice d2 in the thousands — the r14 packed form
-    * raise_error'd exactly there). Corpus-scale encodes go through
-    * [[assignCodesBounded]].
+    * raise_error'd exactly there; an r15 first cut used
+    * min_by(kid, struct(d2r, kid)), whose struct-typed buffer is not
+    * UnsafeRow-mutable and planned as a per-row-allocating
+    * SortAggregate — measured ~10× the stage cost at the 100× rung).
+    * Corpus-scale encodes go through [[assignCodesBounded]].
     */
-  private[graft] def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("kid"), pround(sliceD2, 6).as("d2r"))
+  private[graft] def assignCodesNarrow(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val cand = sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("kid"),
+        floor(sliceD2 * lit(1000000d) + lit(0.5)).cast("long").as("d2i"))
+    // best is one row per (vector, subspace) — sample-sized, so the
+    // join-back broadcasts and the candidate stream never shuffles
+    val best = cand.groupBy(col("vec_id"), col("m")).agg(min(col("d2i")).as("d2i"))
+    cand.join(broadcast(best), Seq("vec_id", "m", "d2i"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("kid"), struct(col("d2r"), col("kid"))).as("kid"))
+      .agg(min(col("kid")).as("kid"))
+  }
 
   /** [[assignCodesNarrow]] for the CORPUS-SCALE encode: same argmin,
     * resolved inside ONE codegen'd map-side-partial HashAggregate via
