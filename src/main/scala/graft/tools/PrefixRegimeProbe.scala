@@ -30,20 +30,25 @@ object PrefixRegimeProbe {
 
     val vocab = (0 until 20).map(i => s"w$i")
     val vocabArr = array(vocab.map(lit): _*)
-    // 40 tokens per doc drawn from the 20-word vocabulary with a
-    // position-dependent multiplier, so texts are (near-)unique per
-    // doc — no exact-clone collapse — while every 3-gram lands in
-    // hundreds of documents (a first cut with a fixed multiplier
-    // produced only 20 distinct texts and both twins drowned in the
-    // 10⁹ clone-pair output, measuring nothing)
+    // 40 tokens per doc drawn from the 20-word vocabulary by
+    // xxhash64(doc_id, pos) — NONLINEAR in doc_id, so texts are
+    // effectively all distinct (any linear index mod 20 cycles with
+    // period 20 in doc_id: the first two cuts collapsed to 20
+    // distinct texts and both twins drowned in the 10⁹ clone-pair
+    // output, measuring nothing) — while every realized 3-gram still
+    // lands in hundreds of documents
     val template = concat_ws(" ", (0 until 40).map { p =>
       element_at(vocabArr,
-        ((col("doc_id") * (p + 7) + p * p * 13) % 20 + 1).cast("int"))
+        (pmod(xxhash64(col("doc_id"), lit(p)), lit(20)) + 1).cast("int"))
     }: _*)
     // planted near-dup pairs on rare tokens: docs 500k and 500k+1 are a
     // 30-token unique-vocabulary text and the same text plus one word
+    // digits translate to letters: the tokenizer keeps Unicode-letter
+    // runs only, so "u15500" would collapse to "u" (one hot gram
+    // shared by every planted doc — df above the cap, pairs lost)
     val uniq = concat_ws(" ", (0 until 30).map { p =>
-      concat(lit("u"), (expr("doc_id div 2") * 31 + p).cast("string"))
+      concat(lit("u"), translate((expr("doc_id div 2") * 31 + p).cast("string"),
+        "0123456789", "abcdefghij"))
     }: _*)
     val docs = spark.range(n).select(col("id").as("doc_id"),
       when(col("id") % 500 === 0, uniq)
